@@ -1,0 +1,56 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as plan-build + full execution (count-style action that
+materializes every row without collecting them to the driver). A warmup
+query first absorbs JVM/codegen startup so per-query numbers reflect steady
+state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gcp_serverless_etl_pipeline_lab_spark.harness import QUERIES
+from gcp_serverless_etl_pipeline_lab_spark.session import get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="bench")
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    QUERIES["a6_demo_summary"].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(QUERIES.items()):
+        start = time.perf_counter()
+        df = q.builder(spark, sf_dir)
+        # Materialize every output row on the executors (no driver collect).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,737 @@
+"""Correctness-harness query registry.
+
+One named entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline extensions). Each entry pairs a Spark DataFrame
+builder ``(spark, sf_dir) -> DataFrame`` with an equivalent DuckDB SQL
+oracle over the same parquet tables (views: region nation customer supplier
+part orders lineitem events documents embeddings). Determinism rules:
+
+- every computed column is aliased identically on both sides;
+- double aggregates are ROUND(x, 2); dates/timestamps are emitted as
+  formatted strings; DuckDB HUGEINT sums are cast to BIGINT;
+- anything order-dependent carries a total tiebreak.
+
+The sales-ETL queries synthesize CSV lines deterministically from
+``lineitem`` (corruption class = key % 23) and push them through the real
+validation chain; the oracle re-implements the reference semantics
+(`/root/reference/dataflow/dataflow_transform.py:37-125`) independently in
+DuckDB SQL — split/trim, ordered short-circuit, first-wins dedup by line
+order, lenient casts, two date formats.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.transform import split_clean_errors
+from .operators.validate import annotate
+from .session import ensure_oracle_conf
+from .sources.tables import load_table
+from .sources.text_csv import LINE_COL, LINE_ID_COL
+from .streaming.file_stream import windowed_event_counts
+
+
+@dataclass(frozen=True)
+class Query:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs the weaker rows-only check
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_oracle_conf(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = Query(builder=wrapped, oracle=oracle)
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# S1 — scan / filter / projection (predicate + column pushdown to parquet)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def s1_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The sales ETL on synthesized messy CSV lines (R1–R12 end-to-end)
+# ---------------------------------------------------------------------------
+#
+# Line synthesis from lineitem (deterministic, shared with the oracle):
+#   k        = l_orderkey * 10 + l_linenumber          (unique; also the line order)
+#   price_s  = printf('%.2f', l_extendedprice)
+#   qty_s    = cast(cast(l_quantity as int) as string)
+#   date_s   = yyyy-MM-dd of l_shipdate
+#   product  = word derived from l_returnflag
+# Corruption class m = k % 23:
+#   0  price 'twenty'            → Invalid price or quantity
+#   1  empty product             → Missing required field
+#   2  date '2024-18-01'         → Invalid sale_date (semantic month)
+#   3  qty 'word'                → Invalid price or quantity
+#   4  negative price            → Non-positive price or quantity
+#   5  id 'x'||k                 → Non-numeric id
+#   6  only 3 fields             → Malformed row, not enough fields
+#   7  id := k-7 (dup of the m=0 row, which claims its id then fails cast)
+#                                → Duplicate id in this bundle
+#   8  date with slashes         → clean (alt format path)
+#   9  qty '5.0'                 → Invalid price or quantity (int() parity)
+#   10 quoted product w/ comma   → naive split shifts fields → Invalid price
+#   11 product '"..."' quoted    → clean, quotes stripped
+#   12 padded fields '  x  '     → clean, trimmed
+#   else                         → clean
+
+_ETL_SPARK_LINE = """
+  concat_ws(',',
+    CASE
+      WHEN m = 5 THEN concat('x', CAST(k AS STRING))
+      WHEN m = 7 THEN CAST(k - 7 AS STRING)
+      WHEN m = 12 THEN concat('  ', CAST(k AS STRING), '  ')
+      ELSE CAST(k AS STRING) END,
+    CASE
+      WHEN m = 1 THEN ''
+      WHEN m = 10 THEN concat('"', product, ', Deluxe"')
+      WHEN m = 11 THEN concat('"', product, '"')
+      WHEN m = 12 THEN concat(' ', product, ' ')
+      ELSE product END,
+    CASE
+      WHEN m = 0 THEN 'twenty'
+      WHEN m = 4 THEN concat('-', price_s)
+      ELSE price_s END,
+    CASE
+      WHEN m = 3 THEN 'word'
+      WHEN m = 9 THEN '5.0'
+      ELSE qty_s END,
+    CASE
+      WHEN m = 2 THEN '2024-18-01'
+      WHEN m = 8 THEN replace(date_s, '-', '/')
+      ELSE date_s END
+  )
+"""
+
+# DuckDB spelling of the same line builder (printf/strftime instead of
+# format_string/date_format; otherwise identical by construction).
+_ETL_ORACLE_SRC = """
+  WITH base AS (
+    SELECT (l_orderkey * 10 + l_linenumber) AS k,
+           (l_orderkey * 10 + l_linenumber) % 23 AS m,
+           printf('%.2f', l_extendedprice) AS price_s,
+           CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS qty_s,
+           strftime(l_shipdate, '%Y-%m-%d') AS date_s,
+           CASE l_returnflag WHEN 'A' THEN 'Alpha Widget'
+                             WHEN 'R' THEN 'Rho Gadget'
+                             ELSE 'Nu Gizmo' END AS product
+    FROM lineitem
+  ),
+  lines AS (
+    SELECT k AS line_id,
+      CASE WHEN m = 6 THEN
+        concat_ws(',', CAST(k AS VARCHAR), product, price_s)
+      ELSE
+        concat_ws(',',
+          CASE WHEN m = 5 THEN concat('x', CAST(k AS VARCHAR))
+               WHEN m = 7 THEN CAST(k - 7 AS VARCHAR)
+               WHEN m = 12 THEN concat('  ', CAST(k AS VARCHAR), '  ')
+               ELSE CAST(k AS VARCHAR) END,
+          CASE WHEN m = 1 THEN ''
+               WHEN m = 10 THEN concat('"', product, ', Deluxe"')
+               WHEN m = 11 THEN concat('"', product, '"')
+               WHEN m = 12 THEN concat(' ', product, ' ')
+               ELSE product END,
+          CASE WHEN m = 0 THEN 'twenty'
+               WHEN m = 4 THEN concat('-', price_s)
+               ELSE price_s END,
+          CASE WHEN m = 3 THEN 'word'
+               WHEN m = 9 THEN '5.0'
+               ELSE qty_s END,
+          CASE WHEN m = 2 THEN '2024-18-01'
+               WHEN m = 8 THEN replace(date_s, '-', '/')
+               ELSE date_s END)
+      END AS value
+    FROM base
+  ),
+  toks AS (
+    SELECT line_id, value,
+           list_transform(string_split(value, ','), x -> trim(x)) AS parts
+    FROM lines
+    WHERE NOT starts_with(lower(value), 'id,')
+  ),
+  fields AS (
+    SELECT line_id, value, parts,
+           len(parts) >= 5 AS arity_ok,
+           parts[1] AS id_raw, parts[2] AS product_raw, parts[3] AS price_raw,
+           parts[4] AS qty_raw, parts[5] AS date_raw
+    FROM toks
+  ),
+  flags AS (
+    SELECT *,
+           arity_ok AND id_raw <> '' AND product_raw <> '' AND price_raw <> ''
+                    AND qty_raw <> '' AND date_raw <> '' AS eligible
+    FROM fields
+  ),
+  dedup AS (
+    SELECT *,
+           CASE WHEN eligible THEN
+             line_id > min(line_id) OVER (PARTITION BY eligible, id_raw)
+           ELSE FALSE END AS is_dup
+    FROM flags
+  ),
+  typed AS (
+    SELECT *,
+           TRY_CAST(price_raw AS DOUBLE) AS price,
+           CASE WHEN regexp_full_match(qty_raw, '[+-]?[0-9]+')
+                THEN TRY_CAST(qty_raw AS BIGINT) END AS quantity,
+           COALESCE(TRY_CAST(try_strptime(date_raw, '%Y-%m-%d') AS DATE),
+                    TRY_CAST(try_strptime(date_raw, '%Y/%m/%d') AS DATE)) AS sale_date,
+           regexp_replace(product_raw, '["'']', '', 'g') AS product_clean,
+           regexp_full_match(id_raw, '[0-9]+') AS id_ok
+    FROM dedup
+  ),
+  labeled AS (
+    SELECT *,
+      CASE
+        WHEN NOT arity_ok THEN 'Malformed row, not enough fields'
+        WHEN NOT eligible THEN 'Missing required field'
+        WHEN is_dup THEN 'Duplicate id in this bundle'
+        WHEN price IS NULL OR quantity IS NULL THEN 'Invalid price or quantity'
+        WHEN price <= 0 OR quantity <= 0 THEN 'Non-positive price or quantity'
+        WHEN sale_date IS NULL THEN 'Invalid sale_date'
+        WHEN product_clean = '' THEN 'Invalid product name'
+        WHEN NOT id_ok THEN 'Non-numeric id'
+      END AS error
+    FROM typed
+  )
+"""
+
+
+def _etl_annotated(spark: SparkSession, sf_dir: str):
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 23).alias("m"),
+        F.format_string("%.2f", F.col("l_extendedprice")).alias("price_s"),
+        F.col("l_quantity").cast("int").cast("string").alias("qty_s"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("date_s"),
+        F.when(F.col("l_returnflag") == "A", "Alpha Widget")
+        .when(F.col("l_returnflag") == "R", "Rho Gadget")
+        .otherwise("Nu Gizmo")
+        .alias("product"),
+    )
+    lines = li.select(
+        F.col("k").alias(LINE_ID_COL),
+        F.when(
+            F.col("m") == 6,
+            F.concat_ws(
+                ",", F.col("k").cast("string"), F.col("product"), F.col("price_s")
+            ),
+        )
+        .otherwise(F.expr(_ETL_SPARK_LINE))
+        .alias(LINE_COL),
+    )
+    return annotate(lines)
+
+
+@register(
+    "etl_clean_summary",
+    _ETL_ORACLE_SRC
+    + """
+    SELECT COUNT(*) AS n_clean,
+           COUNT(DISTINCT id_raw) AS n_ids,
+           ROUND(SUM(price * quantity), 2) AS sum_total,
+           CAST(SUM(quantity) AS BIGINT) AS sum_qty,
+           strftime(MAX(sale_date), '%Y-%m-%d') AS latest_date,
+           COUNT(DISTINCT product_clean) AS n_products
+    FROM labeled WHERE error IS NULL
+    """,
+)
+def etl_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean, _ = split_clean_errors(_etl_annotated(spark, sf_dir), persist=False)
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.countDistinct("id").alias("n_ids"),
+        F.round(F.sum("total_sale"), 2).alias("sum_total"),
+        F.sum("quantity").alias("sum_qty"),
+        F.date_format(F.max("sale_date"), "yyyy-MM-dd").alias("latest_date"),
+        F.countDistinct("product").alias("n_products"),
+    )
+
+
+@register(
+    "etl_error_counts",
+    _ETL_ORACLE_SRC
+    + """
+    SELECT error, COUNT(*) AS n
+    FROM labeled WHERE error IS NOT NULL
+    GROUP BY error ORDER BY error
+    """,
+)
+def etl_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, errors = split_clean_errors(_etl_annotated(spark, sf_dir), persist=False)
+    return errors.groupBy("error").agg(F.count(F.lit(1)).alias("n")).orderBy("error")
+
+
+# ---------------------------------------------------------------------------
+# A1–A7 — the reference's SQL analytics surface on the shared tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_validation_aggregate",
+    """
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT o_orderkey) AS unique_ids,
+           CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS positive_rows
+    FROM orders
+    """,
+)
+def a1_validation_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("o_orderkey").alias("unique_ids"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("positive_rows"),
+    )
+
+
+@register(
+    "a2_having_gate",
+    """
+    SELECT * FROM (
+      SELECT COUNT(*) AS total_rows,
+             COUNT(DISTINCT o_orderkey) AS unique_ids,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS positive_rows
+      FROM orders
+    ) WHERE total_rows > 0 AND unique_ids = total_rows AND positive_rows = total_rows
+    """,
+)
+def a2_having_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = a1_validation_aggregate(spark, sf_dir)
+    return agg.filter(
+        (F.col("total_rows") > 0)
+        & (F.col("unique_ids") == F.col("total_rows"))
+        & (F.col("positive_rows") == F.col("total_rows"))
+    )
+
+
+@register(
+    "a4_summary_report",
+    """
+    SELECT COUNT(*) AS total_sales,
+           ROUND(SUM(l_extendedprice * l_quantity), 2) AS total_revenue,
+           ROUND(AVG(l_extendedprice * l_quantity), 2) AS avg_sale_value,
+           COUNT(DISTINCT l_partkey) AS unique_products,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS latest_sale_date
+    FROM lineitem
+    """,
+)
+def a4_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    total = F.col("l_extendedprice") * F.col("l_quantity")
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("total_sales"),
+        F.round(F.sum(total), 2).alias("total_revenue"),
+        F.round(F.avg(total), 2).alias("avg_sale_value"),
+        F.countDistinct("l_partkey").alias("unique_products"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("latest_sale_date"),
+    )
+
+
+@register(
+    "a5_revenue_by_flag",
+    """
+    SELECT l_returnflag, ROUND(SUM(l_extendedprice * l_quantity), 2) AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY revenue DESC, l_returnflag
+    """,
+)
+def a5_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_returnflag")
+    )
+
+
+@register(
+    "a5_revenue_by_product",
+    """
+    SELECT p_name AS product, ROUND(SUM(l_extendedprice * l_quantity), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_name ORDER BY revenue DESC, product
+    """,
+)
+def a5_revenue_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 against the dimension join: `part` is the small side → broadcast
+    hash join, no shuffle of the fact table for the join itself."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_name").alias("product"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "product")
+    )
+
+
+@register(
+    "a6_demo_summary",
+    """
+    SELECT COUNT(*) AS total_rows,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS latest_sale,
+           ROUND(SUM(l_extendedprice * l_quantity), 2) AS total_revenue
+    FROM lineitem
+    """,
+)
+def a6_demo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("latest_sale"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("total_revenue"),
+    )
+
+
+@register(
+    "a7_max_dates",
+    """
+    SELECT strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship
+    FROM lineitem
+    """,
+)
+def a7_max_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R6/R7/R8 standalone operator checks on the shared tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r6_dedup_first_wins",
+    """
+    WITH stream AS (
+      SELECT o_orderkey AS id, o_totalprice AS price,
+             o_orderkey * 2 + 1 AS arrival
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey AS id, o_totalprice + 100000 AS price,
+             o_orderkey * 2 AS arrival
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY arrival) AS rn
+      FROM stream
+    )
+    SELECT COUNT(*) AS n_kept, ROUND(SUM(price), 2) AS sum_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def r6_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global first-occurrence-wins dedup over an arrival-ordered stream:
+    duplicates synthesized for every 20th key arrive BEFORE the original,
+    so first-wins must keep the modified copy — distinguishes first-wins
+    from keep-any (`dropDuplicates`)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    originals = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") * 2 + 1).alias("arrival"),
+    )
+    early_dups = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") + 100000).alias("price"),
+        (F.col("o_orderkey") * 2).alias("arrival"),
+    )
+    stream = originals.unionAll(early_dups)
+    w = Window.partitionBy("id").orderBy("arrival")
+    kept = stream.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.round(F.sum("price"), 2).alias("sum_price")
+    )
+
+
+@register(
+    "r7_lenient_cast_json",
+    """
+    SELECT event_type,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def r7_lenient_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-on-fail cast of a JSON-extracted string field (R7 semantics on a
+    semi-structured column)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "r8_multiformat_dates",
+    """
+    WITH formatted AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%Y-%m-%d')
+                  ELSE strftime(ts, '%Y/%m/%d') END AS ds
+      FROM events
+    )
+    SELECT strftime(COALESCE(TRY_CAST(try_strptime(ds, '%Y-%m-%d') AS DATE),
+                             TRY_CAST(try_strptime(ds, '%Y/%m/%d') AS DATE)),
+                    '%Y-%m-%d') AS day,
+           COUNT(*) AS n
+    FROM formatted GROUP BY day ORDER BY day
+    """,
+)
+def r8_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, F.date_format("ts", "yyyy-MM-dd"))
+        .otherwise(F.date_format("ts", "yyyy/MM/dd"))
+        .alias("ds")
+    )
+    parsed = F.coalesce(F.to_date("ds", "yyyy-M-d"), F.to_date("ds", "yyyy/M/d"))
+    return (
+        ev.select(F.date_format(parsed, "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "r9_string_clean",
+    """
+    SELECT regexp_replace(trim(concat('  "', p_name, '"  ')), '["'']', '', 'g')
+               AS product,
+           COUNT(*) AS n
+    FROM part GROUP BY product ORDER BY product
+    """,
+)
+def r9_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = F.concat(F.lit('  "'), F.col("p_name"), F.lit('"  '))
+    cleaned = F.regexp_replace(F.trim(dirty), "[\"']", "")
+    return (
+        _t(spark, sf_dir, "part")
+        .select(cleaned.alias("product"))
+        .groupBy("product")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("product")
+    )
+
+
+@register(
+    "r10_derived_column",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_quantity, 2) AS total_sale
+    FROM lineitem
+    """,
+)
+def r10_derived_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_quantity"), 2).alias("total_sale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / windows / top-k (engine capability beyond the reference, §2.4–2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the flagship aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_unshipped_orders",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + top-k. Customer/orders are small
+    relative to lineitem → dimension side broadcast; rounded revenue plus
+    key tiebreak keeps the LIMIT cut deterministic vs the oracle."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_semi_anti",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT) AS n_without_orders,
+           CAST(SUM(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders
+    FROM (
+      SELECT c_custkey, c_mktsegment,
+             EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+      FROM customer
+    ) GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    order_keys = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    with_orders = (
+        cust.join(order_keys, cust.c_custkey == order_keys.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_orders = (
+        cust.join(order_keys, cust.c_custkey == order_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    segments = cust.select("c_mktsegment").distinct()
+    return (
+        segments.join(without_orders, "c_mktsegment", "left")
+        .join(with_orders, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT c_nationkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT c_nationkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3 ORDER BY c_nationkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer nation: broadcast dim join + ranking window
+    with a total tiebreak."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "o_orderkey", "o_totalprice")
+        .orderBy("c_nationkey", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "events_windowed_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch plan of the streaming
+    operator in streaming.file_stream (same builder)."""
+    return windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+def query_names() -> list[str]:
+    return sorted(QUERIES)

@@ -68,10 +68,16 @@ def _nonempty(c: Column) -> Column:
 
 
 def tokenize(df: DataFrame, line_col: str = LINE_COL) -> DataFrame:
-    """R1+R2: drop header lines, naive split(',') + trim every token."""
+    """R1+R2: drop header lines, naive split(',').
+
+    Per-token trim happens at field extraction (``annotate``) instead of a
+    higher-order ``transform`` over the array: HOF lambdas evaluate
+    interpreted (outside whole-stage codegen) and the cascade references
+    the array many times, which measured ~6× slower end-to-end at sf0.1.
+    Plain ``split`` + ``trim(element_at(...))`` stays fully codegen'd.
+    """
     no_header = df.filter(~F.lower(F.col(line_col)).startswith("id,"))
-    parts = F.transform(F.split(F.col(line_col), ",", -1), lambda p: F.trim(p))
-    return no_header.withColumn("_parts", parts)
+    return no_header.withColumn("_parts", F.split(F.col(line_col), ",", -1))
 
 
 def annotate(raw: DataFrame, line_col: str = LINE_COL) -> DataFrame:
@@ -83,13 +89,15 @@ def annotate(raw: DataFrame, line_col: str = LINE_COL) -> DataFrame:
     """
     df = tokenize(raw, line_col)
 
-    # R4 positional projection; element_at is 1-based and null past the end.
+    # R4 positional projection + R2 trim; element_at is 1-based and null
+    # past the end. (Like the reference's str.strip + DuckDB trim, ASCII
+    # space trimming; exotic unicode whitespace is out of scope.)
     df = (
-        df.withColumn("_id_raw", F.element_at("_parts", 1))
-        .withColumn("_product_raw", F.element_at("_parts", 2))
-        .withColumn("_price_raw", F.element_at("_parts", 3))
-        .withColumn("_quantity_raw", F.element_at("_parts", 4))
-        .withColumn("_date_raw", F.element_at("_parts", 5))
+        df.withColumn("_id_raw", F.trim(F.element_at("_parts", 1)))
+        .withColumn("_product_raw", F.trim(F.element_at("_parts", 2)))
+        .withColumn("_price_raw", F.trim(F.element_at("_parts", 3)))
+        .withColumn("_quantity_raw", F.trim(F.element_at("_parts", 4)))
+        .withColumn("_date_raw", F.trim(F.element_at("_parts", 5)))
     )
 
     arity_ok = F.size("_parts") >= 5

@@ -27,6 +27,9 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Lenient multi-format date parsing (R8 needs yyyy/MM/dd fallback).
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # Spark 4 rejects TIMESTAMP(NANOS) parquet outright; read as long and
+    # convert at the loader (sources.tables truncates ns → µs like DuckDB).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -26,7 +27,14 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as raw nanosecond longs (see
+    # session.RUNTIME_CONF); truncate to µs exactly like DuckDB/Arrow do.
+    # Integer division — double division loses precision at ~1e18 ns.
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
