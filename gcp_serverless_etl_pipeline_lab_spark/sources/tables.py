@@ -3,11 +3,22 @@
 Columnar scans get Catalyst predicate pushdown + column pruning for free;
 every query builder selects only the columns it needs so ``ReadSchema`` in
 the physical plan stays minimal.
+
+Scan parallelism: parquet is splittable only at row-group granularity, and
+the local test files are written as a SINGLE row group each — so without
+intervention every scan (and all pre-shuffle work above it) runs on one
+core regardless of split config. ``load_table`` therefore probes row-group
+counts (cached) and round-robin-repartitions a big-enough table whose scan
+parallelism falls below half the cores. On a real multi-file dataset
+(row groups >= cores — any production 100 TB layout) the probe says no and
+this is a zero-cost no-op; the explicit exchange only exists to rescue the
+degenerate small-file case.
 """
 
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,15 +36,40 @@ TABLES = (
     "embeddings",
 )
 
+# Below this many rows a single-task scan is cheaper than any shuffle.
+_MIN_ROWS_TO_PARALLELIZE = 50_000
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+@lru_cache(maxsize=256)
+def _scan_units(path: str) -> tuple[int, int]:
+    """(row_groups, rows) for a local parquet file; (big, big) on any
+    failure so the caller leaves the scan alone."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        return f.num_row_groups, f.metadata.num_rows
+    except Exception:
+        return 1 << 30, 0
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
+) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) columns arrive as raw nanosecond longs (see
     # session.RUNTIME_CONF); truncate to µs exactly like DuckDB/Arrow do.
     # Integer division — double division loses precision at ~1e18 ns.
     for col, dtype in df.dtypes:
         if col == "ts" and dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if parallelize is None:
+        cores = spark.sparkContext.defaultParallelism
+        row_groups, rows = _scan_units(path)
+        parallelize = row_groups < cores // 2 and rows >= _MIN_ROWS_TO_PARALLELIZE
+    if parallelize:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
