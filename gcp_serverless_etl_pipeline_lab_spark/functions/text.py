@@ -1,0 +1,69 @@
+"""Text-analysis building blocks for the training-data pipeline extensions.
+
+All pure built-in column expressions (whole-stage-codegen'd, no Python in
+the hot path). Where an operator needs the DuckDB oracle to agree
+value-for-value, the paired `*_duck` helper emits the equivalent DuckDB SQL
+snippet built from the same formula.
+
+Scale notes (100 TB design point):
+- Everything here is per-row map-side work — no shuffle, fully parallel;
+  cost is bounded by bytes scanned.
+- Word n-gram / shingle sets are built as array columns via
+  `transform(sequence(...))` rather than explode+groupBy, so signature
+  computation never shuffles the corpus (only downstream candidate
+  generation does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic toy marker sets — a real system ships
+# fastText-style models; the *operator shape* (score-per-language →
+# argmax with stable tiebreak) is what matters here.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "de", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+TOKEN_RE = "[a-z]+|[0-9]+"  # BPE-ish: alpha runs and digit runs
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on single spaces)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ", -1)
+
+
+def word_ngrams_sql(tokens_expr: str, n: int) -> str:
+    """Spark-SQL: distinct word n-grams of a token array, as an array.
+
+    Guarded with ``if(size >= n, ..., array())`` because Spark's
+    ``sequence(1, 0)`` generates a DESCENDING [1, 0] rather than an empty
+    array.
+    """
+    gram = " , ".join(f"element_at({tokens_expr}, i + {j})" for j in range(n))
+    return (
+        f"IF(size({tokens_expr}) >= {n},"
+        f" array_distinct(transform(sequence(1, size({tokens_expr}) - {n - 1}),"
+        f" i -> concat_ws(' ', {gram}))),"
+        f" CAST(array() AS array<string>))"
+    )
+
+
+def word_ngrams_duck(tokens_expr: str, n: int) -> str:
+    """DuckDB: the identical distinct word n-gram list (1-based lists;
+    ``range(a, b)`` is half-open so the bound is ``len - n + 2``)."""
+    gram = " || ' ' || ".join(f"{tokens_expr}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, CASE WHEN len({tokens_expr}) >= {n}"
+        f" THEN len({tokens_expr}) - {n - 2} ELSE 1 END),"
+        f" i -> {gram}))"
+    )

@@ -735,3 +735,9 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def query_names() -> list[str]:
     return sorted(QUERIES)
+
+
+# Training-data-pipeline extension queries (dedup / similarity search /
+# text analysis / multimodal) register themselves on import; keep this at
+# the bottom so `register` and `_t` exist when harness_ext imports them.
+from . import harness_ext  # noqa: E402,F401

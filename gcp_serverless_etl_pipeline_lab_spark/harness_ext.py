@@ -1,0 +1,620 @@
+"""Training-data-pipeline extension queries (harness registrations).
+
+Covers the four extension families on top of the reference-parity surface:
+deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+cosine), similarity search (brute-force / IVF-cell / sign-LSH), text
+analysis (token stats / language-ID / quality score / fingerprinting), and
+multimodal binary-column plumbing (feature extract / frame sampling via
+Arrow-batched mapInPandas).
+
+Duplicate documents are SYNTHESIZED deterministically (the shared tables
+contain none): every 7th doc gets an exact copy (+1_000_000 id) and every
+11th a near-copy with the first word dropped (+2_000_000 id); every 13th
+embedding gets a perturbed renormalized copy (+1_000_000 id). The DuckDB
+oracle rebuilds the identical corpus, so detector output is verified
+value-for-value — including the 60-bit MD5 hash primitive
+(functions.hashing) that makes MinHash/SimHash/LSH reproducible across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import h60_duck, h60_sql
+from .functions.text import word_ngrams_duck
+from .harness import _t, register
+from .operators import dedup, multimodal, similarity
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Corpus synthesis (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parallelize=True: documents is small (5 k rows at sf0.1, under the
+    # auto threshold) but the per-row shingle/signature work downstream is
+    # heavy, so a 32-way spread of the single-row-group scan pays for
+    # itself many times over.
+    from .sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+_DOC_CORPUS_DUCK = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 11 = 0
+)"""
+
+
+def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    base = emb.select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    pert0 = emb.filter(F.col("vec_id") % 13 == 0).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(sequence(1, {EMB_DIM}), i -> "
+            "CAST(element_at(embedding, i) AS DOUBLE) + IF(i = 1, 0.05D, 0D))"
+        ).alias("p"),
+    )
+    # Norm materialized behind a barrier — inlined into the transform
+    # lambda it would be re-evaluated per element (dedup._barrier).
+    pert = dedup._barrier(
+        pert0.withColumn(
+            "nrm",
+            F.expr("sqrt(aggregate(p, CAST(0 AS DOUBLE), (a, y) -> a + y * y))"),
+        )
+    ).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.expr("transform(p, x -> x / nrm)").alias("embedding"),
+    )
+    return base.unionAll(pert)
+
+
+_VEC_CORPUS_DUCK = f"""
+vbase AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+vpert0 AS (
+  SELECT vec_id, label,
+         list_transform(range(1, {EMB_DIM + 1}),
+           i -> e[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0 END) AS p
+  FROM vbase WHERE vec_id % 13 = 0
+),
+vcorpus AS (
+  SELECT vec_id, label, e FROM vbase
+  UNION ALL
+  SELECT vec_id + 1000000, label,
+         list_transform(p, x -> x / sqrt(list_sum(list_transform(p, y -> y * y))))
+  FROM vpert0
+)"""
+
+_TOKS_DUCK = "string_split(text, ' ')"
+_SHINGLES_DUCK = word_ngrams_duck("t", 3)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    keyed AS (SELECT doc_id, md5(text) AS k FROM corpus),
+    kept AS (SELECT k, MIN(doc_id) AS kept_id FROM keyed GROUP BY k)
+    SELECT kept_id, doc_id AS dropped_id
+    FROM keyed JOIN kept USING (k)
+    WHERE doc_id <> kept_id
+    ORDER BY kept_id, dropped_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_pairs(_doc_corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM toks),
+    grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+      FROM inter
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = doc_a
+      JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_doc_corpus(spark, sf_dir), threshold=0.8)
+
+
+_MH_BAND_HASH = h60_duck(
+    "CAST(mh[b*4+1] AS VARCHAR) || ',' || CAST(mh[b*4+2] AS VARCHAR) || ',' || "
+    "CAST(mh[b*4+3] AS VARCHAR) || ',' || CAST(mh[b*4+4] AS VARCHAR)"
+)
+_MH_P = dedup.MINHASH_PRIME
+_MH_SIG_LIST = ", ".join(
+    f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_MH_P}))"
+    for a, b in dedup.minhash_params(16)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM toks),
+    hs AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, g -> {h60_duck('g')} % {_MH_P}) AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, shingles, [{_MH_SIG_LIST}] AS mh
+      FROM hs
+    ),
+    bands AS (SELECT doc_id, mh, unnest(range(0, 4)) AS b FROM sig),
+    keyed AS (SELECT doc_id, b, {_MH_BAND_HASH} AS bk FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM keyed a JOIN keyed b2
+        ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+                   (len(x.shingles) + len(y.shingles)
+                    - len(list_intersect(x.shingles, y.shingles))), 4) AS jaccard
+      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    ) WHERE jaccard >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_doc_corpus(spark, sf_dir))
+
+
+_SIMHASH_TOKEN_HASH = h60_duck("g")
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM corpus),
+    bi AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, CASE WHEN len(t) >= 2 THEN len(t) ELSE 1 END),
+               i -> t[i] || ' ' || t[i + 1])) AS grams
+      FROM toks
+    ),
+    th AS (SELECT doc_id, list_transform(grams, g -> {_SIMHASH_TOKEN_HASH}) AS hs FROM bi),
+    sig AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS sh
+      FROM th
+    ),
+    keyed AS (
+      SELECT doc_id, sh, j, (sh >> (j * 10)) & 1023 AS ck
+      FROM (SELECT doc_id, sh, unnest(range(0, 6)) AS j FROM sig)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sha, b.doc_id AS doc_b, b.sh AS shb
+      FROM keyed a JOIN keyed b
+        ON a.j = b.j AND a.ck = b.ck AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= 5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.simhash_pairs(_doc_corpus(spark, sf_dir))
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_VEC_CORPUS_DUCK},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                   i -> a.e[i] * b.e[i])), 4) AS cos
+      FROM vcorpus a JOIN vcorpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(_vec_corpus(spark, sf_dir), EMB_DIM, 0.99)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SIM_BASE_DUCK = """
+c AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM c WHERE vec_id < 10)
+"""
+
+
+def _sim_rank_duck(scored_cte: str) -> str:
+    return f"""
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM ({scored_cte})
+    ) WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+def _sim_queries(spark: SparkSession, sf_dir: str):
+    from .sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    return emb, emb.filter(F.col("vec_id") < 10)
+
+
+@register(
+    "sim_search_bruteforce",
+    f"""
+    WITH {_SIM_BASE_DUCK}
+    {_sim_rank_duck(f'''
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qe[i] * c.e[i])) AS s
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ''')}
+    """,
+)
+def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.brute_force_topk(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "sim_search_ivf_label",
+    f"""
+    WITH {_SIM_BASE_DUCK}
+    {_sim_rank_duck(f'''
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qe[i] * c.e[i])) AS s
+      FROM c JOIN q ON c.label = q.qlabel AND c.vec_id <> q.query_id
+    ''')}
+    """,
+)
+def sim_search_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.ivf_topk(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _bucket_duck(vec: str, dim: int) -> str:
+    bits = []
+    for h in range(similarity.NUM_PLANES):
+        w = h60_duck(f"'lsh|' || '{h}' || '|' || CAST(i AS VARCHAR)")
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(({w}) % {similarity.PLANE_MOD} - {similarity.PLANE_SHIFT} AS DOUBLE)"
+            f" * {vec}[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@register(
+    "sim_search_lsh_bucketed",
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    cb AS (SELECT vec_id, e, {_bucket_duck('e', EMB_DIM)} AS bucket FROM c),
+    qb AS (SELECT query_id, qe, {_bucket_duck('qe', EMB_DIM)} AS bucket FROM q)
+    {_sim_rank_duck(f'''
+      SELECT qb.query_id, cb.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qb.qe[i] * cb.e[i])) AS s
+      FROM cb JOIN qb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.query_id
+    ''')}
+    """,
+)
+def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.lsh_topk(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+               AS sum_alpha_tokens,
+           ROUND(AVG(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))), 4) AS avg_distinct_ratio
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("split(text, ' ', -1)")
+    return (
+        d.select(
+            "lang",
+            F.size(toks).alias("nt"),
+            F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias("na"),
+            F.size(F.array_distinct(toks)).alias("nd"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("sum_tokens"),
+            F.sum("na").alias("sum_alpha_tokens"),
+            F.round(F.avg(F.col("nd").cast("double") / F.col("nt")), 4).alias(
+                "avg_distinct_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_MARKERS_DUCK = {
+    "en": "['the', 'a', 'of', 'and', 'to']",
+    "de": "['der', 'die', 'das', 'und', 'ist']",
+    "es": "['el', 'la', 'de', 'y', 'es']",
+    "fr": "['le', 'la', 'et', 'de', 'est']",
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['en']})) AS s_en,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['de']})) AS s_de,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['es']})) AS s_es,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['fr']})) AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                  WHEN s_fr > 0 THEN 'fr'
+                  ELSE 'und' END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM pred
+    GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.expr("split(text, ' ', -1)"))
+    scores = {
+        name: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        ).alias(f"s_{name}")
+        for name, markers in (
+            ("en", ("the", "a", "of", "and", "to")),
+            ("de", ("der", "die", "das", "und", "ist")),
+            ("es", ("el", "la", "de", "y", "es")),
+            ("fr", ("le", "la", "et", "de", "est")),
+        )
+    }
+    scored = d.select("lang", *scores.values())
+    predicted = (
+        F.when(
+            (F.col("s_en") > 0)
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_de") > 0)
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when((F.col("s_es") > 0) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("und")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH feat AS (
+      SELECT len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS awl
+      FROM documents
+    ),
+    scores AS (
+      SELECT 0.4 * LEAST(1.0, nt / 50.0)
+           + 0.4 * (CAST(nd AS DOUBLE) / nt)
+           + 0.2 * LEAST(1.0, awl / 8.0) AS score
+      FROM feat
+    )
+    SELECT CAST(FLOOR(score * 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_score
+    FROM scores GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("split(text, ' ', -1)")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    awl = (F.length("text") - (nt - 1)).cast("double") / nt
+    score = (
+        0.4 * F.least(F.lit(1.0), nt / 50.0)
+        + 0.4 * (nd.cast("double") / nt)
+        + 0.2 * F.least(F.lit(1.0), awl / 8.0)
+    )
+    return (
+        d.select(score.alias("score"))
+        .select(F.floor(F.col("score") * 10).cast("int").alias("bucket"), "score")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_FP_HASH_DUCK = h60_duck("substr(text, i, 5)")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    fp AS (
+      SELECT doc_id,
+             list_min(list_transform(
+               range(1, CASE WHEN length(text) >= 5 THEN length(text) - 3 ELSE 1 END),
+               i -> {_FP_HASH_DUCK})) AS fp
+      FROM corpus
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    ORDER BY fp
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite content fingerprint: min 60-bit hash over character
+    5-grams. (A production system uses a rolling Rabin-Karp hash — O(n)
+    instead of O(n*w) — and keeps k mins per window; the declarative
+    min-over-substring-hashes here has identical collision semantics for
+    dedup grouping.)"""
+    corpus = _doc_corpus(spark, sf_dir)
+    fp = F.expr(
+        "IF(length(text) >= 5, "
+        "array_min(transform(sequence(1, length(text) - 4), i -> "
+        + h60_sql("substring(text, i, 5)")
+        + ")), CAST(NULL AS BIGINT))"
+    )
+    return (
+        corpus.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+_BYTE0_DUCK = "CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER)"
+_CHECKSUM_DUCK = (
+    "CAST(list_sum(list_transform(range(0, 16), "
+    "i -> CAST(('0x' || substr(md5(text), 2 * i + 1, 2)) AS INTEGER))) "
+    f"% {multimodal.CHECKSUM_MOD} AS INTEGER)"
+)
+
+
+@register(
+    "mm_decode_features",
+    f"""
+    SELECT doc_id,
+           16 AS n_bytes,
+           {_BYTE0_DUCK} AS first_byte,
+           {_CHECKSUM_DUCK} AS checksum,
+           CAST(1 + doc_id % 64 AS INTEGER) AS width,
+           CAST(1 + doc_id % 48 AS INTEGER) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_fake_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.payload_features(media).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_sample",
+    f"""
+    SELECT doc_id,
+           CAST(j AS INTEGER) AS frame_idx,
+           CAST(('0x' || substr(md5(text || '|' || CAST(j AS VARCHAR)), 1, 2))
+                AS INTEGER) AS frame_first_byte
+    FROM documents, (SELECT unnest([0, 3, 6]) AS j)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    video = multimodal.attach_fake_frames(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(video).orderBy("doc_id", "frame_idx")

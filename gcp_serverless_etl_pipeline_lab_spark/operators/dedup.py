@@ -1,0 +1,333 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five detectors, all declarative DataFrame plans (no Python UDFs anywhere):
+
+- exact          : content-hash groupBy (md5 of full text)
+- ngram_jaccard  : exact word-n-gram Jaccard via explode + equi-join
+- minhash_lsh    : MinHash signatures + banded LSH candidate generation,
+                   then exact-Jaccard verification of candidates only
+- simhash        : 60-bit SimHash + pigeonhole chunk blocking, then exact
+                   Hamming verification of candidates only
+- embedding      : cosine near-dup over an embedding column, blocked by a
+                   coarse partition (label) so the pair space stays bounded
+
+Scale design (100 TB):
+- Signatures (minhash/simhash/fingerprints) are computed map-side as array
+  expressions over each row — no shuffle until candidates are generated.
+- Candidate generation shuffles only (band_key) / (chunk_key) pairs — tiny
+  compared to the corpus — and verification touches candidate pairs only.
+  This is the standard sub-quadratic LSH layout; the all-pairs joins in
+  `ngram_jaccard` exist as the exact baseline and are documented as
+  corpus-bounded.
+- The 60-bit hash primitive is MD5-based ONLY so the DuckDB oracle can
+  reproduce it bit-for-bit (functions.hashing); swap h60_sql for xxhash64
+  in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60_sql
+from ..functions.text import word_ngrams_sql
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    """Exchange barrier that stops Catalyst's CollapseProject from inlining
+    an expensive column expression into a downstream higher-order-function
+    lambda, where it would be RE-EVALUATED ON EVERY LAMBDA ITERATION.
+
+    Concretely: computing a 60-bit SimHash over a materialized token-hash
+    column takes ~4 s at sf0.1; letting CollapseProject inline the token
+    hashing into the per-bit vote lambda recomputes ~95 MD5s × 60 bits per
+    row and takes 154 s (measured). The repartition is a tiny shuffle of
+    signature-width rows and also rebalances the corpus for the candidate
+    join that follows."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _nn(col: F.Column) -> F.Column:
+    """Mark a derived, never-actually-null JOIN KEY as non-nullable.
+
+    An equi-join adds an implicit ``isnotnull(key)`` predicate, and
+    PushDownPredicates rewrites it through every exchange/alias down to the
+    scan — re-materializing the key's ENTIRE defining expression (here: the
+    full signature pipeline, with the HOF-inlining blowup re-introduced) as
+    a per-row scan filter. ``coalesce(expr, sentinel)`` has
+    ``nullable=false``, so Catalyst folds the isnotnull away and nothing is
+    pushed. Measured on dedup_simhash at sf0.1: 174 s → seconds. All 60-bit
+    hash keys are >= 0, so -1 is a safe sentinel."""
+    return F.coalesce(col, F.lit(-1))
+
+
+def exact_dup_pairs(corpus: DataFrame) -> DataFrame:
+    """Exact dedup: rows whose full text is byte-identical. First-wins by
+    doc_id; returns (kept_id, dropped_id) pairs.
+
+    At scale this is one hash-partitioned shuffle on md5(text) — the
+    cheapest possible dedup; run it before any near-dup pass."""
+    keyed = corpus.select("doc_id", F.md5("text").alias("k"))
+    kept = keyed.groupBy("k").agg(F.min("doc_id").alias("kept_id"))
+    return (
+        keyed.join(kept, "k")
+        .filter(F.col("doc_id") != F.col("kept_id"))
+        .select("kept_id", F.col("doc_id").alias("dropped_id"))
+        .orderBy("kept_id", "dropped_id")
+    )
+
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; (a*h + b) stays in signed 64-bit
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_s, b_s) for the MinHash
+    family h_s(x) = (a_s * (h60(x) % P) + b_s) % P. Derived from MD5 in
+    Python so the DuckDB oracle can embed the identical literals. One real
+    MD5 per shingle + 15 affine transforms beats 16 MD5s per shingle ~10×
+    (MessageDigest.getInstance per call dominates Spark's md5())."""
+    import hashlib
+
+    out = []
+    for s in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a|{s}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"mh-b|{s}".encode()).hexdigest()[:15], 16)
+        out.append((a % (MINHASH_PRIME - 1) + 1, b % MINHASH_PRIME))
+    return out
+
+
+def _with_tokens(corpus: DataFrame) -> DataFrame:
+    """doc_id + materialized token array BEHIND A BARRIER, so downstream
+    n-gram lambdas reference a column attribute instead of inlining
+    split(text) and re-splitting on every lambda iteration (measured: the
+    redundant splits were ~60 core-seconds at sf0.1, the single biggest
+    cost of the whole shingle pipeline)."""
+    return _barrier(
+        corpus.select("doc_id", F.expr("split(text, ' ', -1)").alias("t"))
+    )
+
+
+def _with_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    return _with_tokens(corpus).select(
+        "doc_id", F.expr(word_ngrams_sql("t", n)).alias("shingles")
+    )
+
+
+def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (the ground-truth baseline
+    MinHash approximates). Explode distinct shingles → self-equi-join on the
+    shingle → per-pair intersection counts → Jaccard filter.
+
+    Cost is Σ_gram docs(gram)², fine for a corpus whose grams are rare;
+    at 100 TB you run `minhash_lsh_pairs` instead and keep this for
+    candidate verification."""
+    sh = _with_shingles(corpus)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact verification.
+
+    1. signature: mh[s] = min over shingles of h60(s || '|' || shingle) —
+       a pure array expression per row, zero shuffle;
+    2. banding: rows = num_hashes/bands consecutive minhashes hash to one
+       band key; docs sharing any (band, key) bucket become candidates —
+       the only corpus-wide shuffle, on tiny (band, key) tuples;
+    3. verification: exact Jaccard on the candidates' shingle sets.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _barrier(_with_shingles(corpus))
+    # Signature via explode + 16 codegen'd hash columns + min-aggregate:
+    # stays inside whole-stage codegen end to end (a `transform(sequence,
+    # s -> array_min(transform(...)))` array expression computes the same
+    # thing shuffle-free but runs INTERPRETED — measured several times
+    # slower and JIT-fragile). The min() partial-aggregates map-side, so
+    # the shuffle carries one 16-long row per doc — scale-safe.
+    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+    params = minhash_params(num_hashes)
+    hashed = grams.select(
+        "doc_id", F.expr(f"{h60_sql('g')} % {MINHASH_PRIME}").alias("h")
+    ).select(
+        "doc_id",
+        *[
+            F.expr(f"({a}L * h + {b}L) % {MINHASH_PRIME}").alias(f"h{s}")
+            for s, (a, b) in enumerate(params)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)]
+    )
+    band_keys = [
+        _nn(
+            F.expr(
+                h60_sql(
+                    "concat_ws(',', "
+                    + ", ".join(
+                        f"cast(m{b * rows_per_band + j} AS string)"
+                        for j in range(rows_per_band)
+                    )
+                    + ")"
+                )
+            )
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    stack = ", ".join(f"{b}, bk{b}" for b in range(bands))
+    keyed = sig.select("doc_id", *band_keys).select(
+        "doc_id", F.expr(f"stack({bands}, {stack}) AS (b, bk)")
+    )
+    a, k2 = keyed.alias("a"), keyed.alias("b2")
+    cand = (
+        a.join(
+            k2,
+            (F.col("a.b") == F.col("b2.b"))
+            & (F.col("a.bk") == F.col("b2.bk"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("i")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs(
+    corpus: DataFrame, sig_bits: int = 60, max_hamming: int = 5, chunks: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signature over distinct word bigrams,
+    pigeonhole chunk blocking (hamming <= chunks-1 is guaranteed to share a
+    chunk), exact Hamming verification.
+
+    The signature is again a per-row array expression (token hashes are
+    computed once, then 60 majority votes over bit lanes); only the
+    (chunk_idx, chunk_value) keys shuffle."""
+    chunk_bits = sig_bits // chunks
+    # `t` is a materialized column (see _with_tokens), so the lambda's
+    # element_at calls are cheap attribute lookups, not re-splits.
+    bigrams = (
+        "IF(size(t) >= 2, "
+        "array_distinct(transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))), "
+        "CAST(array() AS array<string>))"
+    )
+    # Signature via explode + 60 per-bit vote aggregates, all whole-stage
+    # codegen with map-side partial sums (same rationale as minhash above:
+    # the nested-aggregate array expression is interpreted and was the #1
+    # hot spot in the whole suite). Docs with zero bigrams drop out at the
+    # explode — they can't pair anyway, and the oracle's NULL signature
+    # rows are likewise unpairable.
+    th = _with_tokens(corpus).select("doc_id", F.explode(F.expr(bigrams)).alias("g"))
+    hashed = th.select("doc_id", F.expr(h60_sql("g")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(sig_bits)
+        ]
+    )
+    sig_expr = " + ".join(
+        f"IF(v{b} >= 0, {1 << b}L, 0L)" for b in range(sig_bits)
+    )
+    sig = votes.select("doc_id", _nn(F.expr(sig_expr)).alias("sh"))
+    keyed = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(F.expr(f"sequence(0, {chunks - 1})")).alias("j"),
+    ).withColumn("ck", F.expr(f"shiftright(sh, j * {chunk_bits}) & {2 ** chunk_bits - 1}"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sha ^ shb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame, dim: int, threshold: float = 0.99
+) -> DataFrame:
+    """Embedding cosine near-dup pairs, blocked by the coarse `label`
+    partition (IVF-cell analogue) so the pair space is per-block quadratic
+    rather than corpus-quadratic. Input: (vec_id, embedding, label) with
+    unit-norm vectors → cosine == dot product.
+
+    At 100 TB blocks come from a trained coarse quantizer (k-means
+    centroids); here `label` stands in as that assignment."""
+    v = vectors.select("vec_id", "label", "embedding")
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    dot = F.expr(
+        f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), (acc, i) -> "
+        f"acc + CAST(element_at(ea, i) AS DOUBLE) * CAST(element_at(eb, i) AS DOUBLE))"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,148 @@
+"""Multimodal (binary) column plumbing for training-data pipelines.
+
+Model: media lives in an opaque `binary` payload column next to typed
+metadata (width/height/format). Decode / feature-extract / frame-sample run
+as Arrow-batched `mapInPandas` stages — the one place Python belongs in
+this engine, because media codecs are Python/C libraries. Everything
+Spark-side (schemas, batch shapes, 1→N frame fan-out, partitioning) is
+real and oracle-tested; the codec itself is a deterministic fake because
+image/audio libraries are not available in this environment.
+
+REAL-DECODE STUB: `decode_image_real` is the marked integration point — it
+import-tries Pillow and raises NotImplementedError otherwise. The harness
+queries use `payload_features` / `sample_frames`, whose byte-level
+arithmetic a SQL oracle can reproduce exactly.
+
+Scale notes: mapInPandas streams Arrow record batches (no row-at-a-time
+pickling); payload bytes never hit the driver; a decode stage is
+embarrassingly parallel so throughput scales with executors × batch size.
+Keep `spark.sql.execution.arrow.maxRecordsPerBatch` sized so one batch of
+payloads fits executor memory (media rows are wide).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+CHECKSUM_MOD = 997
+NUM_FRAMES = 8
+FRAME_STRIDE = 3  # sample frames 0, 3, 6
+
+
+def attach_fake_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic 16-byte fake 'image' payload (md5 digest of the text)
+    plus typed metadata — the multimodal table constructor used by tests
+    and the harness."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        (1 + F.col("doc_id") % 64).cast("int").alias("width"),
+        (1 + F.col("doc_id") % 48).cast("int").alias("height"),
+        F.lit("fake16").alias("fmt"),
+    )
+
+
+def attach_fake_frames(docs: DataFrame) -> DataFrame:
+    """Fake 'video': NUM_FRAMES concatenated 16-byte frames
+    (md5(text|frame_idx) each) in one binary payload."""
+    frames = [F.unhex(F.md5(F.concat_ws("|", F.col("text"), F.lit(str(j))))) for j in range(NUM_FRAMES)]
+    return docs.select("doc_id", F.concat(*frames).alias("payload"))
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("first_byte", IntegerType()),
+        StructField("checksum", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def payload_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract stage (fake codec: length,
+    first byte, byte-sum checksum). Shape of a real image featurizer:
+    binary in → fixed-schema features out, one output row per input row."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    "checksum": payloads.map(
+                        lambda b: sum(b) % CHECKSUM_MOD
+                    ).astype("int32"),
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_first_byte", IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    video: DataFrame, frame_bytes: int = 16, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame-sampling stage: 1 input row → one output row per sampled
+    frame (every `stride`-th). The 1→N fan-out inside mapInPandas is the
+    shape a real video pipeline uses (decode keyframes, drop the rest)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_fb = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for j in range(0, n_frames, stride):
+                    out_doc.append(doc_id)
+                    out_idx.append(j)
+                    out_fb.append(payload[j * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_first_byte": pd.Series(out_fb, dtype="int32"),
+                }
+            )
+
+    return video.mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - env-gated stub
+    """STUB: real image decode. The container has no imaging libraries;
+    wire Pillow/torchvision here in production."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Image decoding requires Pillow, which is not available in this "
+            "environment. payload_features/sample_frames exercise the full "
+            "Spark plumbing with a deterministic fake codec instead."
+        ) from exc

@@ -1,0 +1,116 @@
+"""Unit tests for the training-data-pipeline extensions: the cross-dialect
+hash primitive, multimodal Arrow plumbing, and LSH recall sanity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from gcp_serverless_etl_pipeline_lab_spark.functions.hashing import (
+    h60,
+    h60_duck,
+    h60_sql,
+)
+from gcp_serverless_etl_pipeline_lab_spark.operators import multimodal, similarity
+from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+
+def test_h60_matches_duckdb(spark):
+    values = ["", "hello", "a,b c", "0|three gram token", "ünïcode"]
+    sdf = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", h60("s").alias("h")).collect()
+    }
+    exp_expr = h60_duck("s")
+    con = duckdb.connect()
+    for v in values:
+        expected = con.execute(
+            f"SELECT {exp_expr} FROM (SELECT ? AS s)", [v]
+        ).fetchone()[0]
+        assert got[v] == expected, v
+    # the SQL-snippet spelling agrees with the Column spelling
+    snippet = h60_sql("'hello'")
+    r = spark.sql(f"SELECT {snippet} AS h").collect()[0]["h"]
+    assert r == got["hello"]
+
+
+def test_h60_nonnegative_60bit(spark):
+    mx = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(h60("text").alias("h"))
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .collect()[0]
+    )
+    assert mx["mn"] >= 0
+    assert mx["mx"] < 1 << 60
+
+
+def test_embeddings_unit_norm(spark):
+    # similarity search treats cosine == dot; assert the precondition.
+    norms = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select(
+            F.expr(
+                "abs(aggregate(embedding, CAST(0 AS DOUBLE),"
+                " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) - 1.0) AS d"
+            )
+        )
+        .agg(F.max("d").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert norms < 1e-5
+
+
+def test_multimodal_payload_features_shape(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = multimodal.attach_fake_payload(docs)
+    out = multimodal.payload_features(media)
+    assert [f.name for f in out.schema] == [
+        "doc_id", "n_bytes", "first_byte", "checksum", "width", "height",
+    ]
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["n_bytes"] == 16 for r in rows)
+    assert all(0 <= r["first_byte"] <= 255 for r in rows)
+    assert all(0 <= r["checksum"] < multimodal.CHECKSUM_MOD for r in rows)
+
+
+def test_multimodal_frame_fanout(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    video = multimodal.attach_fake_frames(docs)
+    # payload really is NUM_FRAMES * 16 bytes
+    n_bytes = video.select(F.length("payload").alias("n")).distinct().collect()
+    assert [r["n"] for r in n_bytes] == [multimodal.NUM_FRAMES * 16]
+    out = multimodal.sample_frames(video)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.collect_set("frame_idx").alias("idx")
+    )
+    rows = per_doc.collect()
+    assert all(r["n"] == 3 for r in rows)  # frames 0, 3, 6
+    assert all(sorted(r["idx"]) == [0, 3, 6] for r in rows)
+
+
+def test_multimodal_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x00" * 16)
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    """sign-LSH is approximate: every (query, neighbor) it returns must
+    also score identically in brute force, and returned neighbors must
+    share the query's bucket."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in similarity.brute_force_topk(emb, queries, 64, k=emb.count()).collect()
+    }
+    lsh = similarity.lsh_topk(emb, queries, 64, k=5).collect()
+    assert lsh, "LSH returned nothing — buckets degenerate"
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in bf
+        assert abs(bf[key] - r["score"]) < 1e-9
