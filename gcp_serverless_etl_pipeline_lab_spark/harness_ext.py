@@ -604,6 +604,118 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_features(media).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Engine breadth beyond the reference (§2.12 gap list): set ops, rollup,
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_except_intersect",
+    """
+    WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         o AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT 'building_no_orders' AS tag, c_custkey
+    FROM (SELECT * FROM b EXCEPT SELECT * FROM o)
+    UNION ALL
+    SELECT 'building_with_orders' AS tag, c_custkey
+    FROM (SELECT * FROM b INTERSECT SELECT * FROM o)
+    ORDER BY tag, c_custkey
+    """,
+)
+def setop_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    no_orders = b.exceptAll(o).select(
+        F.lit("building_no_orders").alias("tag"), "c_custkey"
+    )
+    with_orders = b.intersect(o).select(
+        F.lit("building_with_orders").alias("tag"), "c_custkey"
+    )
+    return no_orders.unionAll(with_orders).orderBy("tag", "c_custkey")
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           ROUND(SUM(l_extendedprice * l_quantity), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY flag, status
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — Catalyst's Expand-based grouping
+    sets; one pass over the fact table."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@register(
+    "asof_join_last_order",
+    """
+    WITH od AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS t,
+             MAX(o_orderkey) AS last_order
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, od.last_order,
+           strftime(od.t, '%Y-%m-%d') AS order_date
+    FROM events e ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.t
+    ORDER BY event_id
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the user's most recent order at or before the event
+    time — operators.asof union-and-carry as-of join (DuckDB oracle uses
+    its native ASOF JOIN). Orders are pre-deduped to one row per
+    (custkey, date) per the operator contract."""
+    from .operators.asof import asof_join_backward
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order"))
+        .withColumn("order_date", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    out = asof_join_backward(
+        events,
+        od,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["last_order", "order_date"],
+    )
+    return out.select("event_id", "user_id", "last_order", "order_date").orderBy(
+        "event_id"
+    )
+
+
 @register(
     "mm_frame_sample",
     f"""
