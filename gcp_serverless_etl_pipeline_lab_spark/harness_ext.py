@@ -575,6 +575,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sessionization",
+    """
+    WITH lagd AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    flags AS (
+      SELECT *, CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's native session_window (the oracle
+    spells the same semantics with lag/cumsum: new session iff the gap to
+    the previous event is >= 30 min, exact in microseconds; session end is
+    last event + gap)."""
+    from .streaming.sessionize import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column plumbing
 # ---------------------------------------------------------------------------

@@ -53,17 +53,22 @@ def _scan_units(path: str) -> tuple[int, int]:
         return 1 << 30, 0
 
 
+def convert_nanos_ts(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) columns arrive as raw nanosecond longs (see
+    session.RUNTIME_CONF); truncate to µs exactly like DuckDB/Arrow do.
+    Integer division — double division loses precision at ~1e18 ns.
+    Shared by the batch loader and streaming file sources."""
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool | None = None
 ) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    # TIMESTAMP(NANOS) columns arrive as raw nanosecond longs (see
-    # session.RUNTIME_CONF); truncate to µs exactly like DuckDB/Arrow do.
-    # Integer division — double division loses precision at ~1e18 ns.
-    for col, dtype in df.dtypes:
-        if col == "ts" and dtype == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    df = convert_nanos_ts(spark.read.parquet(path))
     if parallelize is None:
         cores = spark.sparkContext.defaultParallelism
         row_groups, rows = _scan_units(path)

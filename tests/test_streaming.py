@@ -1,0 +1,186 @@
+"""Structured Streaming tests: availableNow ETL micro-batch (the S4 sensor
+equivalent), streaming==batch parity for windowed aggregates and
+sessionization, and the spark.sql surface."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table, register_views
+from gcp_serverless_etl_pipeline_lab_spark.streaming.file_stream import (
+    run_available_now,
+    windowed_event_counts,
+)
+from gcp_serverless_etl_pipeline_lab_spark.streaming.sessionize import sessionize
+
+FILE1 = """id,product,price,quantity,sale_date
+1,Widget,9.99,2,2024-01-05
+2,Gadget,twenty,1,2024-01-06
+3,Gizmo,5.00,3,2024/01/07
+"""
+
+FILE2 = """4,Doodad,2.50,4,2024-01-08
+5,,1.00,1,2024-01-09
+"""
+
+
+def test_available_now_incremental(spark, tmp_path):
+    """availableNow picks up only new files across runs (checkpointed) —
+    the exactly-once version of the reference's daily sensor loop."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    wh = str(tmp_path / "warehouse")
+    dl = str(tmp_path / "dead")
+    ck = str(tmp_path / "ckpt")
+
+    (inp / "f1.csv").write_text(FILE1)
+    run_available_now(spark, str(inp), wh, dl, ck)
+    clean1 = spark.read.parquet(wh)
+    assert sorted(r["id"] for r in clean1.collect()) == ["1", "3"]
+    errors1 = spark.read.json(dl)
+    assert errors1.count() == 1  # 'twenty' price
+
+    (inp / "f2.csv").write_text(FILE2)
+    run_available_now(spark, str(inp), wh, dl, ck)
+    clean2 = spark.read.parquet(wh)
+    # only the new clean row appended; old rows not reprocessed
+    assert sorted(r["id"] for r in clean2.collect()) == ["1", "3", "4"]
+    assert spark.read.json(dl).count() == 2  # + missing product
+
+
+def _run_stream_complete(spark, builder, events_file, tmp_path):
+    # The streaming file source needs a DIRECTORY; link the single parquet
+    # into one. Schema: raw parquet schema (ts as nanosecond long under
+    # the nanosAsLong conf) + the loader's shared conversion.
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import convert_nanos_ts
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    os.symlink(events_file, src_dir / "part-0.parquet")
+    raw_schema = spark.read.parquet(events_file).schema
+    stream = convert_nanos_ts(
+        spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    )
+    out = builder(stream)
+    name = "t_" + os.urandom(4).hex()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    batch_events = load_table(spark, SF_SMOKE, "events")
+    batch = windowed_event_counts(batch_events).orderBy("window_start", "event_type")
+    streamed = _run_stream_complete(
+        spark,
+        lambda s: windowed_event_counts(s),
+        os.path.join(SF_SMOKE, "events.parquet"),
+        tmp_path,
+    ).orderBy("window_start", "event_type")
+    assert [r.asDict() for r in batch.collect()] == [
+        r.asDict() for r in streamed.collect()
+    ]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    batch_events = load_table(spark, SF_SMOKE, "events")
+    batch = sessionize(batch_events).orderBy("user_id", "session_start")
+    streamed = _run_stream_complete(
+        spark,
+        lambda s: sessionize(s),
+        os.path.join(SF_SMOKE, "events.parquet"),
+        tmp_path,
+    ).orderBy("user_id", "session_start")
+    assert [r.asDict() for r in batch.collect()] == [
+        r.asDict() for r in streamed.collect()
+    ]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: two files
+    arriving in separate availableNow runs must produce cumulative totals
+    in the second run's output."""
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def run_batch(rows, run_id):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn("run_id", F.lit(run_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            running_user_totals(spark.readStream.schema(schema).parquet(str(src)))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_out = (
+            spark.read.parquet(out_dir).filter(F.col("run_id") == run_id).collect()
+        )
+        return {r["user_id"]: (r["n_events"], r["sum_value"]) for r in rows_out}
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    out1 = run_batch([(1, t, 10.0), (1, t, 5.0), (2, t, 1.0)], 1)
+    assert out1 == {1: (2, 15.0), 2: (1, 1.0)}
+    out2 = run_batch([(1, t, 2.5), (3, t, 7.0)], 2)
+    # user 1 cumulative across batches; user 3 new; user 2 not re-emitted
+    assert out2 == {1: (3, 17.5), 3: (1, 7.0)}
+
+
+def test_spark_sql_surface(spark):
+    """The engine exposes the warehouse as temp views for ad-hoc SQL
+    (entry point 3 in SURVEY.md §3.3); SQL and DataFrame plans agree."""
+    register_views(spark, SF_SMOKE)
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, ROUND(SUM(l_extendedprice * l_quantity), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag ORDER BY revenue DESC, l_returnflag
+        """
+    ).collect()
+    df = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_returnflag")
+        .collect()
+    )
+    assert [r.asDict() for r in sql] == [r.asDict() for r in df]
