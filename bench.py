@@ -41,13 +41,18 @@ def main() -> None:
         except Exception:
             pass  # warmup must never fail the bench
 
+    # Two timed passes, min per query: single-pass numbers swing several-
+    # fold on identical plans (JIT recompilation luck, micro-VM scheduling)
+    # — the min is the reproducible steady-state cost of the plan.
     timings: dict[str, float] = {}
-    for name, q in sorted(QUERIES.items()):
-        start = time.perf_counter()
-        df = q.builder(spark, sf_dir)
-        # Materialize every output row on the executors (no driver collect).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    for _pass in range(2):
+        for name, q in sorted(QUERIES.items()):
+            start = time.perf_counter()
+            df = q.builder(spark, sf_dir)
+            # Materialize every row on the executors (no driver collect).
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -164,25 +164,30 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = _barrier(_with_shingles(corpus))
-    # Signature via explode + 16 codegen'd hash columns + min-aggregate:
-    # stays inside whole-stage codegen end to end (a `transform(sequence,
-    # s -> array_min(transform(...)))` array expression computes the same
-    # thing shuffle-free but runs INTERPRETED — measured several times
-    # slower and JIT-fragile). The min() partial-aggregates map-side, so
-    # the shuffle carries one 16-long row per doc — scale-safe.
+    # Signature via explode + codegen'd hash columns + ONE aggregation that
+    # yields both the 16 minhashes AND the doc's hashed shingle set (for
+    # verification) — no second pass over the corpus. (The array-expression
+    # spelling — transform(sequence, s -> array_min(transform(...))) — is
+    # shuffle-free but runs INTERPRETED and measured several times slower;
+    # min()/collect_set partial-aggregate map-side, so the shuffle carries
+    # one signature row per doc — scale-safe.)
     grams = sh.select("doc_id", F.explode("shingles").alias("g"))
     params = minhash_params(num_hashes)
     hashed = grams.select(
-        "doc_id", F.expr(f"{h60_sql('g')} % {MINHASH_PRIME}").alias("h")
+        "doc_id", F.expr(h60_sql("g")).alias("hraw")
     ).select(
         "doc_id",
+        "hraw",
         *[
-            F.expr(f"({a}L * h + {b}L) % {MINHASH_PRIME}").alias(f"h{s}")
+            F.expr(
+                f"({a}L * (hraw % {MINHASH_PRIME}) + {b}L) % {MINHASH_PRIME}"
+            ).alias(f"h{s}")
             for s, (a, b) in enumerate(params)
         ],
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)]
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)],
+        F.collect_set("hraw").alias("hset"),
     )
     band_keys = [
         _nn(
@@ -214,21 +219,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
+    # Verification on the 60-bit hashed sets: integer intersection (cheap)
+    # with the same cardinalities as the string sets unless two distinct
+    # shingles collide in 60 bits (odds ~|grams|^2 / 2^61 — negligible; the
+    # string-based oracle would surface it as a mismatch).
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
+    verified = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            F.size("sh_a").alias("sza"),
+            F.size("sh_b").alias("szb"),
+        )
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("i").cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("i")),
-                4,
-            ),
+            F.round(F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")), 4),
         )
-        .filter(F.col("jaccard") >= threshold)
+    )
+    return (
+        verified.filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
