@@ -576,6 +576,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8_stats_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+           ROUND(var_samp(l_quantity), 2) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS p25_price,
+           ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS median_price,
+           ROUND(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+               AS p75_price,
+           ROUND(skewness(l_quantity), 3) + 0.0 AS skew_qty,
+           ROUND(kurtosis(l_quantity), 3) + 0.0 AS kurt_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a8_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family. percentile_disc (SQL standard: an
+    actual data value, no interpolation float math) so both engines pick
+    the identical element; skew/kurtosis rounded to 3 — higher moments
+    accumulate in engine-specific merge order and drift ~1e-5."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+                ),
+                2,
+            ).alias("p25_price"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+                ),
+                2,
+            ).alias("median_price"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"
+                ),
+                2,
+            ).alias("p75_price"),
+            # + 0.0 normalizes IEEE negative zero (-0.0 vs 0.0 hash-differ)
+            (F.round(F.skewness("l_quantity"), 3) + 0.0).alias("skew_qty"),
+            (F.round(F.kurtosis("l_quantity"), 3) + 0.0).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "events_sessionization",
     """
     WITH lagd AS (

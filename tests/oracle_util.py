@@ -22,7 +22,8 @@ def _canon(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        # collapse -0.0/0.0 and fp dust
+        if value == 0.0:
+            value = 0.0  # collapse IEEE -0.0 into +0.0
         return f"{value:.9g}"
     return str(value)
 
