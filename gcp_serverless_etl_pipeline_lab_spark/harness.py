@@ -741,3 +741,4 @@ def query_names() -> list[str]:
 # text analysis / multimodal) register themselves on import; keep this at
 # the bottom so `register` and `_t` exist when harness_ext imports them.
 from . import harness_ext  # noqa: E402,F401
+from . import harness_breadth  # noqa: E402,F401
