@@ -595,12 +595,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a8_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregate family. percentile_disc (SQL standard: an
-    actual data value, no interpolation float math) so both engines pick
-    the identical element; skew/kurtosis rounded to 3 — higher moments
-    accumulate in engine-specific merge order and drift ~1e-5."""
+    """Statistical aggregate family. Moments (stddev/var/corr/covar/skew/
+    kurtosis) are one streaming hash aggregate. Exact discrete percentiles
+    are computed SORT-BASED: rank rows per group with a window, pick the
+    value at ceil(p*n) — percentile_disc's definition (first value whose
+    cume_dist >= p). Spark's native percentile_disc aggregate buffers every
+    group's values in executor memory (ObjectHashAggregate), which OOMs at
+    real scale; a window sort spills. (At 100 TB you would use
+    approx_percentile and drop oracle-exactness.) skew/kurtosis rounded to
+    3 — higher moments accumulate in engine-specific merge order and drift
+    ~1e-5; +0.0 normalizes IEEE negative zero."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    moments = (
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
@@ -611,27 +619,46 @@ def a8_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
                 "covar_qty_price"
             ),
-            F.round(
-                F.expr(
-                    "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
-                ),
-                2,
-            ).alias("p25_price"),
-            F.round(
-                F.expr(
-                    "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-                ),
-                2,
-            ).alias("median_price"),
-            F.round(
-                F.expr(
-                    "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"
-                ),
-                2,
-            ).alias("p75_price"),
-            # + 0.0 normalizes IEEE negative zero (-0.0 vs 0.0 hash-differ)
             (F.round(F.skewness("l_quantity"), 3) + 0.0).alias("skew_qty"),
             (F.round(F.kurtosis("l_quantity"), 3) + 0.0).alias("kurt_qty"),
+        )
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("p")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("p")
+    ).select(
+        "l_returnflag",
+        "p",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def _pick(frac: float, name: str):
+        # ceil(p*n): exact for quarter fractions (no FP dust)
+        return F.round(
+            F.min(F.when(F.col("rn") == F.ceil(F.lit(frac) * F.col("n")), F.col("p"))),
+            2,
+        ).alias(name)
+
+    pct = ranked.groupBy("l_returnflag").agg(
+        _pick(0.25, "p25_price"),
+        _pick(0.5, "median_price"),
+        _pick(0.75, "p75_price"),
+    )
+    return (
+        moments.join(F.broadcast(pct), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "sd_price",
+            "var_qty",
+            "corr_qty_price",
+            "covar_qty_price",
+            "p25_price",
+            "median_price",
+            "p75_price",
+            "skew_qty",
+            "kurt_qty",
         )
         .orderBy("l_returnflag")
     )
