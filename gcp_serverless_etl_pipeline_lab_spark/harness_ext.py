@@ -162,7 +162,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_doc_corpus(spark, sf_dir), threshold=0.8)
+    # max_df is the cluster-melt guard (see dedup.cap_document_frequency).
+    # 100_000 exceeds the corpus size at every test SF, so the cap is a
+    # provable no-op here and the exact-Jaccard oracle is unchanged; at
+    # real scale pick ~1e4 (df above that carries no near-dup signal).
+    return dedup.ngram_jaccard_pairs(
+        _doc_corpus(spark, sf_dir), threshold=0.8, max_df=100_000
+    )
 
 
 _MH_BAND_HASH = h60_duck(
@@ -227,7 +233,8 @@ _SIMHASH_TOKEN_HASH = h60_duck("g")
                i -> t[i] || ' ' || t[i + 1])) AS grams
       FROM toks
     ),
-    th AS (SELECT doc_id, list_transform(grams, g -> {_SIMHASH_TOKEN_HASH}) AS hs FROM bi),
+    th AS (SELECT doc_id, list_transform(grams, g -> {_SIMHASH_TOKEN_HASH}) AS hs
+           FROM bi WHERE len(grams) > 0),
     sig AS (
       SELECT doc_id,
              list_sum(list_transform(range(0, 60), b ->

@@ -16,13 +16,18 @@ join — independent of temporal fan-out, which is what you want at 100 TB
 comparison is `right.t <= left.t`.
 
 Caller contract: at most one right row per (key, time) — pre-aggregate
-otherwise (duplicates would carry an arbitrary winner).
+otherwise (duplicates would carry an arbitrary winner). Right value columns
+MAY be null: the carried payload is one struct per right row, so the output
+tuple always comes from a single right row (never a column-wise mix of two
+rows), and the inner-match test is "a right row existed", independent of
+its values.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join_backward(
@@ -39,22 +44,25 @@ def asof_join_backward(
     ``how='inner'`` drops unmatched left rows; ``'left'`` keeps them with
     nulls."""
     lcols = left.columns
+    # Carry ALL right values as ONE struct so last(ignorenulls) picks the
+    # whole tuple from a single right row — carrying columns independently
+    # would let a null value column fall through to an older right row.
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_values]
+    )
     l2 = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_time).cast("timestamp").alias("_t"),
         F.lit(1).alias("_src"),
         *[F.col(c) for c in lcols],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in right_values
-        ],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r2 = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).cast("timestamp").alias("_t"),
         F.lit(0).alias("_src"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_values],
+        F.struct(*[F.col(c) for c in right_values]).alias("_r"),
     )
     u = l2.unionByName(r2)
     w = (
@@ -65,17 +73,10 @@ def asof_join_backward(
     carried = u.select(
         "_src",
         *lcols,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in right_values
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     ).filter(F.col("_src") == 1)
     if how == "inner":
-        matched = None
-        for c in right_values:
-            cond = F.col(f"_r_{c}").isNotNull()
-            matched = cond if matched is None else (matched | cond)
-        carried = carried.filter(matched)
+        carried = carried.filter(F.col("_r").isNotNull())
     return carried.select(
-        *lcols, *[F.col(f"_r_{c}").alias(c) for c in right_values]
+        *lcols, *[F.col(f"_r.{c}").alias(c) for c in right_values]
     )

@@ -113,17 +113,45 @@ def _with_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+def cap_document_frequency(grams: DataFrame, max_df: int) -> DataFrame:
+    """Drop (doc_id, g) rows whose gram appears in more than ``max_df``
+    documents — the standard heavy-hitter guard before a shingle self-join
+    (an ultra-common shingle shared by 1 M docs is a 10¹²-row join).
+
+    The hot-gram list is aggregated with map-side partial counts (one
+    (g, count) row per gram reaches the shuffle) and is small by
+    construction — at most total_gram_occurrences / max_df entries — so it
+    broadcasts, and the anti-join adds NO extra shuffle of the gram table.
+    Expects one row per (doc, gram), i.e. per-doc-distinct grams."""
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("g")
+    )
+    return grams.join(F.broadcast(hot), "g", "left_anti")
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.8, max_df: int | None = None
+) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (the ground-truth baseline
     MinHash approximates). Explode distinct shingles → self-equi-join on the
     shingle → per-pair intersection counts → Jaccard filter.
 
-    Cost is Σ_gram docs(gram)², fine for a corpus whose grams are rare;
-    at 100 TB you run `minhash_lsh_pairs` instead and keep this for
-    candidate verification."""
+    Cost is Σ_gram docs(gram)²; ``max_df`` bounds it by dropping grams
+    shared by more than ``max_df`` docs before the self-join (see
+    ``cap_document_frequency``), capping the join at Σ ≤ max_df · |grams|
+    rows. Union sizes stay computed on the FULL shingle sets, so the cap's
+    only error mode is understating Jaccard for pairs whose overlap lives
+    in ultra-common shingles — false negatives only, never false positives.
+    At 100 TB run `minhash_lsh_pairs` for discovery and keep this (with a
+    cap) for candidate verification."""
     sh = _with_shingles(corpus)
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+    if max_df is not None:
+        grams = cap_document_frequency(grams, max_df)
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -155,8 +183,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact verification.
 
-    1. signature: mh[s] = min over shingles of h60(s || '|' || shingle) —
-       a pure array expression per row, zero shuffle;
+    1. signature: one 60-bit base hash per shingle, h = h60(shingle) % P,
+       then a universal affine family mh[s] = min over shingles of
+       (a_s * h + b_s) % P with per-slot coefficients from
+       ``minhash_params`` (one real MD5 per shingle + cheap affine
+       transforms, ~10× cheaper than num_hashes MD5s per shingle). The
+       mins come from a map-side partial aggregation, so only one
+       signature row per doc reaches the shuffle;
     2. banding: rows = num_hashes/bands consecutive minhashes hash to one
        band key; docs sharing any (band, key) bucket become candidates —
        the only corpus-wide shuffle, on tiny (band, key) tuples;
@@ -269,9 +302,11 @@ def simhash_pairs(
     # Signature via explode + 60 per-bit vote aggregates, all whole-stage
     # codegen with map-side partial sums (same rationale as minhash above:
     # the nested-aggregate array expression is interpreted and was the #1
-    # hot spot in the whole suite). Docs with zero bigrams drop out at the
-    # explode — they can't pair anyway, and the oracle's NULL signature
-    # rows are likewise unpairable.
+    # hot spot in the whole suite). Docs with zero bigrams (<2 tokens) drop
+    # out at the explode — they can't meaningfully pair; the oracle filters
+    # them explicitly (len(grams) > 0) because its per-bit list_sum([])
+    # would otherwise collapse every empty doc to signature 0 and pair them
+    # all at hamming 0.
     th = _with_tokens(corpus).select("doc_id", F.explode(F.expr(bigrams)).alias("g"))
     hashed = th.select("doc_id", F.expr(h60_sql("g")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(

@@ -28,6 +28,13 @@ Deliberate cast-semantics pins (SURVEY.md §7.4):
   casting to bigint.
 - ``strptime`` accepts non-zero-padded month/day, so the Spark formats are
   ``yyyy-M-d`` / ``yyyy/M/d`` (CORRECTED parser: month 18 → null → error).
+- Python numeric-literal extensions are DELIBERATELY rejected: ``int('1_0')``
+  and ``float('1_0.5')`` succeed in CPython (PEP 515 underscore grouping),
+  and ``str.isdigit()`` accepts unicode digits (e.g. ``'٥'``), but the
+  ``_INT_RE`` gate and Spark's double cast route such rows to
+  ``Invalid price or quantity`` / ``Non-numeric id``. These are CSV-exotic
+  inputs the reference never exercises; ASCII-only numerics are the
+  documented contract (same pin class as the ``'5.0'`` int gate).
 """
 
 from __future__ import annotations
