@@ -137,7 +137,17 @@ _ETL_SPARK_LINE = """
 
 # DuckDB spelling of the same line builder (printf/strftime instead of
 # format_string/date_format; otherwise identical by construction).
-_ETL_ORACLE_SRC = """
+#
+# Split into BASE (synthesize lines) + CHAIN (validation semantics over a
+# `lines(line_id, value)` CTE) so the roundtrip query can interpose a
+# different line-id assignment: the shared tables do NOT have unique
+# (l_orderkey, l_linenumber), so k collides (up to 5×). The in-memory
+# queries keep line_id = k — tied ids mean neither row is "later", so
+# neither is flagged duplicate, identically in engine and oracle. The
+# file roundtrip instead materializes a real file order (ORDER BY k,
+# value — a total order since equal (k, value) lines are byte-identical)
+# and both sides first-wins-dedup on that.
+_ETL_ORACLE_BASE = """
   WITH base AS (
     SELECT (l_orderkey * 10 + l_linenumber) AS k,
            (l_orderkey * 10 + l_linenumber) % 23 AS m,
@@ -149,7 +159,7 @@ _ETL_ORACLE_SRC = """
                              ELSE 'Nu Gizmo' END AS product
     FROM lineitem
   ),
-  lines AS (
+  lines_raw AS (
     SELECT k AS line_id,
       CASE WHEN m = 6 THEN
         concat_ws(',', CAST(k AS VARCHAR), product, price_s)
@@ -175,7 +185,9 @@ _ETL_ORACLE_SRC = """
                ELSE date_s END)
       END AS value
     FROM base
-  ),
+  )"""
+
+_ETL_ORACLE_CHAIN = """,
   toks AS (
     SELECT line_id, value,
            list_transform(string_split(value, ','), x -> trim(x)) AS parts
@@ -229,8 +241,24 @@ _ETL_ORACLE_SRC = """
   )
 """
 
+# in-memory line order: line_id = k, ties collapse (see note above)
+_ETL_ORACLE_SRC = (
+    _ETL_ORACLE_BASE
+    + ",\n  lines AS (SELECT line_id, value FROM lines_raw)"
+    + _ETL_ORACLE_CHAIN
+)
 
-def _etl_annotated(spark: SparkSession, sf_dir: str):
+# file order: total order (k, value), sequential ids like the text scan's
+# monotonically_increasing_id over the single sorted file
+_ETL_ORACLE_FILE_SRC = (
+    _ETL_ORACLE_BASE
+    + ",\n  lines AS (SELECT row_number() OVER (ORDER BY line_id, value)"
+    " AS line_id, value FROM lines_raw)"
+    + _ETL_ORACLE_CHAIN
+)
+
+
+def _etl_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
         ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 23).alias("m"),
@@ -253,7 +281,11 @@ def _etl_annotated(spark: SparkSession, sf_dir: str):
         .otherwise(F.expr(_ETL_SPARK_LINE))
         .alias(LINE_COL),
     )
-    return annotate(lines)
+    return lines
+
+
+def _etl_annotated(spark: SparkSession, sf_dir: str):
+    return annotate(_etl_lines(spark, sf_dir))
 
 
 @register(
@@ -293,6 +325,67 @@ def etl_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def etl_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, errors = split_clean_errors(_etl_annotated(spark, sf_dir), persist=False)
     return errors.groupBy("error").agg(F.count(F.lit(1)).alias("n")).orderBy("error")
+
+
+@register(
+    "etl_roundtrip_sinks",
+    _ETL_ORACLE_FILE_SRC
+    + """
+    SELECT c.n_clean, c.sum_total, c.sum_qty, e.n_errors, e.n_error_kinds
+    FROM (SELECT COUNT(*) AS n_clean,
+                 ROUND(SUM(price * quantity), 2) AS sum_total,
+                 CAST(SUM(quantity) AS BIGINT) AS sum_qty
+          FROM labeled WHERE error IS NULL) c,
+         (SELECT COUNT(*) AS n_errors,
+                 COUNT(DISTINCT error) AS n_error_kinds
+          FROM labeled WHERE error IS NOT NULL) e
+    """,
+)
+def etl_roundtrip_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/Q5 under the oracle gate: materialize the synthesized messy
+    CSV to disk, run the FULL pipeline (text scan → validation chain →
+    warehouse parquet + dead-letter JSON sinks → quality gate), then
+    RE-READ both sinks and aggregate. Matching the oracle — which computes
+    the same numbers straight from the validation semantics — proves the
+    writers round-trip rows, types, and values end-to-end
+    (`dataflow/dataflow_transform.py:152-168`).
+
+    The CSV is written as ONE file in the total order (k, value) — a real
+    file order with DISTINCT line ids, unlike the in-memory queries' tied
+    line_id = k — and the oracle assigns the identical row_number order
+    (see _ETL_ORACLE_FILE_SRC), so first-wins dedup matches even though
+    the shared tables carry duplicate (l_orderkey, l_linenumber) keys."""
+    import os
+    import tempfile
+
+    from .pipeline import run_sales_etl
+    from .sinks import read_warehouse
+
+    base = tempfile.mkdtemp(prefix="etl_roundtrip_")
+    csv_dir = os.path.join(base, "csv")
+    wh_dir = os.path.join(base, "warehouse")
+    dl_dir = os.path.join(base, "dead_letter")
+    lines = _etl_lines(spark, sf_dir)
+    (
+        lines.orderBy(LINE_ID_COL, LINE_COL)
+        .select(LINE_COL)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(csv_dir)
+    )
+    run_sales_etl(
+        spark, csv_dir, warehouse_path=wh_dir, dead_letter_path=dl_dir
+    )
+    c = read_warehouse(spark, wh_dir).agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.round(F.sum("total_sale"), 2).alias("sum_total"),
+        F.sum("quantity").alias("sum_qty"),
+    )
+    e = spark.read.json(dl_dir).agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.countDistinct("error").alias("n_error_kinds"),
+    )
+    return c.crossJoin(e)
 
 
 # ---------------------------------------------------------------------------

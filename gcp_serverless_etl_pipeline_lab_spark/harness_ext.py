@@ -262,16 +262,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
+def _bucket_duck(vec: str, dim: int) -> str:
+    bits = []
+    for h in range(similarity.NUM_PLANES):
+        w = h60_duck(f"'lsh|' || '{h}' || '|' || CAST(i AS VARCHAR)")
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(({w}) % {similarity.PLANE_MOD} - {similarity.PLANE_SHIFT} AS DOUBLE)"
+            f" * {vec}[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END")
+    return " + ".join(bits)
+
+
 @register(
     "dedup_embedding_cosine",
+    # The engine sub-buckets each label block by deterministic sign-LSH and
+    # probes hamming <= 1 (dedup.cosine_candidate_pairs); the oracle mirrors
+    # that candidate predicate exactly — same pattern as minhash banding.
     f"""
     WITH {_VEC_CORPUS_DUCK},
+    vb AS (SELECT vec_id, label, e, {_bucket_duck('e', EMB_DIM)} AS bkt FROM vcorpus),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_sum(list_transform(range(1, {EMB_DIM + 1}),
                    i -> a.e[i] * b.e[i])), 4) AS cos
-      FROM vcorpus a JOIN vcorpus b
+      FROM vb a JOIN vb b
         ON a.label = b.label AND a.vec_id < b.vec_id
+       AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b.bkt AS BIGINT))) <= 1
     )
     SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99
     ORDER BY id_a, id_b
@@ -346,19 +364,6 @@ def sim_search_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-def _bucket_duck(vec: str, dim: int) -> str:
-    bits = []
-    for h in range(similarity.NUM_PLANES):
-        w = h60_duck(f"'lsh|' || '{h}' || '|' || CAST(i AS VARCHAR)")
-        proj = (
-            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
-            f"CAST(({w}) % {similarity.PLANE_MOD} - {similarity.PLANE_SHIFT} AS DOUBLE)"
-            f" * {vec}[i]))"
-        )
-        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END")
-    return " + ".join(bits)
-
-
 @register(
     "sim_search_lsh_bucketed",
     f"""
@@ -375,6 +380,61 @@ def _bucket_duck(vec: str, dim: int) -> str:
 def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _sim_queries(spark, sf_dir)
     out = similarity.lsh_topk(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_MT_TABLES = 8
+_MT_PLANES = 2  # narrow tables: this corpus's true top-k are FAR (scores
+# ~0.3, θ/π ≈ 0.4); per-neighbor recall = 1 - (1 - 0.6^P)^L needs small P
+# here. Near-dup corpora would use P=8-16 (see lsh_topk_multitable).
+
+
+def _bucket_duck_table(vec: str, dim: int, table: int, planes: int) -> str:
+    bits = []
+    for h in range(planes):
+        w = h60_duck(
+            f"'mlsh|' || '{table}' || '|' || '{h}' || '|' || CAST(i AS VARCHAR)"
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(({w}) % {similarity.PLANE_MOD} - {similarity.PLANE_SHIFT} AS DOUBLE)"
+            f" * {vec}[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END")
+    return " + ".join(bits)
+
+
+_MT_CB = ", ".join(
+    f"{_bucket_duck_table('e', EMB_DIM, t, _MT_PLANES)} AS b{t}"
+    for t in range(_MT_TABLES)
+)
+_MT_QB = ", ".join(
+    f"{_bucket_duck_table('qe', EMB_DIM, t, _MT_PLANES)} AS b{t}"
+    for t in range(_MT_TABLES)
+)
+_MT_ANY = " OR ".join(f"cb.b{t} = qb.b{t}" for t in range(_MT_TABLES))
+
+
+@register(
+    "sim_search_lsh_multitable",
+    # candidate iff the pair shares a bucket in ANY of the L tables — the
+    # oracle mirrors the engine's deterministic multi-table predicate.
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    cb AS (SELECT vec_id, e, {_MT_CB} FROM c),
+    qb AS (SELECT query_id, qe, {_MT_QB} FROM q)
+    {_sim_rank_duck(f'''
+      SELECT qb.query_id, cb.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qb.qe[i] * cb.e[i])) AS s
+      FROM cb JOIN qb ON ({_MT_ANY}) AND cb.vec_id <> qb.query_id
+    ''')}
+    """,
+)
+def sim_search_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.lsh_topk_multitable(
+        corpus, queries, EMB_DIM, tables=_MT_TABLES, planes_per_table=_MT_PLANES
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -350,30 +350,86 @@ def simhash_pairs(
     )
 
 
+def cosine_candidate_pairs(vectors: DataFrame, dim: int) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for cosine near-dup detection: same
+    `label` block AND sign-LSH buckets within Hamming distance 1.
+
+    The bucket is the deterministic 8-plane sign projection shared with
+    similarity.lsh_topk (hashlib-seeded hyperplanes, reproducible in the
+    DuckDB oracle). Multiprobe: the probe side explodes each row to its
+    bucket XOR {0, 1, 2, 4, ..., 128} — 9 slim (id, label, bucket) rows —
+    so the join finds exactly the pairs with hamming(bucket_a, bucket_b)
+    <= 1. A pair matches at most one mask (m = b_a XOR b_b is unique), so
+    no dedup shuffle is needed. Embeddings never ride through the explode.
+
+    Exposed separately so tests can assert the candidate count stays far
+    below |block|² on a skewed block: unrelated vectors collide with
+    probability ~(1+8)/256 ≈ 3.5% per pair, which is what defuses a hot
+    label."""
+    from .similarity import NUM_PLANES, _bucket_expr
+
+    # _nn sentinel: see _nn — keeps the implicit isnotnull(join key) from
+    # re-materializing the 8-plane projection as a pushed-down scan filter.
+    cells = vectors.select(
+        "vec_id",
+        "label",
+        _nn(F.expr(_bucket_expr("embedding", dim))).alias("bkt"),
+    )
+    a = cells.select(F.col("vec_id").alias("id_a"), "label", "bkt")
+    masks = [0] + [1 << h for h in range(NUM_PLANES)]
+    probe = cells.select(
+        F.col("vec_id").alias("id_b"),
+        "label",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
+        "bkt",
+    ).select(
+        "id_b", "label", F.expr("CAST(bkt ^ m AS BIGINT)").alias("bkt")
+    )
+    return (
+        a.join(probe, ["label", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame, dim: int, threshold: float = 0.99
 ) -> DataFrame:
     """Embedding cosine near-dup pairs, blocked by the coarse `label`
-    partition (IVF-cell analogue) so the pair space is per-block quadratic
-    rather than corpus-quadratic. Input: (vec_id, embedding, label) with
-    unit-norm vectors → cosine == dot product.
+    partition (IVF-cell analogue) AND sub-bucketed within each block by
+    deterministic sign-LSH (see cosine_candidate_pairs), so one hot label
+    cannot recreate the corpus-quadratic all-pairs join. Candidates are
+    verified with the exact dot product; input (vec_id, embedding, label)
+    must be unit-norm so cosine == dot.
+
+    Like minhash_lsh_pairs' banding, candidate generation is deterministic
+    and mirrored bit-for-bit by the oracle, so engine and oracle agree
+    value-for-value even though the blocking is approximate. Recall: a pair
+    at angle θ is separated by each plane with probability θ/π; at the
+    threshold boundary (cos = 0.99 → θ ≈ 0.1415, θ/π ≈ 0.045) the
+    hamming ≤ 1 probe keeps P(candidate) = (1-q)^8 + 8q(1-q)^7 ≈ 0.95,
+    rising to ~1 for true duplicates (θ → 0). A hot bucket now requires
+    vectors that are genuinely mutually near-parallel — an irreducible
+    output, not a skew artifact.
+
+    A 2-D quantized-projection grid (exact, Lipschitz cells) was measured
+    first and rejected: unit-vector projections concentrate as 1/sqrt(dim),
+    so at embedding dims every vector lands within ±1 cell of every other
+    and the "guard" prunes nothing. Sign bits are scale-free in dim.
 
     At 100 TB blocks come from a trained coarse quantizer (k-means
     centroids); here `label` stands in as that assignment."""
     v = vectors.select("vec_id", "label", "embedding")
-    a = v.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
-    )
-    b = v.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
-    )
+    cand = cosine_candidate_pairs(v, dim)
+    ea = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     dot = F.expr(
         f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), (acc, i) -> "
         f"acc + CAST(element_at(ea, i) AS DOUBLE) * CAST(element_at(eb, i) AS DOUBLE))"
     )
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cos", F.round(dot, 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -49,7 +49,27 @@ def split_clean_errors(
     annotated: DataFrame, persist: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """One annotated pass → (clean, errors). ``persist=True`` caches the
-    annotated intermediate so the two sinks don't rescan the source."""
+    annotated intermediate so the two sinks don't rescan the source.
+
+    For inputs too large to cache, use ``split_clean_errors_staged``: at
+    100 TB the MEMORY_AND_DISK cache is itself the dominant cost (and dies
+    with executors); a columnar staging write is cheaper than two source
+    re-scans and is fault-tolerant."""
     if persist:
         annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     return finalize_clean(annotated), finalize_errors(annotated)
+
+
+def split_clean_errors_staged(
+    annotated: DataFrame, staging_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Large-input variant of ``split_clean_errors``: write the annotated
+    intermediate ONCE as parquet, then filter clean/errors from the written
+    copy. Same results as the persist path (tests assert parity); the two
+    downstream filters each read the columnar staging copy with column
+    pruning (clean never reads the raw line, errors never read the typed
+    columns) instead of re-running the validation cascade or holding the
+    corpus in executor memory."""
+    annotated.write.mode("overwrite").parquet(staging_path)
+    staged = annotated.sparkSession.read.parquet(staging_path)
+    return finalize_clean(staged), finalize_errors(staged)

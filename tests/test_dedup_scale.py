@@ -53,6 +53,89 @@ def test_df_cap_keeps_true_near_dups(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(900, 901)]
 
 
+def _unit(vec):
+    n = sum(x * x for x in vec) ** 0.5
+    return [x / n for x in vec]
+
+
+def _skewed_vectors(spark, dim=16, hot=200, cold_labels=4, cold_each=10, seed=7):
+    """One hot label holding `hot` well-spread unit vectors (50%+ of the
+    corpus) plus a few small labels. Three engineered near-dup pairs inside
+    the hot label."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(hot):
+        rows.append((i, 0, _unit([rng.gauss(0, 1) for _ in range(dim)])))
+    for lb in range(1, cold_labels + 1):
+        for j in range(cold_each):
+            rows.append(
+                (1000 * lb + j, lb, _unit([rng.gauss(0, 1) for _ in range(dim)]))
+            )
+    # near-dups: tiny perturbation of three hot vectors
+    for k, base_id in enumerate((3, 50, 150)):
+        base = rows[base_id][2]
+        pert = _unit([x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)])
+        rows.append((5000 + k, 0, pert))
+    return (
+        spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<double>"
+        ),
+        [(3, 5000), (50, 5001), (150, 5002)],
+    )
+
+
+def test_cosine_skewed_block_candidates_subquadratic(spark):
+    """One label holds 50%+ of the corpus; LSH sub-bucketing must keep the
+    candidate join far below |block|² (~3.5% collision for unrelated
+    vectors)."""
+    vectors, _ = _skewed_vectors(spark)
+    n_hot = 203
+    quad = n_hot * (n_hot - 1) // 2  # 20503 all-pairs in the hot block
+    cand = dedup.cosine_candidate_pairs(vectors, dim=16).count()
+    assert cand < quad / 10, f"candidates {cand} not sub-quadratic vs {quad}"
+
+
+def test_cosine_skewed_block_matches_lsh_blocked_allpairs(spark):
+    """Engine == (all-pairs-within-label ∩ hamming(bucket) <= 1) — the
+    deterministic predicate the oracle mirrors — and the engineered
+    near-dup pairs (θ ≈ 0.001 rad, per-plane split prob θ/π ≈ 3e-4) are
+    all recalled."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.similarity import (
+        _bucket_expr,
+    )
+
+    vectors, expected = _skewed_vectors(spark)
+    got = dedup.embedding_cosine_pairs(vectors, dim=16, threshold=0.99)
+    pairs = sorted((r["id_a"], r["id_b"]) for r in got.collect())
+    vb = vectors.withColumn("bkt", F.expr(_bucket_expr("embedding", 16)))
+    a = vb.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("ea"), F.col("bkt").alias("ba"),
+    )
+    b = vb.select(
+        F.col("vec_id").alias("id_b"), "label",
+        F.col("embedding").alias("eb"), F.col("bkt").alias("bb"),
+    )
+    dot = F.expr(
+        "round(aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> "
+        "acc + element_at(ea, i) * element_at(eb, i)), 4)"
+    )
+    ref = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr("bit_count(CAST(ba AS BIGINT) ^ CAST(bb AS BIGINT)) <= 1"))
+        .withColumn("cos", dot)
+        .filter(F.col("cos") >= 0.99)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    assert pairs == sorted((r["id_a"], r["id_b"]) for r in ref)
+    for p in expected:
+        assert p in pairs
+
+
 def test_df_cap_noop_matches_uncapped(spark):
     corpus = _hot_corpus(spark, n=15)
     base = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()

@@ -98,6 +98,26 @@ def test_multimodal_real_decode_is_marked_stub():
         multimodal.decode_image_real(b"\x00" * 16)
 
 
+def test_multitable_lsh_recall_at_least_0_9(spark):
+    """Multi-table LSH must recover >= 90% of the true top-5 pairs on the
+    test corpus — the single-table recall ceiling is the documented gap it
+    closes. Deterministic: planes and corpus are both fixed."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, 64, k=5).collect()
+    }
+    mt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk_multitable(
+            emb, queries, 64, k=5, tables=8, planes_per_table=2
+        ).collect()
+    }
+    recall = len(mt & bf) / len(bf)
+    assert recall >= 0.9, f"multi-table recall {recall:.2f} < 0.9"
+
+
 def test_lsh_recall_against_bruteforce(spark):
     """sign-LSH is approximate: every (query, neighbor) it returns must
     also score identically in brute force, and returned neighbors must
