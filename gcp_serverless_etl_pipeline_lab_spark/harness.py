@@ -354,38 +354,54 @@ def etl_roundtrip_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     file order with DISTINCT line ids, unlike the in-memory queries' tied
     line_id = k — and the oracle assigns the identical row_number order
     (see _ETL_ORACLE_FILE_SRC), so first-wins dedup matches even though
-    the shared tables carry duplicate (l_orderkey, l_linenumber) keys."""
+    the shared tables carry duplicate (l_orderkey, l_linenumber) keys.
+
+    The temp warehouse/dead-letter copies are deleted before returning and
+    the pipeline's annotated cache is unpersisted — repeated bench/
+    correctness invocations must not accumulate disk or executor memory —
+    so the 1-row aggregate is collected eagerly here (same driver-side
+    1-row pattern as the quality gate) and handed back as a literal
+    DataFrame with the sink-derived schema."""
     import os
+    import shutil
     import tempfile
 
     from .pipeline import run_sales_etl
     from .sinks import read_warehouse
 
     base = tempfile.mkdtemp(prefix="etl_roundtrip_")
-    csv_dir = os.path.join(base, "csv")
-    wh_dir = os.path.join(base, "warehouse")
-    dl_dir = os.path.join(base, "dead_letter")
-    lines = _etl_lines(spark, sf_dir)
-    (
-        lines.orderBy(LINE_ID_COL, LINE_COL)
-        .select(LINE_COL)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(csv_dir)
-    )
-    run_sales_etl(
-        spark, csv_dir, warehouse_path=wh_dir, dead_letter_path=dl_dir
-    )
-    c = read_warehouse(spark, wh_dir).agg(
-        F.count(F.lit(1)).alias("n_clean"),
-        F.round(F.sum("total_sale"), 2).alias("sum_total"),
-        F.sum("quantity").alias("sum_qty"),
-    )
-    e = spark.read.json(dl_dir).agg(
-        F.count(F.lit(1)).alias("n_errors"),
-        F.countDistinct("error").alias("n_error_kinds"),
-    )
-    return c.crossJoin(e)
+    result = None
+    try:
+        csv_dir = os.path.join(base, "csv")
+        wh_dir = os.path.join(base, "warehouse")
+        dl_dir = os.path.join(base, "dead_letter")
+        lines = _etl_lines(spark, sf_dir)
+        (
+            lines.orderBy(LINE_ID_COL, LINE_COL)
+            .select(LINE_COL)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(csv_dir)
+        )
+        result = run_sales_etl(
+            spark, csv_dir, warehouse_path=wh_dir, dead_letter_path=dl_dir
+        )
+        c = read_warehouse(spark, wh_dir).agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.round(F.sum("total_sale"), 2).alias("sum_total"),
+            F.sum("quantity").alias("sum_qty"),
+        )
+        e = spark.read.json(dl_dir).agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.countDistinct("error").alias("n_error_kinds"),
+        )
+        joined = c.crossJoin(e)
+        rows = joined.collect()
+        return spark.createDataFrame(rows, joined.schema)
+    finally:
+        if result is not None:
+            result.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

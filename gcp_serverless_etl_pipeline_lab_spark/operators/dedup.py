@@ -394,22 +394,30 @@ def cosine_candidate_pairs(vectors: DataFrame, dim: int) -> DataFrame:
     label."""
     from .similarity import NUM_PLANES, _bucket_expr
 
-    # _nn sentinel: see _nn — keeps the implicit isnotnull(join key) from
-    # re-materializing the 8-plane projection as a pushed-down scan filter.
+    # Coalesce sentinels: see _nn — keep the implicit isnotnull(join key)
+    # from re-materializing the 8-plane projection as a pushed-down scan
+    # filter. Sentinels differ per SIDE (-1 vs -2^20, chosen so no XOR mask
+    # can make them collide with each other or with a real 0..255 bucket),
+    # so a null bucket — null or shorter-than-dim embedding — never pairs,
+    # matching the oracle's NULL-never-matches semantics.
     cells = vectors.select(
         "vec_id",
         "label",
-        _nn(F.expr(_bucket_expr("embedding", dim))).alias("bkt"),
+        F.expr(_bucket_expr("embedding", dim)).alias("bkt_raw"),
     )
-    a = cells.select(F.col("vec_id").alias("id_a"), "label", "bkt")
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.coalesce("bkt_raw", F.lit(-1)).alias("bkt"),
+    )
     masks = [0] + [1 << h for h in range(NUM_PLANES)]
     probe = cells.select(
         F.col("vec_id").alias("id_b"),
         "label",
         F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
-        "bkt",
+        F.coalesce("bkt_raw", F.lit(-(1 << 20))).alias("bkt0"),
     ).select(
-        "id_b", "label", F.expr("CAST(bkt ^ m AS BIGINT)").alias("bkt")
+        "id_b", "label", F.expr("CAST(bkt0 ^ m AS BIGINT)").alias("bkt")
     )
     return (
         a.join(probe, ["label", "bkt"])

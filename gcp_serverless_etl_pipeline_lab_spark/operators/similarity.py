@@ -184,11 +184,16 @@ def lsh_topk_multitable(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
 
-    def _keyed(df: DataFrame, id_col: str, vec: str) -> DataFrame:
+    # Per-SIDE null sentinels (-1 corpus, -2 queries): a null bucket (null
+    # or short embedding) must never join — the DuckDB oracle's NULL bucket
+    # never matches — while the coalesce keeps the join key non-nullable so
+    # the implicit isnotnull predicate isn't pushed down as a
+    # re-materialized projection scan filter (see dedup._nn).
+    def _keyed(df: DataFrame, id_col: str, vec: str, sentinel: int) -> DataFrame:
         buckets = [
             F.coalesce(
                 F.expr(_bucket_expr_table(vec, dim, t, planes_per_table)),
-                F.lit(-1),
+                F.lit(sentinel),
             ).alias(f"b{t}")
             for t in range(tables)
         ]
@@ -198,8 +203,8 @@ def lsh_topk_multitable(
         )
 
     cand = (
-        _keyed(c, "neighbor_id", "ce")
-        .join(F.broadcast(_keyed(q, "query_id", "qe")), ["t", "bkt"])
+        _keyed(c, "neighbor_id", "ce", -1)
+        .join(F.broadcast(_keyed(q, "query_id", "qe", -2)), ["t", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -218,10 +223,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5) -> Dat
     recall is measured against brute force in tests)."""
     # coalesce sentinel: see operators.dedup._nn — keeps the implicit
     # isnotnull(bucket) join predicate from re-materializing the whole
-    # 512-hash projection as a pushed-down scan filter.
+    # 512-hash projection as a pushed-down scan filter. Sentinels differ
+    # per side (-2 query, -1 corpus) so a null bucket — null or
+    # shorter-than-dim embedding — never joins, matching the oracle's
+    # NULL-never-matches semantics.
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    ).withColumn("bucket", F.coalesce(F.expr(_bucket_expr("qe", dim)), F.lit(-1)))
+    ).withColumn("bucket", F.coalesce(F.expr(_bucket_expr("qe", dim)), F.lit(-2)))
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     ).withColumn("bucket", F.coalesce(F.expr(_bucket_expr("ce", dim)), F.lit(-1)))

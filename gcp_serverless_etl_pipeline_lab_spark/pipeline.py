@@ -44,6 +44,14 @@ class PipelineResult:
     clean: DataFrame
     errors: DataFrame
     summary: DataFrame
+    # the persisted annotated intermediate (split_clean_errors cache), kept
+    # so callers that are done with clean/errors can release executor
+    # memory instead of leaking one MEMORY_AND_DISK copy per run
+    annotated: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.annotated is not None:
+            self.annotated.unpersist()
 
 
 def run_sales_etl(
@@ -58,13 +66,16 @@ def run_sales_etl(
     ``stable_multifile`` pins first-wins dedup to (file name, line) order
     when ``input_path`` is a multi-file glob (see sources.text_csv)."""
     raw = read_raw_lines(spark, input_path, stable_multifile=stable_multifile)
-    clean, errors = split_clean_errors(annotate(raw))
+    annotated = annotate(raw)
+    clean, errors = split_clean_errors(annotated)
     if warehouse_path:
         write_warehouse(clean, warehouse_path)
     if dead_letter_path:
         write_dead_letter(errors, dead_letter_path)
     quality_gate(clean)
-    return PipelineResult(clean=clean, errors=errors, summary=summary_report(clean))
+    return PipelineResult(
+        clean=clean, errors=errors, summary=summary_report(clean), annotated=annotated
+    )
 
 
 _T = TypeVar("_T")

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 LINE_COL = "value"
 LINE_ID_COL = "_line_id"
 
-# room for 2^40 lines per file under 2^23 files in one 63-bit id
+# 63-bit id layout: file rank << 40 | within-file position. Positions come
+# from row_number(), so the REAL per-file bound is 2^31 - 1 lines (the
+# window rank is 32-bit); the 2^40 slot width just keeps rank bits clear of
+# position bits with headroom, under 2^23 files.
 _FILE_RANK_SHIFT = 40
 
 
@@ -41,8 +44,11 @@ def read_raw_lines(
     - per-file position is ``row_number`` over (file, split order) — exact
       because Spark's size-descending split sort is STABLE, so equal-size
       splits of one file keep offset order and the smaller tail split of a
-      file sorts after its full splits;
-    - file rank comes from one tiny distinct-file job, broadcast back;
+      file sorts after its full splits (``tests/test_multifile_order.py``
+      pins this with a forced multi-split read that fails loudly if a
+      future Spark version reorders splits);
+    - file ranks come from ``DataFrame.inputFiles()`` — scan METADATA, no
+      extra pass over row data — broadcast back;
     - cost is one shuffle partitioned BY FILE (bounded by the largest
       file, the standard contract for file-granular arrival order).
     """
@@ -54,7 +60,9 @@ def read_raw_lines(
         F.input_file_name().alias("_file"),
         F.monotonically_increasing_id().alias("_mono"),
     )
-    files = sorted(r["_file"] for r in df.select("_file").distinct().collect())
+    # inputFiles() returns the resolved file URIs in the same form
+    # input_file_name() emits (file source), so the rank join keys align.
+    files = sorted(raw.inputFiles())
     ranks = spark.createDataFrame(
         [(f, i) for i, f in enumerate(files)], "_file string, _frank long"
     )
@@ -63,7 +71,8 @@ def read_raw_lines(
         df.join(F.broadcast(ranks), "_file")
         .withColumn(
             LINE_ID_COL,
-            F.shiftleft(F.col("_frank"), _FILE_RANK_SHIFT) + within,
+            F.shiftleft(F.col("_frank"), _FILE_RANK_SHIFT)
+            + within.cast("long"),
         )
         .select(LINE_COL, LINE_ID_COL)
     )

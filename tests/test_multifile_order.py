@@ -50,6 +50,34 @@ def test_stable_multifile_line_ids_follow_filename_order(spark, tmp_path):
     assert a_hi < b_lo
 
 
+def test_stable_order_survives_multi_split_files(spark, tmp_path):
+    """Pin the stable path's one Spark-internal assumption: splits of a
+    single file keep offset order under the size-descending split sort
+    (equal-size splits sort STABLY; a file's smaller tail split sorts after
+    its full splits). Force a multi-split read by shrinking
+    maxPartitionBytes and assert within-file positions equal true line
+    order — if a future Spark version reorders splits, this fails loudly
+    rather than silently corrupting first-wins dedup."""
+    d = tmp_path / "split"
+    d.mkdir()
+    n = 2000
+    (d / "big.csv").write_text(
+        "".join(f"{i:06d},Row,1.00,1,2024-01-02\n" for i in range(n))
+    )
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "4096")  # ~33-byte lines -> dozens of splits
+        # the scan itself must really split (the stable df's own partition
+        # count is post-shuffle and AQE-coalesced, so check the raw read)
+        assert spark.read.text(str(d)).rdd.getNumPartitions() > 4
+        raw = read_raw_lines(spark, str(d), stable_multifile=True)
+        rows = raw.orderBy(LINE_ID_COL).collect()
+    finally:
+        spark.conf.set(key, old)
+    assert [r["value"][:6] for r in rows] == [f"{i:06d}" for i in range(n)]
+
+
 def test_stable_multifile_first_wins_is_filename_deterministic(spark, tmp_path):
     d = _write_two_files(tmp_path)
     raw = read_raw_lines(spark, str(d), stable_multifile=True)
