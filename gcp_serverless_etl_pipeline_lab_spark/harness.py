@@ -404,6 +404,75 @@ def etl_roundtrip_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+_ETL_SPLIT_ORACLE = (
+    _ETL_ORACLE_SRC
+    + """
+    SELECT c.n_clean, c.sum_total, c.sum_qty, e.n_errors, e.n_error_kinds
+    FROM (SELECT COUNT(*) AS n_clean,
+                 ROUND(SUM(price * quantity), 2) AS sum_total,
+                 CAST(SUM(quantity) AS BIGINT) AS sum_qty
+          FROM labeled WHERE error IS NULL) c,
+         (SELECT COUNT(*) AS n_errors,
+                 COUNT(DISTINCT error) AS n_error_kinds
+          FROM labeled WHERE error IS NOT NULL) e
+    """
+)
+
+
+def _split_fanout_agg(spark: SparkSession, clean, errors) -> DataFrame:
+    """Consume BOTH fan-out sides (the R12 two-consumer shape) into one
+    1-row frame — the workload where the persist-vs-stage choice matters."""
+    c = clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.round(F.sum("total_sale"), 2).alias("sum_total"),
+        F.sum("quantity").alias("sum_qty"),
+    )
+    e = errors.agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.countDistinct("error").alias("n_error_kinds"),
+    )
+    return c.crossJoin(e)
+
+
+@register("etl_split_persist", _ETL_SPLIT_ORACLE)
+def etl_split_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 two-consumer fan-out via the persist path (MEMORY_AND_DISK cache
+    of the annotated intermediate, two filters). Benchmark twin of
+    `etl_split_staged` — BASELINE.md records the measured tradeoff."""
+    annotated = _etl_annotated(spark, sf_dir)
+    clean, errors = split_clean_errors(annotated, persist=True)
+    try:
+        joined = _split_fanout_agg(spark, clean, errors)
+        rows = joined.collect()
+        return spark.createDataFrame(rows, joined.schema)
+    finally:
+        annotated.unpersist()
+
+
+@register("etl_split_staged", _ETL_SPLIT_ORACLE)
+def etl_split_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 two-consumer fan-out via the staging path
+    (`split_clean_errors_staged`): write the annotated intermediate once as
+    parquet, then each consumer reads the columnar copy with pruning. The
+    100 TB-safe variant — no executor-memory cache to lose. The staging
+    directory is deleted after the aggregates are collected."""
+    import shutil
+    import tempfile
+
+    from .operators.transform import split_clean_errors_staged
+
+    base = tempfile.mkdtemp(prefix="etl_split_staged_")
+    try:
+        clean, errors = split_clean_errors_staged(
+            _etl_annotated(spark, sf_dir), base + "/staged"
+        )
+        joined = _split_fanout_agg(spark, clean, errors)
+        rows = joined.collect()
+        return spark.createDataFrame(rows, joined.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # A1–A7 — the reference's SQL analytics surface on the shared tables
 # ---------------------------------------------------------------------------

@@ -364,6 +364,83 @@ def sim_search_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+# --- trained IVF oracle: the DuckDB twin re-derives the identical k-means
+# model (deterministic init, 2 Lloyd iterations, ROUND(avg, 6) centroids,
+# dist-then-cell tie-break) — see similarity.kmeans_centroids for why the
+# rounding makes the model bit-reproducible across engines.
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_dist_duck(vec: str, cent: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"j -> ({cent}[j] - {vec}[j]) * ({cent}[j] - {vec}[j])))"
+    )
+
+
+def _ivf_iter_duck(prev_cent: str, n: int) -> str:
+    return f"""
+    d{n} AS (
+      SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist
+      FROM c CROSS JOIN {prev_cent} i
+    ),
+    a{n} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT vec_id, e, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d{n}) WHERE rn = 1
+    ),
+    cent{n} AS (
+      SELECT cell, list(v ORDER BY j) AS ce FROM (
+        SELECT cell, j, ROUND(AVG(e[j]), 6) AS v
+        FROM a{n}, range(1, {EMB_DIM + 1}) t(j)
+        GROUP BY cell, j) GROUP BY cell
+    )"""
+
+
+@register(
+    "sim_search_ivf_trained",
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    init AS (
+      SELECT cell, e AS ce FROM (
+        SELECT vec_id % {_IVF_K} AS cell, e,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_K} ORDER BY vec_id) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    {_ivf_iter_duck('init', 1)},
+    {_ivf_iter_duck('cent1', 2)},
+    fa AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_ivf_dist_duck('c.e', 'i.ce')}, i.cell) AS rn
+        FROM c CROSS JOIN cent2 i) WHERE rn = 1
+    ),
+    qp AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, i.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    )
+    {_sim_rank_duck(f'''
+      SELECT qp.query_id, fa.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qp.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell AND fa.vec_id <> qp.query_id
+    ''')}
+    """,
+)
+def sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.ivf_trained_topk(
+        corpus, queries, EMB_DIM, cells=_IVF_K, iters=2, nprobe=_IVF_NPROBE
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @register(
     "sim_search_lsh_bucketed",
     f"""

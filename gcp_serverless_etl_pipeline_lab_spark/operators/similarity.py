@@ -217,6 +217,145 @@ def lsh_topk_multitable(
     return _rank_topk(scored, k)
 
 
+# ---------------------------------------------------------------------------
+# Trained IVF: deterministic Lloyd's k-means coarse quantizer + nprobe
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(values: list[float]) -> str:
+    """Literal double array from driver-side centroid values. String-CAST
+    round-trips exactly (repr is shortest-exact) and Catalyst constant-folds
+    the whole array once, so rows never re-parse."""
+    return "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in values) + ")"
+
+
+def _sq_dist_expr(vec: str, centroid: list[float]) -> str:
+    """Squared L2 distance of (float-array) column `vec` to a literal
+    centroid, summed in index order — the DuckDB oracle computes
+    list_sum(list_transform(...)) over the identical rounded centroid
+    literals, so comparisons agree bit-for-bit."""
+    return (
+        f"aggregate(zip_with({_lit_vec(centroid)}, {vec}, "
+        f"(w, x) -> (w - CAST(x AS DOUBLE)) * (w - CAST(x AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (a, y) -> a + y)"
+    )
+
+
+def _assign_cell(df: DataFrame, vec: str, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """argmin-distance cell with deterministic tie-break (lowest cell id):
+    the distance array is ordered by ascending cell id and array_position
+    takes the FIRST occurrence of the min — the oracle's
+    row_number() OVER (ORDER BY dist, cell) = 1."""
+    darr = "array(" + ", ".join(_sq_dist_expr(vec, c) for _, c in centroids) + ")"
+    pos = F.expr(f"array_position({darr}, array_min({darr}))").cast("int")
+    cell_ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return df.withColumn("cell", F.element_at(cell_ids, pos))
+
+
+def kmeans_centroids(
+    corpus: DataFrame, dim: int, k: int = 8, iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's over DataFrame ops; returns the tiny
+    (cell, centroid) model driver-side (k×dim doubles — the only data that
+    ever reaches the driver).
+
+    Reproducible across engines by construction, so the DuckDB oracle can
+    re-derive the identical model in SQL:
+    - init: the corpus vector with the MIN vec_id in each residue class
+      vec_id % k (no RNG);
+    - each iteration re-computes per-cell elementwise means ROUNDED to 6
+      decimals — summation-order float noise (~1e-13) between Spark's
+      partial aggregation and the oracle's is quashed by the rounding;
+    - assignment breaks distance ties on the lowest cell id;
+    - cells that empty out are dropped (assignments only ever target
+      surviving cells — mirrored exactly by the oracle's inner join).
+
+    Scale shape: per iteration one posexplode shuffle of (cell, i, x) and a
+    k×dim-row collect; assignment itself is map-side against literal
+    centroids. Production would sample the training corpus first; the full
+    pass keeps the oracle exact here.
+    """
+    c = corpus.select("vec_id", F.col("embedding").alias("e"))
+    first = c.groupBy((F.col("vec_id") % k).alias("cell")).agg(
+        F.min("vec_id").alias("vec_id")
+    )
+    init = (
+        c.join(F.broadcast(first), "vec_id")
+        .select("cell", "e")
+        .collect()
+    )
+    centroids = sorted(
+        (int(r["cell"]), [float(x) for x in r["e"]]) for r in init
+    )
+    for _ in range(iters):
+        means = (
+            _assign_cell(c, "e", centroids)
+            .select("cell", F.posexplode("e").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["i"])] = float(r["v"])
+        centroids = sorted(
+            (cell, [dims[i] for i in range(dim)]) for cell, dims in by_cell.items()
+        )
+    return centroids
+
+
+def ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k restricted to the query's `nprobe` nearest k-means cells — the
+    production IVF shape (`ivf_topk`'s label-as-cell is the degenerate
+    stand-in). The trained coarse quantizer replaces data-dependent labels
+    with geometry: recall is tunable via nprobe instead of being an
+    accident of labeling.
+
+    Query-time scale shape: the corpus is assigned map-side against the
+    literal centroid model and NEVER shuffles; only the (query, cell) probe
+    list (|Q|×nprobe rows) broadcasts; scoring touches ~nprobe/cells of the
+    corpus. Recall vs brute force is measured in tests/test_ann_recall.py.
+    """
+    model = kmeans_centroids(corpus, dim, k=cells, iters=iters)
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    dist_cols = [
+        F.expr(_sq_dist_expr("qe", cvec)).alias(f"d{cid}") for cid, cvec in model
+    ]
+    stack = ", ".join(f"{cid}, d{cid}" for cid, _ in model)
+    w = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probes = (
+        q.select("query_id", "qe", *dist_cols)
+        .select(
+            "query_id",
+            "qe",
+            F.expr(f"stack({len(model)}, {stack}) AS (cell, dist)"),
+        )
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qe", "cell")
+    )
+    scored = (
+        _assign_cell(c, "ce", model)
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score_raw", _dot("qe", "ce", dim))
+    )
+    return _rank_topk(scored, k)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the query's
     sign-LSH bucket (may return < k rows — that's the accuracy/cost trade;

@@ -27,9 +27,87 @@ def write_warehouse(
     writer.save(path)
 
 
-def write_dead_letter(errors: DataFrame, path: str) -> None:
-    errors.write.mode("append").json(path)
+def write_dead_letter(
+    errors: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """S3 dead-letter append. ``partition_by`` (typically a date column the
+    caller derives, e.g. ``ingest_date``) makes the 100 TB error stream
+    prunable at read time — triage of "yesterday's failures" reads one
+    partition instead of scanning the whole history."""
+    writer = errors.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
 
 
 def read_warehouse(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
+
+
+# ---------------------------------------------------------------------------
+# Versioned warehouse (parquet-native time travel)
+# ---------------------------------------------------------------------------
+#
+# The reference keeps history via GCS bucket versioning on the warehouse
+# bucket (`terraform/main.tf:36-54`): every WRITE_TRUNCATE leaves the prior
+# object generation readable. delta-spark is not installable in this
+# environment (no package, and the JVM would need the delta-core jar), so
+# the same semantics are provided parquet-native: each overwrite lands in a
+# fresh `v=N` subdirectory and readers can time-travel to any retained N.
+# Version discovery is directory listing; on an object store you'd keep a
+# tiny JSON manifest instead (one RPC vs a LIST) — the API is the same.
+
+
+def _list_versions(path: str) -> list[int]:
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_warehouse_versioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+    keep_versions: int | None = None,
+) -> int:
+    """Truncate-overwrite with history: write a new immutable ``v=N``
+    snapshot (N = prior latest + 1) and return N. ``keep_versions`` prunes
+    the oldest snapshots past that count (None = keep all, the GCS
+    bucket-versioning default)."""
+    import os
+    import shutil
+
+    versions = _list_versions(path)
+    new_v = (versions[-1] + 1) if versions else 0
+    write_warehouse(df, os.path.join(path, f"v={new_v}"), partition_by, fmt)
+    if keep_versions is not None:
+        for old in _list_versions(path)[:-keep_versions]:
+            shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+    return new_v
+
+
+def read_warehouse_versioned(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Read the latest snapshot, or time-travel to ``version``."""
+    import os
+
+    versions = _list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions} under {path}")
+    return read_warehouse(spark, os.path.join(path, f"v={v}"), fmt)

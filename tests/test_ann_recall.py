@@ -1,0 +1,127 @@
+"""Measured ANN recall@k vs brute force (the round-2 verdict asked for the
+multitable docstring's analytic recall claims to be backed by measurement).
+
+Everything here is deterministic — hash-derived hyperplanes, deterministic
+k-means init — so the numbers are reproducible; bands are kept a little
+loose so a regenerated test corpus of the same shape still passes.
+
+Measured on /root/testdata/sf0.01 embeddings (dim 64, true top-5 in the
+FAR regime, scores ~0.3 → θ/π ≈ 0.4):
+
+| strategy                       | config            | recall@5 |
+|--------------------------------|-------------------|----------|
+| lsh_topk_multitable (SHIPPED)  | L=8 tables, P=2   | 0.98     |
+| lsh_topk_multitable            | L=8 tables, P=3   | 0.90     |
+| lsh_topk_multitable            | L=4 tables, P=8   | 0.10     |
+| lsh_topk (single table)        | P=8               | 0.02     |
+| ivf_trained_topk               | k=8 cells, nprobe=2 | 0.86   |
+| ivf_trained_topk               | k=8 cells, nprobe=4 | 0.94   |
+
+The (4,8) and single-table rows are the analytic prediction made concrete:
+per-neighbor recall = 1 - (1 - (1-θ/π)^P)^L collapses for wide tables when
+neighbors are far (0.6^8 ≈ 0.017 per table), which is exactly why the
+shipped config uses narrow tables. Near-dup corpora (θ small) invert this.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gcp_serverless_etl_pipeline_lab_spark.harness_ext import EMB_DIM, _sim_queries
+from gcp_serverless_etl_pipeline_lab_spark.operators import similarity
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def corpus_queries(spark):
+    return _sim_queries(spark, SF_ORACLE)
+
+
+@pytest.fixture(scope="module")
+def truth(corpus_queries):
+    corpus, queries = corpus_queries
+    return _topk_sets(similarity.brute_force_topk(corpus, queries, EMB_DIM))
+
+
+def _topk_sets(df):
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(truth, approx_df) -> float:
+    got = _topk_sets(approx_df)
+    vals = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    return sum(vals) / len(vals)
+
+
+def test_multitable_shipped_config_recall(corpus_queries, truth):
+    corpus, queries = corpus_queries
+    r = _recall(
+        truth,
+        similarity.lsh_topk_multitable(
+            corpus, queries, EMB_DIM, tables=8, planes_per_table=2
+        ),
+    )
+    assert r >= 0.9, f"shipped (L=8, P=2) recall@5 {r:.3f} < 0.9"
+
+
+def test_multitable_p3_still_strong(corpus_queries, truth):
+    corpus, queries = corpus_queries
+    r = _recall(
+        truth,
+        similarity.lsh_topk_multitable(
+            corpus, queries, EMB_DIM, tables=8, planes_per_table=3
+        ),
+    )
+    assert r >= 0.75, f"(L=8, P=3) recall@5 {r:.3f} < 0.75"
+
+
+def test_multitable_wide_tables_collapse_in_far_regime(corpus_queries, truth):
+    # The docstring's tuning warning, measured: wide tables (P=8) prune so
+    # hard that recall collapses when true neighbors are far. If this ever
+    # PASSES 0.5, the corpus regime changed and the shipped P should be
+    # re-derived.
+    corpus, queries = corpus_queries
+    r = _recall(
+        truth,
+        similarity.lsh_topk_multitable(
+            corpus, queries, EMB_DIM, tables=4, planes_per_table=8
+        ),
+    )
+    assert r <= 0.5, f"(L=4, P=8) recall@5 {r:.3f} unexpectedly high"
+
+
+def test_ivf_trained_recall_and_nprobe_monotone(corpus_queries, truth):
+    corpus, queries = corpus_queries
+    r2 = _recall(
+        truth,
+        similarity.ivf_trained_topk(
+            corpus, queries, EMB_DIM, cells=8, iters=2, nprobe=2
+        ),
+    )
+    r4 = _recall(
+        truth,
+        similarity.ivf_trained_topk(
+            corpus, queries, EMB_DIM, cells=8, iters=2, nprobe=4
+        ),
+    )
+    assert r2 >= 0.7, f"ivf_trained nprobe=2 recall@5 {r2:.3f} < 0.7"
+    assert r4 >= r2, f"recall not monotone in nprobe: {r4:.3f} < {r2:.3f}"
+    assert r4 >= 0.85, f"ivf_trained nprobe=4 recall@5 {r4:.3f} < 0.85"
+
+
+def test_ivf_trained_returns_full_topk(corpus_queries):
+    # nprobe=2 of 8 cells still yields k rows per query (cells hold enough
+    # candidates); rank is dense 1..5 per query.
+    corpus, queries = corpus_queries
+    df = similarity.ivf_trained_topk(corpus, queries, EMB_DIM)
+    rows = df.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(by_q) == queries.count()
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], (q, ranks)
