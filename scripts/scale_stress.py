@@ -1,0 +1,282 @@
+"""Scale-stress harness: measure dedup/ANN wall-clock growth at 1x/3x/10x
+the sf0.1 corpus, with deliberately injected skew (round-2 verdict item 3).
+
+Corpus construction (deterministic, multi-file parquet under
+``.scale_data/`` — gitignored; results land in SCALE_STRESS.json +
+BASELINE.md):
+
+- documents xN: replica k offsets doc_id by k*10_000_000 and tags every
+  WORD with an ``r{k}w`` prefix, so replicas share NO shingles — output
+  pair structure replicates exactly N times (growth in true pairs is
+  linear by construction, so any superlinear wall-clock is algorithmic).
+  The per-replica corpus includes the same synthetic dups the harness
+  uses (exact copy of every 7th doc, first-word-dropped copy of every
+  11th).
+- skewed shingle: 30% of docs get an UNtagged boilerplate sentence
+  appended, shared across all replicas — its shingles' document frequency
+  grows linearly with N (~18k at 10x) and cross-replica candidate pairs
+  through them grow QUADRATICALLY (~1.6e8 at 10x). The df-cap
+  (max_df=1000, firing at every scale) is what keeps n-gram Jaccard
+  sub-quadratic; this is the designed melt-the-cluster input.
+- embeddings xN: replica k offsets vec_id by k*10_000_000 and flips the
+  sign of every dim where (dim_index + k) % 3 == 0. Sign flips preserve
+  unit norm and preserve all WITHIN-replica cosines exactly (s_i^2 = 1),
+  so near-dup pairs replicate N times, while cross-replica cosines drop
+  far below threshold.
+- skewed label: label := 99 wherever vec_id % 10 < 3 — one label owns 30%
+  of all vectors at every scale (~6k vectors at 10x), stressing the
+  sign-LSH sub-bucketing inside cosine dedup's label blocks.
+
+Run:  python scripts/scale_stress.py            (all scales, ~5-10 min)
+      python scripts/scale_stress.py --scales 1,3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from gcp_serverless_etl_pipeline_lab_spark.operators import dedup, similarity  # noqa: E402
+from gcp_serverless_etl_pipeline_lab_spark.session import get_session  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DATA_DIR = os.path.join(REPO, ".scale_data")
+EMB_DIM = 64
+NGRAM_MAX_DF = 1000
+BOILERPLATE = (
+    " common boilerplate footer sentence shared across many documents"
+    " in this synthetic corpus for skew stress"
+)
+
+
+def _doc_replica(d: DataFrame, k: int) -> DataFrame:
+    base = d.select((F.col("doc_id") + k * 10_000_000).alias("doc_id"), "text")
+    if k > 0:
+        base = base.withColumn(
+            "text",
+            F.expr(
+                f"array_join(transform(split(text, ' '), w -> concat('r{k}w', w)), ' ')"
+            ),
+        )
+    # 30% of docs share the UNtagged boilerplate across replicas → one
+    # shingle family whose df grows with N.
+    return base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3, F.concat(F.col("text"), F.lit(BOILERPLATE))
+        ).otherwise(F.col("text")),
+    )
+
+
+def _synth_dups(d: DataFrame) -> DataFrame:
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+def _emb_replica(e: DataFrame, k: int) -> DataFrame:
+    out = e.select(
+        (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    if k > 0:
+        # Per-replica sign pattern from the BITS of k over dim%4 groups —
+        # patterns are pairwise distinct for k < 16 (two replicas differing
+        # in one bit of k differ in 16 of 64 signs → cross-replica cosine
+        # ≤ 0.5), unlike a (i+k)%m scheme, which collides for k ≡ k' (mod m)
+        # and silently creates exact cross-replica duplicates.
+        flips = ", ".join(
+            str((k >> (i % 4)) & 1) for i in range(EMB_DIM)
+        )
+        out = out.withColumn(
+            "embedding",
+            F.expr(
+                f"zip_with(array({flips}), embedding, "
+                "(f, x) -> IF(f = 1, -x, x))"
+            ),
+        )
+    # near-dup synthesis (mirrors harness_ext._vec_corpus): every 13th
+    # vector gets a dim-1-perturbed renormalized copy at +1M — so true
+    # cosine pairs exist and replicate exactly N times. Sign flips commute
+    # with the perturbation structure within a replica.
+    pert = (
+        out.filter((F.col("vec_id") % 10_000_000) % 13 == 0)
+        .withColumn(
+            "p",
+            F.expr(
+                f"transform(sequence(1, {EMB_DIM}), i -> "
+                "element_at(embedding, i) + IF(i = 1, 0.05D, 0D))"
+            ),
+        )
+        .withColumn(
+            "nrm",
+            F.expr("sqrt(aggregate(p, CAST(0 AS DOUBLE), (a, y) -> a + y * y))"),
+        )
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "label",
+            F.expr("transform(p, x -> x / nrm)").alias("embedding"),
+        )
+    )
+    out = out.unionAll(pert)
+    # hot label: 30% of every replica lands in label 99
+    return out.withColumn(
+        "label",
+        F.when(F.col("vec_id") % 10 < 3, F.lit(99)).otherwise(F.col("label")),
+    )
+
+
+def generate(spark: SparkSession, n: int) -> str:
+    out = os.path.join(DATA_DIR, f"x{n}")
+    if os.path.isdir(os.path.join(out, "documents")) and os.path.isdir(
+        os.path.join(out, "embeddings")
+    ):
+        return out
+    d = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    e = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    docs = None
+    embs = None
+    for k in range(n):
+        dk = _synth_dups(_doc_replica(d, k))
+        ek = _emb_replica(e, k)
+        docs = dk if docs is None else docs.unionAll(dk)
+        embs = ek if embs is None else embs.unionAll(ek)
+    docs.repartition(4 * n).write.mode("overwrite").parquet(
+        os.path.join(out, "documents")
+    )
+    embs.repartition(2 * n).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings")
+    )
+    return out
+
+
+def _ops(spark: SparkSession, path: str):
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    embs = spark.read.parquet(os.path.join(path, "embeddings"))
+    queries = embs.filter(F.col("vec_id") < 10)
+    return {
+        "dedup_exact": lambda: dedup.exact_dup_pairs(docs),
+        "dedup_ngram_jaccard_capped": lambda: dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_df=NGRAM_MAX_DF
+        ),
+        "dedup_minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs),
+        "dedup_simhash": lambda: dedup.simhash_pairs(docs),
+        "dedup_embedding_cosine": lambda: dedup.embedding_cosine_pairs(
+            embs, EMB_DIM, 0.99
+        ),
+        "ann_lsh_multitable": lambda: similarity.lsh_topk_multitable(
+            embs, queries, EMB_DIM, tables=8, planes_per_table=2
+        ),
+        "ann_ivf_trained": lambda: similarity.ivf_trained_topk(
+            embs, queries, EMB_DIM, cells=8, iters=2, nprobe=2
+        ),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument(
+        "--ops", default="", help="comma-separated op-name substrings to run (default all)"
+    )
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    op_filter = [s for s in args.ops.split(",") if s]
+
+    spark = get_session(app_name="scale_stress")
+    results: dict[str, dict] = {}
+    rows_at: dict[str, dict[str, int]] = {}
+
+    for n in scales:
+        path = generate(spark, n)
+        print(f"-- x{n} corpus at {path}", file=sys.stderr)
+
+    def _selected(ops: dict) -> dict:
+        if not op_filter:
+            return ops
+        return {k: v for k, v in ops.items() if any(s in k for s in op_filter)}
+
+    # Warmup at the smallest scale (JIT/codegen; same rationale as bench.py)
+    for name, build in _selected(
+        _ops(spark, os.path.join(DATA_DIR, f"x{scales[0]}"))
+    ).items():
+        try:
+            build().write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # warmup must not kill the run
+            print(f"warmup {name}: {exc}", file=sys.stderr)
+
+    for n in scales:
+        path = os.path.join(DATA_DIR, f"x{n}")
+        rows_at[f"x{n}"] = {
+            "documents": spark.read.parquet(os.path.join(path, "documents")).count(),
+            "embeddings": spark.read.parquet(os.path.join(path, "embeddings")).count(),
+        }
+        for name, build in _selected(_ops(spark, path)).items():
+            # count FIRST (records out_rows and warms caches), then two
+            # timed full materializations, min-of-2 — same discipline as
+            # bench.py; a single-pass number right after an unrelated heavy
+            # query can read several-fold high from GC/page-cache pressure
+            # (measured: 117 s vs 28 s steady-state for minhash at x10).
+            out_rows = build().count()
+            elapsed = None
+            for _ in range(2):
+                start = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                e = round(time.perf_counter() - start, 2)
+                elapsed = e if elapsed is None else min(elapsed, e)
+            results.setdefault(name, {})[f"x{n}"] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+            }
+            print(f"x{n} {name}: {elapsed}s, {out_rows} rows", file=sys.stderr)
+
+    lo, hi = f"x{scales[0]}", f"x{scales[-1]}"
+    ratio = scales[-1] / scales[0]
+    table = {}
+    for name, per in results.items():
+        growth = per[hi]["sec"] / max(per[lo]["sec"], 1e-9)
+        table[name] = {
+            **per,
+            "time_growth": round(growth, 2),
+            "data_growth": ratio,
+            "subquadratic": growth < ratio * ratio * 0.5,
+        }
+    out_path = os.path.join(REPO, "SCALE_STRESS.json")
+    out = {
+        "base_sf_dir": BASE_SF,
+        "scales": scales,
+        "corpus_rows": rows_at,
+        "ngram_max_df": NGRAM_MAX_DF,
+        "ops": table,
+    }
+    if op_filter and os.path.isfile(out_path):
+        # partial rerun: merge the re-measured ops into the existing file
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        prev["corpus_rows"].update(out["corpus_rows"])
+        prev["ops"].update(out["ops"])
+        out = prev
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
