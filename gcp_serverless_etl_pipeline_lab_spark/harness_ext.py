@@ -674,6 +674,162 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed training-data prep pipeline (flagship composition)
+# ---------------------------------------------------------------------------
+
+_PREP_SCORE_DUCK = """
+         0.4 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+       + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')))
+       + 0.2 * LEAST(1.0,
+           (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' '))) / 8.0)"""
+
+_PREP_LANG_DUCK = f"""
+      CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'und' END"""
+
+
+@register(
+    "prep_pipeline_summary",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    feat AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS nt,
+             {_PREP_SCORE_DUCK} AS score,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['en']})) AS s_en,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['de']})) AS s_de,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['es']})) AS s_es,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['fr']})) AS s_fr
+      FROM corpus
+    ),
+    kept AS (
+      SELECT doc_id, text, nt, score, {_PREP_LANG_DUCK} AS plang
+      FROM feat WHERE nt >= 10 AND score >= 0.6
+    ),
+    firsts AS (
+      SELECT md5(text) AS k, MIN(doc_id) AS doc_id FROM kept GROUP BY 1
+    ),
+    survivors AS (
+      SELECT kept.* FROM kept
+      JOIN firsts ON md5(kept.text) = firsts.k AND kept.doc_id = firsts.doc_id
+    ),
+    toks2 AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM survivors),
+    sh2 AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM toks2),
+    grams2 AS (SELECT doc_id, unnest(shingles) AS g FROM sh2),
+    inter2 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM grams2 a JOIN grams2 b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dropids AS (
+      SELECT DISTINCT doc_b AS doc_id FROM (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter2
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM sh2) sa ON sa.doc_id = doc_a
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM sh2) sb ON sb.doc_id = doc_b
+      ) WHERE jaccard >= 0.8
+    ),
+    final AS (
+      SELECT * FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+    )
+    SELECT plang, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           ROUND(AVG(score), 4) AS avg_score
+    FROM final GROUP BY plang ORDER BY plang
+    """,
+)
+def prep_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-training-data prep pipeline, end to end in ONE
+    declarative plan: per-doc quality/token/language features → quality
+    gate (nt >= 10, score >= 0.6) → exact dedup (md5 groupBy, first-wins)
+    → n-gram-Jaccard near-dup removal (drop the higher doc_id of each
+    >= 0.8 pair) → per-language corpus summary. This is the "a user of the
+    reference could run their whole prep flow here" query: every stage is
+    an operator that also runs standalone (text_quality_score,
+    text_lang_id, dedup_exact, dedup_ngram_jaccard).
+
+    Scale shape: features and the gate are pure map-side expressions; the
+    exact dedup is one hash shuffle on md5(text); the near-dup stage runs
+    only on gate+dedup SURVIVORS (already a fraction of the corpus) via
+    the same single-groupBy pair-explode plan as dedup_ngram_jaccard; the
+    final rollup is a tiny per-language hash aggregate."""
+    corpus = _doc_corpus(spark, sf_dir)
+    toks = F.expr("split(text, ' ', -1)")
+    toksd = F.array_distinct(toks)
+    nt = F.size(toks)
+    nd = F.size(toksd)
+    awl = (F.length("text") - (nt - 1)).cast("double") / nt
+    score = (
+        0.4 * F.least(F.lit(1.0), nt / 50.0)
+        + 0.4 * (nd.cast("double") / nt)
+        + 0.2 * F.least(F.lit(1.0), awl / 8.0)
+    )
+    marker_scores = {
+        name: F.size(
+            F.array_intersect(toksd, F.array(*[F.lit(m) for m in markers]))
+        ).alias(f"s_{name}")
+        for name, markers in (
+            ("en", ("the", "a", "of", "and", "to")),
+            ("de", ("der", "die", "das", "und", "ist")),
+            ("es", ("el", "la", "de", "y", "es")),
+            ("fr", ("le", "la", "et", "de", "est")),
+        )
+    }
+    feat = corpus.select(
+        "doc_id",
+        "text",
+        nt.alias("nt"),
+        score.alias("score"),
+        *marker_scores.values(),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") > 0)
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_de") > 0)
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when((F.col("s_es") > 0) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("und")
+    )
+    kept = feat.filter((F.col("nt") >= 10) & (F.col("score") >= 0.6)).select(
+        "doc_id", "text", "nt", "score", predicted.alias("plang")
+    )
+    keyed = kept.withColumn("k", F.md5("text"))
+    firsts = keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
+    survivors = keyed.join(firsts, ["k", "doc_id"], "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(
+        survivors.select("doc_id", "text"), threshold=0.8
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = survivors.join(drop, "doc_id", "left_anti")
+    return (
+        final.groupBy("plang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("sum_tokens"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("plang")
+    )
+
+
 _FP_HASH_DUCK = h60_duck("substr(text, i, 5)")
 
 

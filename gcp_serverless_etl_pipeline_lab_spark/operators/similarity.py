@@ -249,7 +249,15 @@ def _assign_cell(df: DataFrame, vec: str, centroids: list[tuple[int, list[float]
     darr = "array(" + ", ".join(_sq_dist_expr(vec, c) for _, c in centroids) + ")"
     pos = F.expr(f"array_position({darr}, array_min({darr}))").cast("int")
     cell_ids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    return df.withColumn("cell", F.element_at(cell_ids, pos))
+    # coalesce sentinel (see dedup._nn): keeps the cell join key
+    # non-nullable so the join's implicit isnotnull(cell) isn't pushed down
+    # as a scan filter that RE-EVALUATES the whole k×dim argmin expression
+    # per row (observed in .explain: the full literal-centroid aggregate
+    # duplicated into the Filter). A null embedding lands in cell -1, which
+    # never matches a probe.
+    return df.withColumn(
+        "cell", F.coalesce(F.element_at(cell_ids, pos), F.lit(-1))
+    )
 
 
 def kmeans_centroids(
@@ -312,6 +320,7 @@ def ivf_trained_topk(
     cells: int = 8,
     iters: int = 2,
     nprobe: int = 2,
+    model: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Top-k restricted to the query's `nprobe` nearest k-means cells — the
     production IVF shape (`ivf_topk`'s label-as-cell is the degenerate
@@ -323,8 +332,14 @@ def ivf_trained_topk(
     literal centroid model and NEVER shuffles; only the (query, cell) probe
     list (|Q|×nprobe rows) broadcasts; scoring touches ~nprobe/cells of the
     corpus. Recall vs brute force is measured in tests/test_ann_recall.py.
+
+    Pass ``model`` (a prior ``kmeans_centroids`` result — k×dim floats, a
+    trivially serializable list) to skip training: production fits the
+    quantizer once per corpus snapshot and serves many query batches
+    against it.
     """
-    model = kmeans_centroids(corpus, dim, k=cells, iters=iters)
+    if model is None:
+        model = kmeans_centroids(corpus, dim, k=cells, iters=iters)
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )

@@ -113,6 +113,20 @@ def test_ivf_trained_recall_and_nprobe_monotone(corpus_queries, truth):
     assert r4 >= 0.85, f"ivf_trained nprobe=4 recall@5 {r4:.3f} < 0.85"
 
 
+def test_ivf_trained_model_reuse_identical(corpus_queries):
+    # fit once / query many: passing a pre-trained model must produce
+    # byte-identical results to retraining (training is deterministic).
+    corpus, queries = corpus_queries
+    model = similarity.kmeans_centroids(corpus, EMB_DIM, k=8, iters=2)
+    fresh = similarity.ivf_trained_topk(corpus, queries, EMB_DIM).collect()
+    reused = similarity.ivf_trained_topk(
+        corpus, queries, EMB_DIM, model=model
+    ).collect()
+    assert fresh == reused
+    # the model is tiny and serializable (k cells × dim floats)
+    assert len(model) == 8 and all(len(c) == EMB_DIM for _, c in model)
+
+
 def test_ivf_trained_returns_full_topk(corpus_queries):
     # nprobe=2 of 8 cells still yields k rows per query (cells hold enough
     # candidates); rank is dense 1..5 per query.
