@@ -184,3 +184,57 @@ def test_spark_sql_surface(spark):
         .collect()
     )
     assert [r.asDict() for r in sql] == [r.asDict() for r in df]
+
+
+def test_streaming_dedup_exactly_once(spark, tmp_path):
+    """At-least-once delivery (every event delivered twice, via two copies
+    of the same file) → dropDuplicatesWithinWatermark emits each event_id
+    exactly once, matching the batch twin."""
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import convert_nanos_ts
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.dedup_stream import (
+        dedup_stream_exact,
+    )
+
+    events_file = os.path.join(SF_SMOKE, "events.parquet")
+    src_dir = tmp_path / "dup_src"
+    src_dir.mkdir()
+    os.symlink(events_file, src_dir / "copy1.parquet")
+    os.symlink(events_file, src_dir / "copy2.parquet")
+
+    raw_schema = spark.read.parquet(events_file).schema
+    stream = convert_nanos_ts(
+        spark.readStream.schema(raw_schema).parquet(str(src_dir))
+    )
+    out = dedup_stream_exact(stream)
+    name = "t_" + os.urandom(4).hex()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(name)
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert streamed.count() == batch.select("event_id").distinct().count()
+    # every id exactly once, and the id SET matches the batch twin
+    assert streamed.groupBy("event_id").count().filter("count > 1").count() == 0
+    sdf = {r.event_id for r in streamed.select("event_id").collect()}
+    bdf = {r.event_id for r in batch.select("event_id").collect()}
+    assert sdf == bdf
+
+
+def test_batch_dedup_content_twin(spark):
+    """Batch path of the content-keyed streaming dedup: one survivor per
+    distinct md5(text)."""
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.dedup_stream import (
+        dedup_stream_content,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    doubled = docs.unionAll(docs)
+    out = dedup_stream_content(doubled)
+    assert out.count() == docs.select(F.md5("text")).distinct().count()
+    assert "_content_k" not in out.columns
