@@ -830,6 +830,66 @@ def prep_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_L = 512
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_training_sequences",
+    # The oracle replays the per-shard greedy scan with a recursive CTE:
+    # row rn+1's (seq_id, fill) is a CASE over row rn's — the exact
+    # sequential semantics the engine's applyInPandas loop implements.
+    f"""
+    WITH RECURSIVE docs2 AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt,
+             doc_id % {_PACK_SHARDS} AS shard,
+             row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, rn, nt, CAST(0 AS BIGINT) AS seq_id, nt AS fill
+      FROM docs2 WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.nt,
+             CASE WHEN p.fill + d.nt > {_PACK_L} AND p.fill > 0
+                  THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.fill + d.nt > {_PACK_L} AND p.fill > 0
+                  THEN d.nt ELSE p.fill + d.nt END
+      FROM docs2 d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
+    ),
+    per_seq AS (
+      SELECT shard, seq_id, CAST(SUM(nt) AS BIGINT) AS seq_tokens
+      FROM packed GROUP BY shard, seq_id
+    )
+    SELECT shard, COUNT(*) AS n_seqs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(seq_tokens) AS BIGINT) AS min_fill,
+           CAST(MAX(seq_tokens) AS BIGINT) AS max_fill,
+           ROUND(AVG(seq_tokens), 2) AS avg_fill
+    FROM per_seq GROUP BY shard ORDER BY shard
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-budget sequence packing over `documents` (the step
+    between a deduped corpus and the training dataloader) — see
+    operators/packing.py for semantics and the why-a-Pandas-UDF note."""
+    from .operators.packing import pack_sequences, packing_summary
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    packed = pack_sequences(docs, max_tokens=_PACK_L, shards=_PACK_SHARDS)
+    return packing_summary(packed).withColumn(
+        "sum_tokens", F.col("sum_tokens").cast("bigint")
+    ).withColumn("min_fill", F.col("min_fill").cast("bigint")).withColumn(
+        "max_fill", F.col("max_fill").cast("bigint")
+    )
+
+
 _FP_HASH_DUCK = h60_duck("substr(text, i, 5)")
 
 

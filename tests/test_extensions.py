@@ -134,3 +134,32 @@ def test_lsh_recall_against_bruteforce(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in bf
         assert abs(bf[key] - r["score"]) < 1e-9
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc packed exactly once; no sequence exceeds the budget unless
+    it holds a single oversized document; sequence ids are dense per shard."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # shard 0 (ids % 4 == 0): 60+50 fit in 100; 70 starts new seq
+            (0, " ".join(["w"] * 60)),
+            (4, " ".join(["w"] * 50)),
+            (8, " ".join(["w"] * 70)),
+            # shard 1: one oversized doc (150 > 100) alone, then a small one
+            (1, " ".join(["w"] * 150)),
+            (5, " ".join(["w"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, max_tokens=100, shards=4)
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert len(rows) == 5  # every doc assigned exactly once
+    # 60 alone fits; +50 would be 110 > 100 -> new seq; +70 would be 120 -> new
+    assert (rows[0].seq_id, rows[4].seq_id, rows[8].seq_id) == (0, 1, 2)
+    # oversized doc occupies its own sequence; next doc starts a new one
+    assert rows[1].seq_id == 0 and rows[1].n_tokens == 150
+    assert rows[5].seq_id == 1
