@@ -813,6 +813,12 @@ def prep_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = kept.withColumn("k", F.md5("text"))
     firsts = keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
+    # Deliberately NO barrier/persist here although survivors feeds both
+    # the near-dup subtree and the final aggregate: its lineage is
+    # map-side expressions plus a semi-join whose exchange Catalyst
+    # already reuses, so re-deriving it is cheaper than materializing an
+    # extra full-text exchange (measured: a _barrier made the query 8.1 s
+    # → 10.7 s at sf0.1).
     survivors = keyed.join(firsts, ["k", "doc_id"], "left_semi")
     pairs = dedup.ngram_jaccard_pairs(
         survivors.select("doc_id", "text"), threshold=0.8
