@@ -348,6 +348,39 @@ def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_search_bruteforce_int8",
+    # oracle mirrors the symmetric max-abs int8 quantization bit-for-bit:
+    # qs = greatest(max|x|, 1e-30), q_i = round(x/qs*127)::tinyint, score
+    # = sum (q_i*qs/127)*y_i in index order (operators/quantize.py).
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    cs AS (
+      SELECT vec_id, e,
+             GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-30) AS qs
+      FROM c
+    ),
+    cq AS (
+      SELECT vec_id, qs,
+             list_transform(e, x -> CAST(ROUND(x / qs * 127) AS TINYINT)) AS q8
+      FROM cs
+    )
+    {_sim_rank_duck(f'''
+      SELECT q.query_id, cq.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (CAST(q8[i] AS DOUBLE) * qs / 127.0) * qe[i])) AS s
+      FROM cq, q WHERE cq.vec_id <> q.query_id
+    ''')}
+    """,
+)
+def sim_search_bruteforce_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantize import brute_force_topk_int8
+
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = brute_force_topk_int8(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
     "sim_search_ivf_label",
     f"""
     WITH {_SIM_BASE_DUCK}
@@ -834,6 +867,56 @@ def prep_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("plang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_MAX = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
+
+@register(
+    "doc_chunking",
+    # per-row verification: every chunk's (doc, id, token count, md5 of the
+    # chunk text) must match the oracle's slice arithmetic exactly.
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    base AS (
+      SELECT doc_id, t,
+             GREATEST(1, CAST(CEIL((len(t) - {_CHUNK_OVERLAP})
+               / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT)) AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, t FROM base
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                 chunk_id * {_CHUNK_STRIDE} + {_CHUNK_MAX})) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(list_slice(t, chunk_id * {_CHUNK_STRIDE} + 1,
+                 chunk_id * {_CHUNK_STRIDE} + {_CHUNK_MAX}), ' ')) AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking over `documents` — purely
+    relational 1→N fan-out (operators/chunking.py); chunk text verified
+    by md5 so the oracle compare stays light."""
+    from .operators.chunking import chunk_documents
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    out = chunk_documents(docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
 
 
 # ---------------------------------------------------------------------------

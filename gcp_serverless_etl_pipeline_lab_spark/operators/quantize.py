@@ -1,0 +1,77 @@
+"""Int8 embedding quantization — the 100 TB storage story for the
+similarity-search family.
+
+A float32 dim-64 embedding is 256 bytes/row; per-vector-scaled int8 is
+64 bytes + one double — a 3.7× working-set reduction that compounds into
+every scan, shuffle, and cache of the embedding column. Quantization is
+symmetric per-vector max-abs: q_i = round(x_i / s * 127) with
+s = max_i |x_i|, reconstructed as q_i * s / 127. Worst-case per-element
+error is s/254 (~0.4% of scale), which barely perturbs dot-product
+rankings — measured recall vs exact search is asserted in
+tests/test_ann_recall.py.
+
+Everything is built-in array expressions (JVM-side, codegen); the DuckDB
+oracle applies the identical arithmetic, so quantized search results are
+value-verified cross-engine like every other operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _rank_topk
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``qscale`` (double) and ``qemb`` (array<tinyint>) columns; the
+    float vector column is dropped. Zero vectors get scale 1 (all-zero
+    codes) to avoid a 0/0."""
+    scale = F.expr(
+        f"greatest(aggregate({vec_col}, CAST(0 AS DOUBLE), "
+        f"(a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-30D)"
+    )
+    return (
+        df.withColumn("qscale", scale)
+        .withColumn(
+            "qemb",
+            F.expr(
+                f"transform({vec_col}, x -> "
+                "CAST(round(CAST(x AS DOUBLE) / qscale * 127) AS TINYINT))"
+            ),
+        )
+        .drop(vec_col)
+    )
+
+
+def dequantized_dot(q_vec: str, scale_col: str, f_vec: str, dim: int) -> F.Column:
+    """dot(reconstructed int8 vector, float vector) as one fused array
+    expression: sum_i (q_i * s / 127) * y_i."""
+    return F.expr(
+        f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), (acc, i) -> "
+        f"acc + (CAST(element_at({q_vec}, i) AS DOUBLE) * {scale_col} / 127.0D)"
+        f" * CAST(element_at({f_vec}, i) AS DOUBLE))"
+    )
+
+
+def brute_force_topk_int8(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5
+) -> DataFrame:
+    """Exact-scan top-k over an int8-quantized corpus (queries stay
+    float): the plan of similarity.brute_force_topk with the corpus
+    embedding column 3.7× smaller — same broadcast of the query set, the
+    (now much lighter) corpus never shuffles."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = quantize_embeddings(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score_raw", dequantized_dot("qemb", "qscale", "qe", dim))
+    )
+    return _rank_topk(scored, k)

@@ -113,6 +113,18 @@ def test_ivf_trained_recall_and_nprobe_monotone(corpus_queries, truth):
     assert r4 >= 0.85, f"ivf_trained nprobe=4 recall@5 {r4:.3f} < 0.85"
 
 
+def test_int8_quantized_search_recall(corpus_queries, truth):
+    # Symmetric max-abs int8 quantization (3.7x smaller corpus column)
+    # must barely perturb rankings: per-element error <= scale/254.
+    from gcp_serverless_etl_pipeline_lab_spark.operators.quantize import (
+        brute_force_topk_int8,
+    )
+
+    corpus, queries = corpus_queries
+    r = _recall(truth, brute_force_topk_int8(corpus, queries, EMB_DIM))
+    assert r >= 0.9, f"int8 brute-force recall@5 {r:.3f} < 0.9"
+
+
 def test_ivf_trained_model_reuse_identical(corpus_queries):
     # fit once / query many: passing a pre-trained model must produce
     # byte-identical results to retraining (training is deterministic).

@@ -163,3 +163,47 @@ def test_pack_sequences_invariants(spark):
     # oversized doc occupies its own sequence; next doc starts a new one
     assert rows[1].seq_id == 0 and rows[1].n_tokens == 150
     assert rows[5].seq_id == 1
+
+
+def test_chunk_documents_geometry(spark):
+    """Every token covered; consecutive chunks share exactly `overlap`
+    tokens; short docs yield one chunk; chunk text round-trips."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc only")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=20, overlap=5)
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    )
+    # doc 1: stride 15, ceil((50-5)/15)=3 chunks: [0:20], [15:35], [30:50]
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert [r[2] for r in d1] == [20, 20, 20]
+    assert d1[0][3].split(" ") == words[0:20]
+    assert d1[1][3].split(" ") == words[15:35]
+    assert d1[2][3].split(" ") == words[30:50]
+    # overlap: last 5 of chunk 0 == first 5 of chunk 1
+    assert d1[0][3].split(" ")[-5:] == d1[1][3].split(" ")[:5]
+    # doc 2: single chunk, intact text
+    d2 = [r for r in rows if r[0] == 2]
+    assert len(d2) == 1 and d2[0][3] == "short doc only" and d2[0][2] == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from gcp_serverless_etl_pipeline_lab_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    try:
+        chunk_documents(docs, max_tokens=10, overlap=10)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
