@@ -870,6 +870,63 @@ def prep_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5
+_DECON_MIN = 3
+_DECON_SHINGLES = word_ngrams_duck("t", _DECON_N)
+
+
+@register(
+    "decontamination_report",
+    # eval set = every 97th base doc; train = the dup-synthesized corpus
+    # minus the eval docs themselves. The synthesized exact/near copies of
+    # eval docs are the planted contamination the report must find.
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    evalset AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    train AS (
+      SELECT doc_id, text FROM corpus
+      WHERE doc_id NOT IN (SELECT doc_id FROM evalset)
+    ),
+    eg AS (
+      SELECT DISTINCT unnest(sh) AS g FROM (
+        SELECT {_DECON_SHINGLES} AS sh
+        FROM (SELECT string_split(text, ' ') AS t FROM evalset)
+      )
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS g FROM (
+        SELECT doc_id, {_DECON_SHINGLES} AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train)
+      )
+    )
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM tg JOIN eg USING (g)
+    GROUP BY doc_id HAVING COUNT(*) >= {_DECON_MIN}
+    ORDER BY doc_id
+    """,
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram overlap check (operators/decontaminate.py): the
+    dup-synthesized corpus is the training side, every 97th base document
+    is the 'benchmark'; the planted exact/near copies of eval docs must be
+    flagged."""
+    from .operators.decontaminate import contamination_report
+    from .sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    evalset = base.filter(F.col("doc_id") % 97 == 0)
+    train = _doc_corpus(spark, sf_dir).join(
+        evalset.select("doc_id"), "doc_id", "left_anti"
+    )
+    return contamination_report(train, evalset, n=_DECON_N, min_shared=_DECON_MIN)
+
+
+# ---------------------------------------------------------------------------
 # Document chunking
 # ---------------------------------------------------------------------------
 

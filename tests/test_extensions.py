@@ -207,3 +207,31 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_contamination_report_thresholds(spark):
+    """A train doc containing an eval doc's 7-word span shares exactly
+    3 distinct 5-gram shingles; unrelated docs share none; min_shared
+    gates the flag."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the full 7-word eval span -> 3 shared 5-grams
+            (1, "intro words alpha beta gamma delta epsilon zeta eta outro"),
+            # shares only a 5-word span -> 1 shared 5-gram
+            (2, "x alpha beta gamma delta epsilon y"),
+            (3, "totally unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    r3 = {r.doc_id: r.n_shared for r in contamination_report(train, evalset, n=5, min_shared=3).collect()}
+    assert r3 == {1: 3}
+    r1 = {r.doc_id: r.n_shared for r in contamination_report(train, evalset, n=5, min_shared=1).collect()}
+    assert r1 == {1: 3, 2: 1}
