@@ -870,6 +870,55 @@ def prep_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted corpus mixing
+# ---------------------------------------------------------------------------
+
+# 4 weight tiers over the 20 synthetic sources; src15..src19 get no weight
+# and must vanish (a mixture is an allowlist).
+_MIX_WEIGHTS = {
+    **{f"src{i}": 1.0 for i in range(0, 5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.3 for i in range(10, 15)},
+}
+_MIX_THRESH_DUCK = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {int(round(w * 1_000_000))}"
+    for s, w in _MIX_WEIGHTS.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "corpus_mixture_report",
+    f"""
+    WITH kept AS (
+      SELECT source, text FROM documents
+      WHERE ({h60_duck("CAST(doc_id AS VARCHAR)")}) % 1000000
+            < {_MIX_THRESH_DUCK}
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source kept counts/tokens after weighted mixing
+    (operators/mixing.py): tiers 1.0/0.5/0.3 over src0..src14; unlisted
+    sources dropped entirely."""
+    from .operators.mixing import mix_corpus
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    mixed = mix_corpus(docs, _MIX_WEIGHTS)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.size(F.expr("split(text, ' ', -1)"))).alias("sum_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 

@@ -235,3 +235,26 @@ def test_contamination_report_thresholds(spark):
     assert r3 == {1: 3}
     r1 = {r.doc_id: r.n_shared for r in contamination_report(train, evalset, n=5, min_shared=1).collect()}
     assert r1 == {1: 3, 2: 1}
+
+
+def test_mix_corpus_allowlist_and_determinism(spark):
+    from gcp_serverless_etl_pipeline_lab_spark.operators.mixing import mix_corpus
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    mixed = mix_corpus(docs, weights)
+    kept_sources = {r.source for r in mixed.select("source").distinct().collect()}
+    # allowlist: unlisted and zero-weight sources vanish entirely
+    assert kept_sources <= {"src0", "src1"}
+    # weight 1.0 keeps everything
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert mixed.filter(F.col("source") == "src0").count() == n_src0
+    # deterministic: same rows on re-evaluation after a repartition
+    a = sorted(r.doc_id for r in mixed.collect())
+    b = sorted(r.doc_id for r in mix_corpus(docs.repartition(7), weights).collect())
+    assert a == b
+    try:
+        mix_corpus(docs, {"src0": 1.5})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
