@@ -24,11 +24,11 @@ from pyspark.sql import functions as F
 from ..functions.text import word_ngrams_sql
 
 
-def _distinct_grams(docs: DataFrame, n: int) -> DataFrame:
+def _grams(docs: DataFrame, n: int) -> DataFrame:
     toked = docs.select(
         "doc_id", F.expr("split(text, ' ', -1)").alias("t")
     ).select("doc_id", F.expr(word_ngrams_sql("t", n)).alias("sh"))
-    return toked.select("doc_id", F.explode("sh").alias("g")).distinct()
+    return toked.select("doc_id", F.explode("sh").alias("g"))
 
 
 def contamination_report(
@@ -40,11 +40,20 @@ def contamination_report(
     """(doc_id, text) train × (doc_id, text) eval → one row per
     contaminated train doc: (doc_id, n_shared) where n_shared is the
     number of DISTINCT n-gram shingles the doc shares with the union of
-    all eval docs, kept when >= min_shared."""
+    all eval docs, kept when >= min_shared.
+
+    Operator order matters at scale: the broadcast probe runs FIRST on the
+    raw gram stream (map-side, no shuffle) and only the surviving hit rows
+    are distinct-ed — so the one shuffle carries |matches|, not the full
+    corpus gram stream. distinct(matches) == matches(distinct), so
+    semantics are unchanged (and the oracle is order-free SQL). Local
+    sf0.1 wall-clock is unchanged by this ordering (map-side shingle
+    generation dominates there); the win is shuffle BYTES, which is the
+    binding constraint on a real cluster, where the match rate is tiny."""
     eval_grams = evalset.select(
         F.expr("split(text, ' ', -1)").alias("t")
     ).select(F.explode(F.expr(word_ngrams_sql("t", n))).alias("g")).distinct()
-    hits = _distinct_grams(train, n).join(F.broadcast(eval_grams), "g")
+    hits = _grams(train, n).join(F.broadcast(eval_grams), "g").distinct()
     return (
         hits.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
