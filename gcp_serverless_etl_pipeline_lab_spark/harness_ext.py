@@ -1085,6 +1085,86 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_score",
+    # Gopher/C4-style repetition signals: duplicate word-bigram fraction
+    # (array expression, map-side) and top-word dominance (one
+    # (doc_id, word) shuffle). Histogram over dominance deciles.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 2 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(
+                         list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+                       / (len(t) - 1) END AS dup_bigram_frac,
+             len(t) AS nt
+      FROM toks
+    ),
+    wc AS (
+      SELECT doc_id, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      GROUP BY doc_id, w
+    ),
+    topw AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    )
+    SELECT CAST(FLOOR(top_word_frac * 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(dup_bigram_frac), 4) AS avg_dup_bigram_frac,
+           ROUND(AVG(top_word_frac), 4) AS avg_top_word_frac
+    FROM bi JOIN topw USING (doc_id)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals per document, bucketed: duplicate-bigram
+    fraction (how much of the text is repeated word pairs) stays a pure
+    array expression; top-word dominance (most frequent word's share)
+    needs one (doc_id, word) shuffle. Both are standard repetitious-junk
+    filters in LLM corpus curation; a gate would drop docs past a
+    threshold — the histogram here makes both distributions oracle-visible."""
+    from .sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = d.select("doc_id", F.expr("split(text, ' ', -1)").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(t) < 2 THEN 0.0D ELSE "
+            "1.0D - CAST(size(array_distinct(transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))) AS DOUBLE)"
+            " / (size(t) - 1) END"
+        ).alias("dup_bigram_frac"),
+    )
+    topw = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"))
+    )
+    return (
+        bi.join(topw, "doc_id")
+        .select(
+            F.floor(F.col("top_word_frac") * 10).cast("int").alias("bucket"),
+            "dup_bigram_frac",
+            "top_word_frac",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_bigram_frac"), 4).alias("avg_dup_bigram_frac"),
+            F.round(F.avg("top_word_frac"), 4).alias("avg_top_word_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _FP_HASH_DUCK = h60_duck("substr(text, i, 5)")
 
 
