@@ -295,6 +295,12 @@ def kmeans_centroids(
     centroids = sorted(
         (int(r["cell"]), [float(x) for x in r["e"]]) for r in init
     )
+    if not centroids:
+        raise ValueError(
+            "empty centroid model (empty corpus?) — the coarse quantizer "
+            "needs at least one vector; use brute_force_topk for "
+            "degenerate corpora"
+        )
     for _ in range(iters):
         means = (
             _assign_cell(c, "e", centroids)
@@ -340,6 +346,11 @@ def ivf_trained_topk(
     """
     if model is None:
         model = kmeans_centroids(corpus, dim, k=cells, iters=iters)
+    if not model:
+        raise ValueError(
+            "empty centroid model (empty corpus?) — ivf_trained_topk needs "
+            "at least one cell; use brute_force_topk for degenerate corpora"
+        )
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )

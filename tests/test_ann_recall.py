@@ -151,3 +151,13 @@ def test_ivf_trained_returns_full_topk(corpus_queries):
     assert len(by_q) == queries.count()
     for q, ranks in by_q.items():
         assert sorted(ranks) == [1, 2, 3, 4, 5], (q, ranks)
+
+
+def test_ivf_trained_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="empty centroid model"):
+        similarity.ivf_trained_topk(empty, empty, EMB_DIM)
