@@ -920,3 +920,4 @@ def query_names() -> list[str]:
 # the bottom so `register` and `_t` exist when harness_ext imports them.
 from . import harness_ext  # noqa: E402,F401
 from . import harness_breadth  # noqa: E402,F401
+from . import harness_round4  # noqa: E402,F401

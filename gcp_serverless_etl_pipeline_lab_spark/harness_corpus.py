@@ -1,0 +1,46 @@
+"""Shared synthetic dup-corpus builders (Spark + DuckDB twins).
+
+The test tables contain no duplicates, so the dedup/cluster harness
+queries synthesize them deterministically: every 7th doc gets an exact
+copy (+1_000_000 id) and every 11th a near-copy with the first word
+dropped (+2_000_000 id). The DuckDB side rebuilds the identical corpus so
+detector output is verified value-for-value. Lives in its own module
+(not harness_ext) so any harness module can import it without touching
+the registration import cycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parallelize=True: documents is small (5 k rows at sf0.1, under the
+    # auto threshold) but the per-row shingle/signature work downstream is
+    # heavy, so a 32-way spread of the single-row-group scan pays for
+    # itself many times over.
+    from .sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+_DOC_CORPUS_DUCK = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 11 = 0
+)"""

@@ -34,35 +34,9 @@ EMB_DIM = 64
 # ---------------------------------------------------------------------------
 
 
-def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallelize=True: documents is small (5 k rows at sf0.1, under the
-    # auto threshold) but the per-row shingle/signature work downstream is
-    # heavy, so a 32-way spread of the single-row-group scan pays for
-    # itself many times over.
-    from .sources.tables import load_table
-
-    d = load_table(spark, sf_dir, "documents", parallelize=True).select(
-        "doc_id", "text"
-    )
-    exact = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    near = d.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    return d.unionAll(exact).unionAll(near)
-
-
-_DOC_CORPUS_DUCK = """
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
-  UNION ALL
-  SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
-  FROM documents WHERE doc_id % 11 = 0
-)"""
+# Shared with harness_round4 — see harness_corpus.py for the corpus
+# synthesis contract (exact copies every 7th doc, near copies every 11th).
+from .harness_corpus import _DOC_CORPUS_DUCK, _doc_corpus  # noqa: E402,F401
 
 
 def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,148 @@
+"""Duplicate-cluster resolution: connected components over dup-pair edges.
+
+Every pairwise dedup detector in this engine (`operators/dedup.py`) emits
+EDGES — (doc_a, doc_b) pairs above a similarity threshold. A real corpus
+dedup has one more step the pair lists don't give you: transitive closure.
+If A~B and B~C, then {A, B, C} is ONE duplicate cluster and exactly one
+member survives, even when A~C itself never scored above the threshold.
+This module resolves the pair graph into components with a join-based
+min-label propagation, entirely in DataFrame ops.
+
+Algorithm (iterative, driver-controlled loop):
+
+1. symmetrize the edge list (each undirected pair becomes two directed
+   rows) and seed every node with ``lbl = node``;
+2. each round, every node takes the min of its own label and its
+   neighbors' labels (one equi-join edges⋈labels + one groupBy-min);
+3. a path-compression step then replaces each node's label with its
+   label's label (one self-join of the label table) — pointer jumping,
+   which collapses chains geometrically so convergence is
+   O(log diameter) rounds rather than O(diameter);
+4. stop when a round changes no label (a single-row aggregate count —
+   the same driver-side gate pattern as plans/quality.py).
+
+Scale notes (100 TB):
+- Per round: one shuffle of the edge list (by src) + one shuffle of the
+  label table (by node) + the compression self-join. The edge list for
+  near-dup graphs is orders of magnitude smaller than the corpus — only
+  actual duplicates appear in it — so rounds are cheap relative to the
+  detection pass that produced the edges.
+- Each round's label table is ``localCheckpoint``-ed (eager). Lineage
+  truncation is NOT optional here: the compression step references the
+  propagated table twice, so without truncation the logical plan doubles
+  every round and Catalyst analysis goes exponential (measured: a
+  4-node path spent 5→7→10 s/round on plan analysis; with truncation,
+  rounds are flat). On a real cluster swap ``localCheckpoint`` for
+  ``df.checkpoint()`` with a reliable checkpoint dir — localCheckpoint
+  stores blocks on executors and is not fault-tolerant.
+- Labels are min-doc_id, so the component id is deterministic and
+  oracle-reproducible (DuckDB recursive CTE computes the same closure).
+
+Reference scope note: the reference pipeline
+(`/root/reference/dataflow/dataflow_transform.py:87-99`) dedups on exact
+id equality only — graph resolution is part of this engine's
+beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize_edges(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """(a, b) pairs in any orientation -> distinct directed (src, dst) rows
+    both ways. Self-loops are dropped (they carry no connectivity)."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionAll(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve an undirected pair list into components.
+
+    Returns (doc_id, cluster_id) for every node that appears in ``pairs``,
+    where ``cluster_id`` is the minimum doc_id of the node's component.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge (with
+    pointer jumping that would take a component of diameter > 2^max_iter).
+    """
+    # Materialize the pair list BEFORE symmetrizing: symmetrize is a
+    # two-scan union, and the pair list is usually the output of an
+    # expensive detection pipeline (shingle explode + groupBy) that must
+    # not run once per scan. Measured on the harness edge set at sf0.1:
+    # 20.4 s -> ~7 s for the whole query.
+    pairs = pairs.localCheckpoint(eager=True)
+    # Size the loop's partitioning to the EDGE data, not to whatever
+    # partition count the detection plan happened to end with (measured:
+    # an uncoalesced 112-partition edge table made every round's stages
+    # ~7× slower on a 2.3k-edge graph). ~500k edges per partition keeps a
+    # billion-edge graph at ~2k partitions and a test graph at 1.
+    n_pairs = pairs.count()
+    p = max(1, min(pairs.rdd.getNumPartitions(), n_pairs // 500_000 + 1))
+    edges = (
+        symmetrize_edges(pairs, a, b).repartition(p).localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .repartition(p)
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Propagate: each node adopts the min label among itself and its
+        # neighbors. The union keeps isolated-this-round nodes in place.
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        prop = (
+            labels.unionAll(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # Compress: lbl <- lbl(lbl). Labels only ever decrease, so a node
+        # whose label is already a component root is a fixed point.
+        parent = prop.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
+        new_labels = (
+            prop.join(parent, prop.lbl == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .repartition(p)
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def resolve_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Components + per-cluster size, ordered for deterministic output:
+    (cluster_id, doc_id, n_members). ``n_members`` counts nodes that
+    appear in the pair graph (every cluster therefore has >= 2)."""
+    cc = connected_components(pairs, a, b)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select("cluster_id", "doc_id", "n_members")
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -61,20 +61,24 @@ def _nn(col: F.Column) -> F.Column:
     return F.coalesce(col, F.lit(-1))
 
 
-def exact_dup_pairs(corpus: DataFrame) -> DataFrame:
+def exact_dup_pairs(corpus: DataFrame, ordered: bool = True) -> DataFrame:
     """Exact dedup: rows whose full text is byte-identical. First-wins by
     doc_id; returns (kept_id, dropped_id) pairs.
 
     At scale this is one hash-partitioned shuffle on md5(text) — the
-    cheapest possible dedup; run it before any near-dup pass."""
+    cheapest possible dedup; run it before any near-dup pass.
+
+    ``ordered=False`` skips the final global sort — for consumers that
+    re-shuffle anyway (e.g. cluster resolution), the sort's range-partition
+    sampling pass would recompute the upstream subtree for nothing."""
     keyed = corpus.select("doc_id", F.md5("text").alias("k"))
     kept = keyed.groupBy("k").agg(F.min("doc_id").alias("kept_id"))
-    return (
+    out = (
         keyed.join(kept, "k")
         .filter(F.col("doc_id") != F.col("kept_id"))
         .select("kept_id", F.col("doc_id").alias("dropped_id"))
-        .orderBy("kept_id", "dropped_id")
     )
+    return out.orderBy("kept_id", "dropped_id") if ordered else out
 
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; (a*h + b) stays in signed 64-bit
@@ -138,7 +142,10 @@ def cap_document_frequency(grams: DataFrame, max_df: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    corpus: DataFrame, threshold: float = 0.8, max_df: int | None = None
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (the ground-truth baseline
     MinHash approximates). One groupBy(gram) builds the sorted per-gram doc
@@ -186,7 +193,7 @@ def ngram_jaccard_pairs(
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -197,8 +204,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 def minhash_lsh_pairs(
