@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.hashing import h60_duck
 from .functions.text import word_ngrams_duck
 from .harness import _t, register
 from .harness_corpus import _DOC_CORPUS_DUCK, _doc_corpus
@@ -103,3 +104,275 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cluster.resolve_clusters(edges)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "vector")
+
+
+@register(
+    "bm25_keyword_search",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query over the documents table.
+
+    The reference has no retrieval surface (its queries are aggregate
+    reports, `/root/reference/composer/sales_etl_dag.py:60-88`); this is
+    part of the beyond-reference training-data toolkit.
+    """
+    from .operators.retrieval import bm25_topk
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill + LOCF
+# ---------------------------------------------------------------------------
+#
+# Events are thinned to event_id % 7 == 0 so ~2/3 of the hourly buckets
+# are genuinely empty (1241 of 3600 filled at sf0.01) — the spine and the
+# carry both do real work. Bounds come from the THINNED stream on both
+# sides.
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH f AS (
+      SELECT event_type, ts, value FROM events WHERE event_id % 7 = 0
+    ),
+    hourly AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS v
+      FROM f GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM f
+    ),
+    keys AS (SELECT DISTINCT event_type AS key FROM f),
+    spine AS (
+      SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM keys CROSS JOIN bounds
+    ),
+    j AS (
+      SELECT s.key, s.h, COALESCE(hourly.n, 0) AS n_events, hourly.v AS v
+      FROM spine s
+      LEFT JOIN hourly ON hourly.key = s.key AND hourly.h = s.h
+    )
+    SELECT key, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start, n_events,
+           COALESCE(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(-1 AS BIGINT)) AS v_filled_cents,
+           v IS NULL AS was_gap
+    FROM j
+    ORDER BY key, bucket_start
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import gapfill_locf
+
+    thinned = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    out = gapfill_locf(thinned, key_col="event_type", bucket="1 hour", cents_avg=True)
+    # Leading gaps (before a key's first bucket) are semantically NULL;
+    # the harness emits them as -1 so the oracle channel never carries a
+    # nullable numeric (pandas lowers SQL NULL to NaN).
+    return out.select(
+        "key",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        F.coalesce(F.col("v_filled"), F.lit(-1).cast("long")).alias("v_filled_cents"),
+        "was_gap",
+    ).orderBy("key", "bucket_start")
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling + sketch-based approximate distinct
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"A": 0.02, "N": 0.05, "R": 0.10}
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH rates(l_returnflag, thresh) AS (VALUES ('A', 200), ('N', 500), ('R', 1000))
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+    FROM lineitem JOIN rates USING (l_returnflag)
+    WHERE {h60_duck("l_orderkey || '#' || l_linenumber")} % 10000 < thresh
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates 2%/5%/10% by l_returnflag, identity-hash
+    membership (reproducible across engines/partitionings — see
+    operators/sampling.py)."""
+    from .operators.sampling import stratified_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    sampled = stratified_sample(
+        li, "l_returnflag", _STRATA_RATES, "l_orderkey || '#' || l_linenumber"
+    )
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_distinct_users",
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_ok
+    FROM events
+    """,
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user count with an honest oracle contract.
+
+    Sketch values are engine-specific (Spark HLL++ vs DuckDB's HLL give
+    different estimates for the same data), so the cross-engine gate is:
+    the EXACT count matches, and Spark's sketch lands within the
+    configured rsd band of it (asserted as a boolean both engines emit).
+    At 100 TB the sketch is the operative path — approx_count_distinct
+    is a single map-side-combinable aggregate, while exact COUNT(DISTINCT)
+    shuffles every distinct key; rsd=0.02 keeps the sketch ~4 KB/group.
+    """
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval/range join
+# ---------------------------------------------------------------------------
+#
+# Intervals are carved from the event stream itself: every event with
+# event_id % 499 == 0 anchors a window [ts, ts + (event_id % 3 + 1) hours).
+# The join attributes every event (all types) to the windows containing
+# it — the "what happened during each incident/campaign" shape.
+
+
+@register(
+    "range_join_bucketed",
+    """
+    WITH iv AS (
+      SELECT event_id AS interval_id, ts AS start,
+             ts + INTERVAL 1 HOUR * (event_id % 3 + 1) AS "end"
+      FROM events WHERE event_id % 499 = 0
+    )
+    SELECT iv.interval_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events e JOIN iv
+      ON e.ts >= iv.start AND e.ts < iv."end"
+    GROUP BY iv.interval_id
+    ORDER BY iv.interval_id
+    """,
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import interval_bucket_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_id") % 499 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        F.expr("ts + make_interval(0, 0, 0, 0, CAST(event_id % 3 + 1 AS INT), 0, 0)").alias("end"),
+    )
+    joined = interval_bucket_join(ev, iv, ts_col="ts", bucket_unit="hour")
+    return (
+        joined.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph over the embedding corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_graph_blocked",
+    f"""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS s
+        FROM c a JOIN c b ON a.label = b.label AND a.vec_id <> b.vec_id
+      )
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_graph_blocked as knn
+    from .sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    out = knn(emb, 64, k=3, block_col="label")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

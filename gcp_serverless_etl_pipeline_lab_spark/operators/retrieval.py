@@ -1,0 +1,86 @@
+"""Lexical retrieval: BM25 top-k keyword search over a document corpus.
+
+The inverted-index complement to the embedding ANN operators
+(`operators/similarity.py`) — a training-data pipeline uses both: lexical
+search for targeted corpus probes (contamination hunts, boilerplate
+audits), ANN for semantic ones.
+
+Plan shape (all built-in expressions, zero UDFs, zero collects):
+
+- document length comes from ``size(split(text))`` — a map-side
+  projection, NOT an explode+groupBy (no shuffle for the length pass);
+- term frequencies explode tokens but filter to the query terms FIRST —
+  the filter sits directly on the generator output, so only matching
+  tokens reach the (doc, term) aggregation. With q query terms the
+  shuffle carries at most q rows per document, independent of document
+  length;
+- document frequency, corpus size, and average length are one tiny
+  aggregate each, broadcast back into the scoring join;
+- top-k is a TakeOrdered on (score desc, doc_id) — no global sort.
+
+At 100 TB none of this shuffles the corpus: the only corpus-wide work is
+the token scan itself; everything aggregated is per-(doc,term) for terms
+the query names.
+
+Determinism: scores are ROUND(..., 4)-ed BEFORE ranking so both engines
+rank identical values (double Σ of ln/div terms can differ in the last
+ulp between engines with different reduction order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 over whitespace tokens.
+
+    Returns (doc_id, n_terms, score): ``n_terms`` = distinct query terms
+    the doc matched, ``score`` = BM25 with the +1 idf smoothing
+    (ln(1 + (N - df + 0.5)/(df + 0.5))), rounded to 4 decimals.
+    """
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ", -1)).alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(idf * norm), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

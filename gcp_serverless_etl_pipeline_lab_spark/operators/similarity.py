@@ -404,3 +404,38 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5) -> Dat
         .withColumn("score_raw", _dot("qe", "ce", dim))
     )
     return _rank_topk(scored, k)
+
+
+def knn_graph_blocked(
+    corpus: DataFrame, dim: int, k: int = 3, block_col: str = "label"
+) -> DataFrame:
+    """k-NN GRAPH: top-k neighbors for EVERY corpus vector (not just a
+    query set) by cosine, restricted to the vector's coarse block.
+
+    The all-to-all variant of the search operators above — the structure
+    semantic-dedup clustering, diversity sampling, and graph-based label
+    propagation consume. Within-block exact scoring is the right plan
+    when blocks are balanced: one shuffle of the corpus by block key,
+    then each block's pairs are generated and scored locally; nothing
+    quadratic in the CORPUS, only in the block. At 100 TB the block
+    column is a trained coarse cell (ivf_topk's k-means) and a hot block
+    is sub-divided with the sign-LSH trick from
+    dedup.embedding_cosine_pairs; candidates could equally come from
+    lsh_topk_multitable when no natural block exists.
+    """
+    a = corpus.select(
+        block_col,
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    b = corpus.select(
+        block_col,
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        a.join(b, block_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score_raw", _dot("qe", "ce", dim))
+    )
+    return _rank_topk(scored, k)
