@@ -376,3 +376,40 @@ def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     out = knn(emb, 64, k=3, block_col="label")
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_attribution",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS vts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id AS user_id, view_id, purchase_id,
+           CAST(date_diff('second', vts, pts) AS BIGINT) AS lag_seconds
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND pts >= vts AND pts < vts + INTERVAL 1 HOUR
+    ORDER BY v.user_id, view_id, purchase_id
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch run of streaming/join_stream.attribute_conversions — the
+    SAME builder that runs as a watermarked append-mode stream-stream
+    join (parity test in tests/test_streaming.py), oracle-gated here on
+    its batch output."""
+    from .streaming.join_stream import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).orderBy("user_id", "view_id", "purchase_id")

@@ -54,13 +54,23 @@ def _scan_units(path: str) -> tuple[int, int]:
 
 
 def convert_nanos_ts(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) columns arrive as raw nanosecond longs (see
-    session.RUNTIME_CONF); truncate to µs exactly like DuckDB/Arrow do.
-    Integer division — double division loses precision at ~1e18 ns.
+    """Normalize the event-time column to TIMESTAMP (ltz), whatever the
+    parquet wrote:
+
+    - TIMESTAMP(NANOS) arrives as raw nanosecond longs (see
+      session.RUNTIME_CONF) → truncate to µs exactly like DuckDB/Arrow
+      do. Integer division — double division loses precision at ~1e18 ns.
+    - TIMESTAMP_NTZ (µs, how the driver-regenerated round-4 testdata is
+      written) → cast to ltz. The session pins UTC, so the cast is
+      value-preserving — and watermarks/streaming event time REQUIRE ltz
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+
     Shared by the batch loader and streaming file sources."""
     for col, dtype in df.dtypes:
         if col == "ts" and dtype == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif col == "ts" and dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -238,3 +238,49 @@ def test_batch_dedup_content_twin(spark):
     out = dedup_stream_content(doubled)
     assert out.count() == docs.select(F.md5("text")).distinct().count()
     assert "_content_k" not in out.columns
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked view->purchase attribution: append-mode stream-stream
+    inner join equals the same builder run on batch inputs."""
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import convert_nanos_ts
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.join_stream import (
+        attribute_conversions,
+    )
+
+    events_file = os.path.join(SF_SMOKE, "events.parquet")
+    batch_events = load_table(spark, SF_SMOKE, "events")
+    batch = attribute_conversions(
+        batch_events.filter(F.col("event_type") == "view"),
+        batch_events.filter(F.col("event_type") == "purchase"),
+    ).orderBy("user_id", "view_id", "purchase_id")
+
+    src_dir = tmp_path / "ss_src"
+    src_dir.mkdir()
+    os.symlink(events_file, src_dir / "part-0.parquet")
+    raw_schema = spark.read.parquet(events_file).schema
+
+    def stream():
+        return convert_nanos_ts(
+            spark.readStream.schema(raw_schema).parquet(str(src_dir))
+        )
+
+    out = attribute_conversions(
+        stream().filter(F.col("event_type") == "view"),
+        stream().filter(F.col("event_type") == "purchase"),
+    )
+    name = "t_" + os.urandom(4).hex()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(name).orderBy("user_id", "view_id", "purchase_id")
+
+    b_rows = [r.asDict() for r in batch.collect()]
+    s_rows = [r.asDict() for r in streamed.collect()]
+    assert len(b_rows) > 0
+    assert b_rows == s_rows
