@@ -14,8 +14,13 @@ Plan shape (all built-in expressions, zero UDFs, zero collects):
   tokens reach the (doc, term) aggregation. With q query terms the
   shuffle carries at most q rows per document, independent of document
   length;
-- document frequency, corpus size, and average length are one tiny
-  aggregate each, broadcast back into the scoring join;
+- document frequency is a count-window OVER the tf table (partition by
+  term), not a separate aggregate joined back — the join spelling made
+  Catalyst recompute the whole explode pipeline a second time for the
+  df branch (two Generate passes in the physical plan; the window
+  spelling has one). The window's shuffle moves ≤ q rows per doc;
+- corpus size and average length are one tiny aggregate, broadcast into
+  the scoring join;
 - top-k is a TakeOrdered on (score desc, doc_id) — no global sort.
 
 At 100 TB none of this shuffles the corpus: the only corpus-wide work is
@@ -29,7 +34,7 @@ ulp between engines with different reduction order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,7 +69,9 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
@@ -73,8 +80,7 @@ def bm25_topk(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     return (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
+        tfdf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
