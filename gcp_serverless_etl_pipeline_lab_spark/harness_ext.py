@@ -236,17 +236,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
-def _bucket_duck(vec: str, dim: int) -> str:
-    bits = []
-    for h in range(similarity.NUM_PLANES):
-        w = h60_duck(f"'lsh|' || '{h}' || '|' || CAST(i AS VARCHAR)")
-        proj = (
-            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
-            f"CAST(({w}) % {similarity.PLANE_MOD} - {similarity.PLANE_SHIFT} AS DOUBLE)"
-            f" * {vec}[i]))"
-        )
-        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END")
-    return " + ".join(bits)
+# moved to operators/similarity.bucket_duck so harness_round4 can share it
+_bucket_duck = similarity.bucket_duck
 
 
 @register(

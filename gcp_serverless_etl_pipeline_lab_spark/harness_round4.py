@@ -413,3 +413,209 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     ).orderBy("user_id", "view_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-RANGE window (distinct from the rows-frame window family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_1h",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           COUNT(*) OVER w AS rolling_n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS rolling_sum_cents
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour count/sum — a RANGE frame over event time,
+    not a rows frame: the window covers whatever number of events fell in
+    the trailing hour. Frames are bounded by ordering on epoch
+    MICROSECONDS on both engines (a seconds-granularity ordering would
+    disagree with the oracle on sub-second boundary events). Values in
+    integer cents (see operators/timeseries.py for the double-rounding
+    rationale). One shuffle by user_id; each partition sorts its own
+    events — the same layout a 1000-executor run wants."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("rolling_sum_cents"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# CDC-style merge: last-writer-wins upsert without a table format
+# ---------------------------------------------------------------------------
+#
+# Two synthetic update batches against orders (version 1 touches every
+# 13th key, version 2 every 26th — so half the v1 keys CONFLICT and v2
+# must win). The merge is the relational core of MERGE INTO: union the
+# base with all update batches, keep the highest-version row per key.
+
+
+@register(
+    "merge_upsert_last_wins",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             0 AS version
+      FROM orders
+    ),
+    u1 AS (
+      SELECT k, 'U1' AS status, price_cents + 10000, 1 FROM base WHERE k % 13 = 0
+    ),
+    u2 AS (
+      SELECT k, 'U2' AS status, price_cents + 20000, 2 FROM base WHERE k % 26 = 0
+    ),
+    allv AS (
+      SELECT * FROM base UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM u2
+    ),
+    merged AS (
+      SELECT * FROM (
+        SELECT k, status, price_cents,
+               row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        FROM allv
+      ) WHERE rn = 1
+    )
+    SELECT status, COUNT(*) AS n,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+    FROM merged GROUP BY status ORDER BY status
+    """,
+)
+def merge_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert, last writer wins) as a pure
+    DataFrame plan: union base + update batches, one window by key
+    ordered by version desc, keep rank 1. At 100 TB this is ONE shuffle
+    of base+updates by key — the same cost profile a format-native MERGE
+    pays in its join — and it needs no table format. The versioned
+    warehouse sink (sinks.py) provides the time-travel half of that
+    story; together they bracket what delta-spark would give us (COVERAGE
+    documents the skip)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.lit(0).alias("version"),
+    )
+    u1 = base.filter(F.col("k") % 13 == 0).select(
+        "k", F.lit("U1").alias("status"),
+        (F.col("price_cents") + 10000).alias("price_cents"), F.lit(1).alias("version"),
+    )
+    u2 = base.filter(F.col("k") % 26 == 0).select(
+        "k", F.lit("U2").alias("status"),
+        (F.col("price_cents") + 20000).alias("price_cents"), F.lit(2).alias("version"),
+    )
+    allv = base.unionAll(u1).unionAll(u2)
+    w = Window.partitionBy("k").orderBy(F.desc("version"))
+    merged = (
+        allv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency bucketing (ntile) of documents by length
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_ntile_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def doc_length_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile bucketing by document length — the
+    curriculum/length-bucketed-batching primitive. ntile needs a TOTAL
+    order (doc_id tiebreak) to be engine-deterministic. Note the global
+    ORDER BY inside the window: a single-partition sort, fine for
+    bucket-count ≪ corpus statistics but the 100 TB path is
+    approx-quantile cutpoints (a8_stats_aggregates documents the same
+    swap) — this query is the exact-semantics baseline."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "n_chars",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("bucket"),
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph, LSH-candidate variant (the 100 TB spelling)
+# ---------------------------------------------------------------------------
+
+from .operators import similarity as _sim  # noqa: E402
+
+
+@register(
+    "knn_graph_lsh",
+    f"""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT vec_id, label, e, {_sim.bucket_duck('e', 64)} AS bkt FROM c),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS s
+      FROM vb a JOIN vb b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+       AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b.bkt AS BIGINT))) <= 1
+    )
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    out = _sim.knn_graph_lsh(emb, 64, k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -439,3 +439,68 @@ def knn_graph_blocked(
         .withColumn("score_raw", _dot("qe", "ce", dim))
     )
     return _rank_topk(scored, k)
+
+
+def bucket_duck(vec: str, dim: int) -> str:
+    """DuckDB twin of ``_bucket_expr`` — the identical 8-plane sign bucket
+    as SQL over a double-list column. Lives next to the engine expression
+    so the two stay in lockstep; imported by the harness oracles."""
+    from ..functions.hashing import h60_duck
+
+    bits = []
+    for h in range(NUM_PLANES):
+        w = h60_duck(f"'lsh|' || '{h}' || '|' || CAST(i AS VARCHAR)")
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(({w}) % {PLANE_MOD} - {PLANE_SHIFT} AS DOUBLE)"
+            f" * {vec}[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END")
+    return " + ".join(bits)
+
+
+def knn_graph_lsh(corpus: DataFrame, dim: int, k: int = 3) -> DataFrame:
+    """Approximate k-NN graph: same output shape as ``knn_graph_blocked``
+    but candidates come from the label block AND the hamming<=1 sign-LSH
+    multiprobe (dedup.cosine_candidate_pairs) instead of block-exhaustive
+    pairs.
+
+    This is the 100 TB spelling: ``knn_graph_blocked`` is quadratic in
+    its largest block (a label owning 30% of a 10x corpus makes it melt —
+    measured in SCALE_STRESS.json), while this plan's candidate count per
+    vector is bounded by the bucket occupancy (~(1+P)/2^P of the block
+    for unrelated vectors, ~3.5% at P=8). The price is recall: a true
+    neighbor separated by >1 plane bits is missed; near-parallel
+    neighbors (the ones that matter for dedup/curation) land in the same
+    or an adjacent bucket with probability ≈ (1-θ/π)^8 → ~1 as θ → 0."""
+    from .dedup import cosine_candidate_pairs
+
+    v = corpus.select("vec_id", "label", "embedding")
+    cand = cosine_candidate_pairs(v, dim)  # one row per unordered pair (id_a < id_b)
+    q = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qe"))
+    c = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("ce"))
+    half = (
+        cand.join(q, "id_a")
+        .join(c, "id_b")
+        .withColumn("s", _dot("qe", "ce", dim))
+    )
+    # The dot is symmetric, so each scored pair serves both directions —
+    # emit them with ONE generator instead of a union of two scans of the
+    # candidate join (a union recomputes the join + dot per branch).
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("s").alias("score_raw"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("query_id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("s").alias("score_raw"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return _rank_topk(scored, k)

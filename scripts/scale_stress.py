@@ -45,7 +45,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from gcp_serverless_etl_pipeline_lab_spark.operators import dedup, similarity  # noqa: E402
+from gcp_serverless_etl_pipeline_lab_spark.operators import cluster, dedup, similarity  # noqa: E402
 from gcp_serverless_etl_pipeline_lab_spark.session import get_session  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -187,6 +187,28 @@ def _ops(spark: SparkSession, path: str):
         "ann_ivf_trained": lambda: similarity.ivf_trained_topk(
             embs, queries, EMB_DIM, cells=8, iters=2, nprobe=2
         ),
+        # Cluster resolution consumes the capped ngram + exact pair sets;
+        # growth should track the (linear) growth of the edge set, with a
+        # constant number of CC rounds (components never span replicas).
+        "dedup_cluster_resolve": lambda: cluster.resolve_clusters(
+            dedup.exact_dup_pairs(docs, ordered=False)
+            .select(
+                F.col("kept_id").alias("doc_a"), F.col("dropped_id").alias("doc_b")
+            )
+            .unionAll(
+                dedup.ngram_jaccard_pairs(
+                    docs, threshold=0.8, max_df=NGRAM_MAX_DF, ordered=False
+                ).select("doc_a", "doc_b")
+            )
+        ),
+        # Exact block-local kNN: EXPECTED to go quadratic in the hot label
+        # (30% of vectors share label 99) — the measured melt that
+        # motivates the LSH variant below.
+        "knn_graph_blocked": lambda: similarity.knn_graph_blocked(
+            embs, EMB_DIM, k=3
+        ),
+        # LSH-candidate kNN: hamming<=1 multiprobe bounds the hot block.
+        "knn_graph_lsh": lambda: similarity.knn_graph_lsh(embs, EMB_DIM, k=3),
     }
 
 
@@ -266,12 +288,34 @@ def main() -> None:
         "ngram_max_df": NGRAM_MAX_DF,
         "ops": table,
     }
-    if op_filter and os.path.isfile(out_path):
-        # partial rerun: merge the re-measured ops into the existing file
+    if os.path.isfile(out_path):
+        # partial rerun (subset of ops and/or scales): deep-merge the
+        # re-measured x{n} entries into the existing per-op dicts, then
+        # recompute growth over ALL scales present — a naive dict update
+        # dropped x1/x3 when only x10 was rerun.
         with open(out_path) as fh:
             prev = json.load(fh)
         prev["corpus_rows"].update(out["corpus_rows"])
-        prev["ops"].update(out["ops"])
+        for name, entry in out["ops"].items():
+            merged = prev["ops"].get(name, {})
+            merged.update(
+                {k: v for k, v in entry.items() if k.startswith("x")}
+            )
+            xs = sorted(
+                (int(k[1:]) for k in merged if k.startswith("x"))
+            )
+            lo_k, hi_k = f"x{xs[0]}", f"x{xs[-1]}"
+            growth = merged[hi_k]["sec"] / max(merged[lo_k]["sec"], 1e-9)
+            ratio2 = xs[-1] / xs[0]
+            merged.update(
+                time_growth=round(growth, 2),
+                data_growth=ratio2,
+                subquadratic=growth < ratio2 * ratio2 * 0.5,
+            )
+            prev["ops"][name] = merged
+        prev["scales"] = sorted(
+            set(prev.get("scales", [])) | set(out["scales"])
+        )
         out = prev
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=2)
