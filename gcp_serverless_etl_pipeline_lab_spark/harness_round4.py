@@ -619,3 +619,106 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     out = _sim.knn_graph_lsh(emb, 64, k=3)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON property extraction over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction in the hot path: get_json_object stays
+    JVM-side (no UDF) and evaluates map-side during the scan; only the
+    extracted bigint rides the aggregation shuffle. At 100 TB prefer
+    from_json with an explicit schema once fields stabilize (single parse
+    for many fields vs one parse per get_json_object call)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k).alias("sum_k"),
+            F.count_distinct(k).alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel analysis: signup -> view -> purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_signup_view_purchase",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS v_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_view_after_signup,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_view
+    """,
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users whose first signup precedes a
+    view precedes a purchase. Each stage is one filtered aggregation
+    joined to the previous stage's (user, first_ts) — stage tables shrink
+    monotonically, so at scale each join is a broadcast of survivors
+    against the event scan. The funnel-step predicate (ts >= previous
+    stage's first ts) evaluates map-side."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
