@@ -722,3 +722,173 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-batch dedup: a new day's batch vs the existing base corpus
+# ---------------------------------------------------------------------------
+#
+# Batch synthesis (mirrored in the oracle): every 5th base doc
+# re-submitted byte-identical (+3M ids), every 9th with its first word
+# dropped (+4M, near-dup), every 4th token-REVERSED (+5M — shares ~no
+# 3-grams with the base: genuinely new).
+
+
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH batch AS (
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 4000000, substr(text, strpos(text, ' ') + 1)
+      FROM documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id + 5000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    exact AS (
+      SELECT b.doc_id FROM batch b
+      WHERE md5(b.text) IN (SELECT md5(text) FROM documents)
+    ),
+    tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch),
+    shb AS (SELECT doc_id AS new_id, {word_ngrams_duck("t", 3)} AS shingles FROM tb),
+    tbase AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shbase AS (SELECT doc_id AS base_id, {word_ngrams_duck("t", 3)} AS shingles FROM tbase),
+    gn AS (SELECT new_id, unnest(shingles) AS g FROM shb),
+    gb AS (SELECT base_id, unnest(shingles) AS g FROM shbase),
+    inter AS (
+      SELECT new_id, base_id, COUNT(*) AS i
+      FROM gn JOIN gb USING (g) GROUP BY new_id, base_id
+    ),
+    near AS (
+      SELECT DISTINCT new_id AS doc_id FROM (
+        SELECT new_id, base_id,
+               CAST(i AS DOUBLE) /
+               (sn.sz + sb2.sz - i) AS jaccard
+        FROM inter
+        JOIN (SELECT new_id, len(shingles) AS sz FROM shb) sn USING (new_id)
+        JOIN (SELECT base_id, len(shingles) AS sz FROM shbase) sb2 USING (base_id)
+      ) WHERE jaccard >= 0.8
+    )
+    SELECT category, COUNT(*) AS n,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (
+      SELECT b.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS category
+      FROM batch b
+      LEFT JOIN exact e ON e.doc_id = b.doc_id
+      LEFT JOIN near nr ON nr.doc_id = b.doc_id
+    )
+    GROUP BY category
+    ORDER BY category
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import classify_batch
+    from .sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    resub = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    fresh = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ", -1)), " ").alias("text"),
+    )
+    batch = resub.unionAll(near).unionAll(fresh)
+    out = classify_batch(batch, base, threshold=0.8, max_df=100_000)
+    return (
+        out.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph (fixed-point integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+
+
+def _pr_iter_duck(prev: str, k: int) -> str:
+    return f"""
+    r{k} AS (
+      SELECT nd.node,
+             CAST((SELECT (15 * {_PR_SCALE}) // (100 * n) FROM nn) +
+                  COALESCE(fl.inflow, 0) AS BIGINT) AS rank_fp
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((85 * p.rank_fp) // (100 * od.od)) AS BIGINT) AS inflow
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN od ON od.src = e.src
+        GROUP BY e.dst) fl ON fl.node = nd.node
+    )"""
+
+
+@register(
+    "graph_pagerank_knn",
+    f"""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS qa, b.vec_id AS nb,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS s
+      FROM c a JOIN c b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    edges AS (
+      SELECT qa AS src, nb AS dst FROM (
+        SELECT qa, nb, row_number() OVER (PARTITION BY qa ORDER BY s DESC, nb) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS rank_fp
+      FROM nodes CROSS JOIN nn
+    ),
+    {_pr_iter_duck("r0", 1)},
+    {_pr_iter_duck("r1", 2)},
+    {_pr_iter_duck("r2", 3)}
+    SELECT node, rank_fp FROM r3
+    ORDER BY rank_fp DESC, node
+    LIMIT 20
+    """,
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 central vectors of the exact blocked kNN graph by 3-round
+    fixed-point PageRank (operators/graphrank.py). Centrality over the
+    neighbor graph = prototypicality; the tail end of the same ranking
+    is an outlier signal. All arithmetic BIGINT, bit-identical across
+    engines."""
+    from .operators.graphrank import pagerank_fixed_point
+    from .operators.similarity import knn_graph_blocked as knn
+    from .sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    edges = knn(emb, 64, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    ranks = pagerank_fixed_point(edges, iters=3)
+    return ranks.orderBy(F.desc("rank_fp"), "node").limit(20)

@@ -30,7 +30,7 @@ import pytest
 from gcp_serverless_etl_pipeline_lab_spark.harness_ext import EMB_DIM, _sim_queries
 from gcp_serverless_etl_pipeline_lab_spark.operators import similarity
 
-from conftest import SF_ORACLE
+from conftest import SF_ORACLE, SF_SMOKE
 
 
 @pytest.fixture(scope="module")
@@ -161,3 +161,30 @@ def test_ivf_trained_empty_corpus_raises(spark):
     )
     with _pytest.raises(ValueError, match="empty centroid model"):
         similarity.ivf_trained_topk(empty, empty, EMB_DIM)
+
+
+def test_knn_graph_lsh_recall_vs_exact(spark):
+    """knn_graph_lsh's contract: TRUE near-duplicates are always found;
+    weakly-similar exact-top-3 on random vectors are not preserved (the
+    hamming<=1 probe keeps pairs with small angle — measured recall@3 on
+    the raw random embeddings is ~0.12, and that is the designed
+    trade-off, documented in the operator docstring). Assert the part
+    the operator promises: every perturbed twin (cos ~ 0.999) in the
+    dup-bearing corpus appears in the approximate graph."""
+    from gcp_serverless_etl_pipeline_lab_spark.harness_ext import _vec_corpus
+    from gcp_serverless_etl_pipeline_lab_spark.operators.similarity import (
+        knn_graph_lsh,
+    )
+
+    v = _vec_corpus(spark, SF_SMOKE)
+    approx = {
+        (r.query_id, r.neighbor_id) for r in knn_graph_lsh(v, 64, k=3).collect()
+    }
+    base_ids = {
+        r.vec_id for r in v.select("vec_id").collect() if r.vec_id < 1_000_000
+    }
+    twins = [(b + 1_000_000, b) for b in base_ids if b % 13 == 0]
+    assert twins
+    found = sum(1 for t in twins if t in approx)
+    recall = found / len(twins)
+    assert recall == 1.0, f"near-dup twin recall {recall:.3f} < 1.0"
