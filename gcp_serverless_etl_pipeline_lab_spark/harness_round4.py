@@ -892,3 +892,225 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(edges, iters=3)
     return ranks.orderBy(F.desc("rank_fp"), "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraint_report",
+    """
+    SELECT constraint_name, checked, violations FROM (
+      SELECT 'orders.o_custkey_not_null' AS constraint_name,
+             (SELECT COUNT(*) FROM orders) AS checked,
+             (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders) AS violations
+      UNION ALL
+      SELECT 'orders.o_orderkey_unique',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT 'orders.totalprice_positive',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders)
+      UNION ALL
+      SELECT 'orders.o_orderstatus_domain',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders)
+      UNION ALL
+      SELECT 'orders.lineitem_orderkey_referential',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL)
+    )
+    ORDER BY constraint_name
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk constraint evaluation (operators/quality_checks.py): all
+    single-table checks in ONE aggregation pass + unpivot, referential
+    integrity as an anti-join of projected keys. Generalizes the
+    reference's three hard-coded post-load checks."""
+    from .operators.quality_checks import constraint_report
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rep = constraint_report(
+        o,
+        not_null=["o_custkey"],
+        unique=["o_orderkey"],
+        predicates={"totalprice_positive": "o_totalprice > 0"},
+        domains={"o_orderstatus": ["O", "F", "P"]},
+        table="orders",
+    )
+    ref = constraint_report(
+        li,
+        referential={"lineitem_orderkey_referential": (o, "l_orderkey", "o_orderkey")},
+        table="orders",
+    )
+    # The referential check is evaluated over lineitem but reported under
+    # the orders suite (its checked column counts lineitem rows).
+    return rep.unionAll(ref).orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profile (unpivoted per-column stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_orders_table",
+    """
+    SELECT column_name, n_null, n_distinct, min_s, max_s FROM (
+      SELECT 'o_orderkey' AS column_name,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderpriority),
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderdate),
+             strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice_cents',
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT)),
+             CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+             CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+      FROM orders
+    )
+    ORDER BY column_name
+    """,
+)
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (null count, distinct count, min/max) in ONE
+    aggregation pass + stack() unpivot — the schema-drift/data-audit
+    primitive. Doubles profile as integer cents and timestamps as
+    formatted strings so min/max stringification is engine-stable."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    row = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).cast("long").alias("nn0"),
+        F.count_distinct("o_orderkey").alias("nd0"),
+        F.min("o_orderkey").cast("string").alias("mn0"),
+        F.max("o_orderkey").cast("string").alias("mx0"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("long").alias("nn1"),
+        F.count_distinct("o_custkey").alias("nd1"),
+        F.min("o_custkey").cast("string").alias("mn1"),
+        F.max("o_custkey").cast("string").alias("mx1"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).cast("long").alias("nn2"),
+        F.count_distinct("o_orderstatus").alias("nd2"),
+        F.min("o_orderstatus").alias("mn2"),
+        F.max("o_orderstatus").alias("mx2"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).cast("long").alias("nn3"),
+        F.count_distinct("o_orderpriority").alias("nd3"),
+        F.min("o_orderpriority").alias("mn3"),
+        F.max("o_orderpriority").alias("mx3"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).cast("long").alias("nn4"),
+        F.count_distinct("o_orderdate").alias("nd4"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("mn4"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("mx4"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).cast("long").alias("nn5"),
+        F.count_distinct(cents).alias("nd5"),
+        F.min(cents).cast("string").alias("mn5"),
+        F.max(cents).cast("string").alias("mx5"),
+    )
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate", "o_totalprice_cents",
+    ]
+    stack_args = ", ".join(
+        f"'{c}', nn{i}, nd{i}, mn{i}, mx{i}" for i, c in enumerate(cols)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+            " AS (column_name, n_null, n_distinct, min_s, max_s)"
+        )
+    ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles with an honest tolerance gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_percentile_gate",
+    """
+    WITH ranked AS (
+      SELECT l_extendedprice AS p,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT
+      ROUND(MIN(CASE WHEN rn = (n + 1) // 2 THEN p END), 2) AS exact_p50,
+      ROUND(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN p END), 2) AS exact_p90,
+      ROUND(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN p END), 2) AS exact_p99,
+      TRUE AS approx_ok
+    FROM ranked
+    """,
+)
+def approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (rank-pick with INTEGER index
+    arithmetic — ceil(p*n) as (p_num*n + p_num) div p_den, no FP-dust
+    disagreements) compared across engines, plus a boolean asserting
+    Spark's approx_percentile lands within 1% of each. Same contract
+    family as approx_distinct_users: the sketch value itself is
+    engine-specific; its accuracy bound is what's verified. At 100 TB
+    the sketch path is the operative one (single map-side-combinable
+    pass vs a global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        F.col("l_extendedprice").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    exact = ranked.agg(
+        F.round(F.min(F.when(F.expr("rn = (n + 1) div 2"), F.col("p"))), 2).alias("exact_p50"),
+        F.round(F.min(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("p"))), 2).alias("exact_p90"),
+        F.round(F.min(F.when(F.expr("rn = (99 * n + 99) div 100"), F.col("p"))), 2).alias("exact_p99"),
+    )
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000).alias("ap")
+    )
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "exact_p50",
+        "exact_p90",
+        "exact_p99",
+        (
+            (F.abs(F.expr("ap[0]") - F.col("exact_p50")) <= 0.01 * F.col("exact_p50"))
+            & (F.abs(F.expr("ap[1]") - F.col("exact_p90")) <= 0.01 * F.col("exact_p90"))
+            & (F.abs(F.expr("ap[2]") - F.col("exact_p99")) <= 0.01 * F.col("exact_p99"))
+        ).alias("approx_ok"),
+    )
