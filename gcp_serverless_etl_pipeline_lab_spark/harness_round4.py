@@ -1114,3 +1114,125 @@ def approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.expr("ap[2]") - F.col("exact_p99")) <= 0.01 * F.col("exact_p99"))
         ).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building + OOV coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_coverage_report",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rn FROM freq
+      ) WHERE rn <= 16
+    ),
+    flagged AS (
+      SELECT t.doc_id, CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS in_vocab
+      FROM toks t LEFT JOIN vocab v ON v.term = t.term
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(in_vocab) AS BIGINT) AS covered_tokens,
+           CAST(COUNT(*) - SUM(in_vocab) AS BIGINT) AS oov_tokens,
+           COUNT(DISTINCT CASE WHEN in_vocab = 0 THEN doc_id END) AS docs_with_oov
+    FROM flagged
+    """,
+)
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K frequency vocabulary (total tiebreak) + corpus coverage/OOV
+    accounting — the tokenizer-budget planning primitive. The vocab is a
+    TakeOrdered of the term-frequency aggregate (small by construction)
+    broadcast back against the token stream; the corpus shuffles once
+    for the frequency count and never again. K=16 here so the toy
+    vocabulary covers a meaningful but partial token share; a real run
+    uses K=2^15..2^17 with identical plan shape."""
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (
+        freq.orderBy(F.desc("tf"), "term").limit(16).select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_v", F.lit(1))), "term", "left"
+    ).select("doc_id", F.coalesce(F.col("_v"), F.lit(0)).alias("in_vocab"))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum("in_vocab").cast("bigint").alias("covered_tokens"),
+        (F.count(F.lit(1)) - F.sum("in_vocab")).cast("bigint").alias("oov_tokens"),
+        F.count_distinct(
+            F.when(F.col("in_vocab") == 0, F.col("doc_id"))
+        ).alias("docs_with_oov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compact_file_plan",
+    """
+    WITH files AS (
+      SELECT doc_id AS file_id, 1000 + (n_chars % 4000) AS size_b
+      FROM documents
+    ),
+    planned AS (
+      SELECT file_id, size_b,
+             COALESCE(SUM(size_b) OVER (ORDER BY file_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 16000 AS out_bucket
+      FROM files
+    )
+    SELECT out_bucket, COUNT(*) AS n_files,
+           CAST(SUM(size_b) AS BIGINT) AS bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM planned GROUP BY out_bucket
+    ORDER BY out_bucket
+    """,
+)
+def compact_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING: assign input files to ~16 KB
+    output groups by cumulative-size-before (floor(cumsum_before /
+    target)), so each group's bytes land in [target, target + max_file).
+    The real 100 TB concern this models: a warehouse partition with
+    millions of KB-files needs deterministic group assignment BEFORE the
+    copy jobs run; the assignment is one running-sum window over the
+    (file, size) listing — metadata-scale, not data-scale. File sizes
+    here derive deterministically from documents so the oracle can
+    replan them bit-for-bit."""
+    from .sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        F.col("doc_id").alias("file_id"),
+        (F.lit(1000) + F.col("n_chars") % 4000).alias("size_b"),
+    )
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    planned = files.select(
+        "file_id",
+        "size_b",
+        (F.coalesce(F.sum("size_b").over(w), F.lit(0)) / F.lit(16000))
+        .cast("long")
+        .alias("out_bucket"),
+    )
+    return (
+        planned.groupBy("out_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_b").cast("bigint").alias("bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("out_bucket")
+    )
