@@ -61,3 +61,60 @@ def test_symmetrize_drops_self_loops(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError):
         connected_components(_pairs(spark, [(i, i + 1) for i in range(20)]), max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# Property: connected_components == a pure-Python union-find, on random
+# edge lists (the join-based propagation + pointer jumping must agree
+# with the textbook algorithm for ANY graph shape, not just the
+# handcrafted cases above).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find_labels(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    for n in nodes:
+        parent[n] = n
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component
+    comp: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp[r] = min(comp.get(r, n), n)
+    return {n: comp[find(n)] for n in nodes}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=_EDGES)
+def test_cc_matches_union_find(spark, edges):
+    expected = _union_find_labels(edges)
+    if not expected:  # all edges were self-loops
+        return
+    cc = connected_components(_pairs(spark, edges))
+    got = {r.doc_id: r.cluster_id for r in cc.collect()}
+    assert got == expected

@@ -284,3 +284,76 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     s_rows = [r.asDict() for r in streamed.collect()]
     assert len(b_rows) > 0
     assert b_rows == s_rows
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Append-mode windowed counts with a 10-min watermark: a window is
+    emitted once the watermark passes its end, and an event arriving
+    LATER than the watermark (in a subsequent availableNow run, via the
+    checkpointed watermark) must not resurrect or change it."""
+    import datetime as dt
+
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.file_stream import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "wm_out")
+    ck = str(tmp_path / "wm_ck")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(str(src) + "/*").schema
+            ).option("recursiveFileLookup", "true").parquet(str(src))
+        )
+        q = (
+            windowed_event_counts(stream, "30 minutes", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda s: dt.datetime.fromisoformat(f"2024-01-01 {s}")
+    # Run 1: two events in the 09:00 window, one at 10:05 that pushes the
+    # watermark to 09:55 > 09:30 -> the 09:00 window finalizes (count 2).
+    write_batch(
+        [(t("09:05:00"), "view", 1.0), (t("09:10:00"), "view", 1.0),
+         (t("10:05:00"), "view", 1.0)],
+        "b1",
+    )
+    run_once()
+    rows1 = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("2024-01-01 09:00:00", 2) in rows1
+
+    # Run 2: a LATE 09:15 event (behind the checkpointed watermark) plus
+    # an 11:05 event that finalizes the 10:00 window. The late event must
+    # not produce another 09:00-window row.
+    write_batch([(t("09:15:00"), "view", 1.0), (t("11:05:00"), "view", 1.0)], "b2")
+    run_once()
+    rows2 = sorted(
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.window_start.startswith("2024-01-01 09")
+    )
+    assert rows2 == [("2024-01-01 09:00:00", 2)]  # unchanged, no resurrection
+    rows10 = [
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.window_start.startswith("2024-01-01 10")
+    ]
+    assert rows10 == [("2024-01-01 10:00:00", 1)]
