@@ -27,8 +27,6 @@ from .functions.text import word_ngrams_duck
 from .harness import _t, register
 from .operators import dedup, multimodal, similarity
 
-EMB_DIM = 64
-
 # ---------------------------------------------------------------------------
 # Corpus synthesis (Spark + DuckDB twins)
 # ---------------------------------------------------------------------------
@@ -36,57 +34,14 @@ EMB_DIM = 64
 
 # Shared with harness_round4 — see harness_corpus.py for the corpus
 # synthesis contract (exact copies every 7th doc, near copies every 11th).
-from .harness_corpus import _DOC_CORPUS_DUCK, _doc_corpus  # noqa: E402,F401
+from .harness_corpus import (  # noqa: E402,F401
+    EMB_DIM,
+    _DOC_CORPUS_DUCK,
+    _VEC_CORPUS_DUCK,
+    _doc_corpus,
+    _vec_corpus,
+)
 
-
-def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
-    base = emb.select(
-        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
-    )
-    pert0 = emb.filter(F.col("vec_id") % 13 == 0).select(
-        "vec_id",
-        "label",
-        F.expr(
-            f"transform(sequence(1, {EMB_DIM}), i -> "
-            "CAST(element_at(embedding, i) AS DOUBLE) + IF(i = 1, 0.05D, 0D))"
-        ).alias("p"),
-    )
-    # Norm materialized behind a barrier — inlined into the transform
-    # lambda it would be re-evaluated per element (dedup._barrier).
-    pert = dedup._barrier(
-        pert0.withColumn(
-            "nrm",
-            F.expr("sqrt(aggregate(p, CAST(0 AS DOUBLE), (a, y) -> a + y * y))"),
-        )
-    ).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        "label",
-        F.expr("transform(p, x -> x / nrm)").alias("embedding"),
-    )
-    return base.unionAll(pert)
-
-
-_VEC_CORPUS_DUCK = f"""
-vbase AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-vpert0 AS (
-  SELECT vec_id, label,
-         list_transform(range(1, {EMB_DIM + 1}),
-           i -> e[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0 END) AS p
-  FROM vbase WHERE vec_id % 13 = 0
-),
-vcorpus AS (
-  SELECT vec_id, label, e FROM vbase
-  UNION ALL
-  SELECT vec_id + 1000000, label,
-         list_transform(p, x -> x / sqrt(list_sum(list_transform(p, y -> y * y))))
-  FROM vpert0
-)"""
 
 _TOKS_DUCK = "string_split(text, ' ')"
 _SHINGLES_DUCK = word_ngrams_duck("t", 3)

@@ -1236,3 +1236,65 @@ def compact_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("out_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup end-to-end: cosine pairs -> clusters -> survivors
+# ---------------------------------------------------------------------------
+
+from .harness_corpus import _VEC_CORPUS_DUCK, _vec_corpus  # noqa: E402
+from .operators import dedup as _dedup  # noqa: E402
+
+
+@register(
+    "semantic_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_VEC_CORPUS_DUCK},
+    vb AS (SELECT vec_id, label, e, {_sim.bucket_duck('e', 64)} AS bkt FROM vcorpus),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_sum(list_transform(range(1, 65),
+                     i -> a.e[i] * b.e[i])), 4) AS cos
+        FROM vb a JOIN vb b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+         AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b.bkt AS BIGINT))) <= 1
+      ) WHERE cos >= 0.99
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON e2.src = reach.r
+    ),
+    cc AS (
+      SELECT node AS vec_id, LEAST(node, MIN(r)) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id)
+    SELECT cluster_id, vec_id, n_members,
+           vec_id = cluster_id AS is_survivor
+    FROM cc JOIN sizes USING (cluster_id)
+    ORDER BY cluster_id, vec_id
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup end-to-end: embedding-cosine near-dup pairs (label blocks
+    + sign-LSH sub-buckets) closed into clusters by connected components;
+    the min-id member survives, the rest drop. The composition the
+    modern semantic-dedup recipe needs, with every stage individually
+    oracled elsewhere (dedup_embedding_cosine, dedup_cluster_resolve)."""
+    pairs = _dedup.embedding_cosine_pairs(_vec_corpus(spark, sf_dir), 64, 0.99)
+    cc = cluster.resolve_clusters(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    return cc.select(
+        "cluster_id",
+        F.col("doc_id").alias("vec_id"),
+        "n_members",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    ).orderBy("cluster_id", "vec_id")
