@@ -84,3 +84,54 @@ def test_stratified_sample_allowlist_and_rate_zero(spark):
     assert [r.s for r in got] == ["A"]          # X has no rate -> dropped
     assert out.count() == 100                    # rate 1.0 keeps every A row
     assert stratified_sample(df, "s", {"A": 0.0}, "CAST(k AS STRING)").count() == 0
+
+
+def test_merge_upsert_row_level_conflict(spark):
+    """Row-level last-wins semantics (the harness query only checks the
+    aggregate): v2 beats v1 beats base on the same key; untouched keys
+    keep base values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "base", 0), (2, "base", 0), (3, "base", 0)], "k long, v string, ver int"
+    )
+    u1 = spark.createDataFrame([(1, "v1", 1), (2, "v1", 1)], "k long, v string, ver int")
+    u2 = spark.createDataFrame([(1, "v2", 2)], "k long, v string, ver int")
+    allv = base.unionAll(u1).unionAll(u2)
+    w = Window.partitionBy("k").orderBy(F.desc("ver"))
+    merged = (
+        allv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "v")
+    )
+    assert {(r.k, r.v) for r in merged.collect()} == {(1, "v2"), (2, "v1"), (3, "base")}
+
+
+def test_rolling_range_frame_includes_peers_and_bounds(spark):
+    """RANGE frame on epoch-µs: an event exactly 1 h older is inside the
+    frame (inclusive bound); 1 h + 1 µs older is outside; same-µs peers
+    are all included (range frames include ordering peers)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=1, microseconds=1), 1.0),  # outside
+        (2, t0 - dt.timedelta(hours=1), 1.0),                  # boundary: inside
+        (3, t0, 1.0),
+        (4, t0, 1.0),                                          # peer of 3
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    out = {r.event_id: r.n for r in df.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n")).collect()}
+    # events 3 & 4 share an ordering value -> both see {2,3,4}; event 2
+    # sees {1? no — 1 is 1µs beyond} -> {2}; event 1 sees itself.
+    assert out == {1: 1, 2: 2, 3: 3, 4: 3}
