@@ -1415,3 +1415,57 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     video = multimodal.attach_fake_frames(_t(spark, sf_dir, "documents"))
     return multimodal.sample_frames(video).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "knn_graph_ivf_cells",
+    # Full-corpus kNN graph blocked by the TRAINED coarse quantizer: the
+    # oracle re-derives the identical k-means model (init by residue
+    # class, 2 rounded-mean iterations, min-cell tie-break) and self-joins
+    # the full assignment within cells.
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    init AS (
+      SELECT cell, e AS ce FROM (
+        SELECT vec_id % {_IVF_K} AS cell, e,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_K} ORDER BY vec_id) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    {_ivf_iter_duck('init', 1)},
+    {_ivf_iter_duck('cent1', 2)},
+    fa AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_ivf_dist_duck('c.e', 'i.ce')}, i.cell) AS rn
+        FROM c CROSS JOIN cent2 i) WHERE rn = 1
+    )
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                        i -> a.e[i] * b.e[i])) AS s
+        FROM fa a JOIN fa b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      )
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_graph_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph over TRAINED IVF cells — the principled approximate
+    graph for corpora whose neighbors are weakly similar (where sign-LSH
+    candidates collapse, see knn_graph_lsh): k-means cells are balanced
+    by construction, so the within-cell self-join is bounded at ~n²/k
+    pairs regardless of label skew, and geometrically-close vectors
+    share a cell far more often than they share an 8-bit sign bucket.
+    Recall vs the exact label-blocked graph is measured in
+    tests/test_ann_recall.py."""
+    corpus, _ = _sim_queries(spark, sf_dir)
+    model = similarity.kmeans_centroids(corpus, EMB_DIM, k=_IVF_K, iters=2)
+    assigned = similarity._assign_cell(
+        corpus.select("vec_id", "embedding"), "embedding", model
+    )
+    out = similarity.knn_graph_blocked(assigned, EMB_DIM, k=3, block_col="cell")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -188,3 +188,35 @@ def test_knn_graph_lsh_recall_vs_exact(spark):
     found = sum(1 for t in twins if t in approx)
     recall = found / len(twins)
     assert recall == 1.0, f"near-dup twin recall {recall:.3f} < 1.0"
+
+
+def test_knn_graph_variant_recall_ordering(spark):
+    """Against the GLOBAL exact top-3 graph on random vectors, the three
+    blocking strategies must rank as theory predicts: trained-IVF cells
+    (geometric) > label blocks (arbitrary) > sign-LSH buckets (angle-
+    sensitive, collapses at weak similarity). Absolute values measured at
+    sf0.001: ~0.31 / ~0.09 / ~0.015."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators import similarity
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one = emb.withColumn("blk", F.lit(1))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_graph_blocked(one, 64, k=3, block_col="blk").collect()
+    }
+    model = similarity.kmeans_centroids(emb, 64, k=8, iters=2)
+    assigned = similarity._assign_cell(
+        emb.select("vec_id", "embedding"), "embedding", model
+    )
+    rec = {}
+    for name, graph in (
+        ("ivf", similarity.knn_graph_blocked(assigned, 64, k=3, block_col="cell")),
+        ("label", similarity.knn_graph_blocked(emb, 64, k=3)),
+        ("lsh", similarity.knn_graph_lsh(emb, 64, k=3)),
+    ):
+        got = {(r.query_id, r.neighbor_id) for r in graph.collect()}
+        rec[name] = len(exact & got) / len(exact)
+    assert rec["ivf"] > rec["label"] > rec["lsh"]
+    assert rec["ivf"] >= 0.25, rec
