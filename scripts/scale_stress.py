@@ -209,6 +209,26 @@ def _ops(spark: SparkSession, path: str):
         ),
         # LSH-candidate kNN: hamming<=1 multiprobe bounds the hot block.
         "knn_graph_lsh": lambda: similarity.knn_graph_lsh(embs, EMB_DIM, k=3),
+        # Incremental dedup: every 5th doc of the grown corpus arrives as
+        # a re-submission batch against the corpus itself — batch size
+        # grows linearly with scale, base-side df-cap active.
+        "dedup_incremental_batch": lambda: (
+            lambda batch: __import__(
+                "gcp_serverless_etl_pipeline_lab_spark.operators.incremental",
+                fromlist=["classify_batch"],
+            ).classify_batch(batch, docs, threshold=0.8, max_df=NGRAM_MAX_DF)
+        )(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 700_000_000).alias("doc_id"), "text"
+            )
+        ),
+        # SemDedup composition: cosine pairs (hot label + sub-buckets)
+        # closed into clusters.
+        "semantic_dedup_survivors": lambda: cluster.resolve_clusters(
+            dedup.embedding_cosine_pairs(embs, EMB_DIM, 0.99).select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        ),
     }
 
 

@@ -357,3 +357,87 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
         if r.window_start.startswith("2024-01-01 10")
     ]
     assert rows10 == [("2024-01-01 10:00:00", 1)]
+
+
+def test_stream_stream_left_outer_emits_null_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a view with no purchase in the
+    attribution window must eventually emit with NULL purchase columns —
+    but only once the watermark proves no match can still arrive."""
+    import datetime as dt
+
+    src = tmp_path / "lo_src"
+    src.mkdir()
+    ck = str(tmp_path / "lo_ck")
+    out_dir = str(tmp_path / "lo_out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / name))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src) + "/*").schema
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+        v = (
+            stream.filter(F.col("event_type") == "view")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .select("user_id", F.col("event_id").alias("view_id"),
+                    F.col("ts").alias("view_ts"))
+        )
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .select(F.col("user_id").alias("p_user_id"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("purchase_ts"))
+        )
+        joined = v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") < F.col("view_ts") + F.expr("interval 30 minutes")),
+            "left_outer",
+        ).select("user_id", "view_id", "purchase_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda s: dt.datetime.fromisoformat(f"2024-01-01 {s}")
+    # user 1: view with a purchase inside the window; user 2: view with
+    # none. A late clock-advancing event pushes the watermark far enough
+    # to close both join windows.
+    write_batch(
+        [(1, t("09:00:00"), 1, "view"), (2, t("09:10:00"), 1, "purchase"),
+         (3, t("09:00:00"), 2, "view")],
+        "b1",
+    )
+    run_once()
+    # BOTH sides must advance (the join uses the min watermark across
+    # inputs), and the outer-null flush happens in a batch AFTER the
+    # watermark commit — hence two more micro-batches.
+    write_batch(
+        [(9, t("11:00:00"), 99, "view"), (10, t("11:00:00"), 98, "purchase")],
+        "b2",
+    )
+    run_once()
+    write_batch(
+        [(11, t("12:00:00"), 99, "view"), (12, t("12:00:00"), 98, "purchase")],
+        "b3",
+    )
+    run_once()
+    rows = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, 1, 2) in rows            # matched pair
+    assert (2, 3, None) in rows         # unmatched view emitted with NULL
