@@ -1298,3 +1298,54 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
     ).orderBy("cluster_id", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (weekly offsets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(d) AS c FROM activity GROUP BY user_id
+    ),
+    offsets AS (
+      SELECT cohort.user_id, c, date_diff('day', c, d) AS off
+      FROM activity JOIN cohort ON activity.user_id = cohort.user_id
+    )
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_date, off AS day_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM offsets
+    WHERE off IN (0, 7, 14, 21, 28)
+    GROUP BY c, off
+    ORDER BY cohort_date, day_offset
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity date,
+    counted again at weekly offsets. Two aggregations (distinct activity
+    days; per-user cohort) and one join — the cohort table is per-user
+    (small relative to events) and broadcastable at scale; offsets
+    evaluate map-side."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("c"))
+    offsets = activity.join(cohort, "user_id").select(
+        "user_id", "c", F.datediff("d", "c").alias("day_offset")
+    )
+    return (
+        offsets.filter(F.col("day_offset").isin([0, 7, 14, 21, 28]))
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_date"), "day_offset"
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .withColumn("day_offset", F.col("day_offset").cast("long"))
+        .orderBy("cohort_date", "day_offset")
+    )
