@@ -55,14 +55,39 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail: its own (long) stdout line AND a file, so the
+    # driver's bounded tail-capture can't behead the summary (BENCH_r04
+    # lost its headline because everything was on one long line).
+    detail = {
+        "metric": "per_query_sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+
+    # Short machine-readable summary LAST: total + the top-10 costliest
+    # queries only, so the line stays well under any tail-capture bound.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "sum_sec_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": top10,
+                "n_queries": len(timings),
+                "detail_file": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

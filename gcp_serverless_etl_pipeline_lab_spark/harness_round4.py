@@ -67,7 +67,7 @@ from .operators.dedup import exact_dup_pairs, ngram_jaccard_pairs
     jpairs AS (
       SELECT doc_a, doc_b FROM (
         SELECT doc_a, doc_b,
-               CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
         FROM inter
         JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = doc_a
         JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = doc_b
@@ -764,8 +764,8 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     near AS (
       SELECT DISTINCT new_id AS doc_id FROM (
         SELECT new_id, base_id,
-               CAST(i AS DOUBLE) /
-               (sn.sz + sb2.sz - i) AS jaccard
+               ROUND(CAST(i AS DOUBLE) /
+               (sn.sz + sb2.sz - i), 4) AS jaccard
         FROM inter
         JOIN (SELECT new_id, len(shingles) AS sz FROM shb) sn USING (new_id)
         JOIN (SELECT base_id, len(shingles) AS sz FROM shbase) sb2 USING (base_id)
@@ -914,12 +914,12 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'orders.totalprice_positive',
              (SELECT COUNT(*) FROM orders),
-             (SELECT CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+             (SELECT CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
               FROM orders)
       UNION ALL
       SELECT 'orders.o_orderstatus_domain',
              (SELECT COUNT(*) FROM orders),
-             (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+             (SELECT CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT)
               FROM orders)
       UNION ALL
       SELECT 'orders.lineitem_orderkey_referential',
@@ -1189,9 +1189,9 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     planned AS (
       SELECT file_id, size_b,
-             COALESCE(SUM(size_b) OVER (ORDER BY file_id
+             CAST(COALESCE(SUM(size_b) OVER (ORDER BY file_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               // 16000 AS out_bucket
+               // 16000 AS BIGINT) AS out_bucket
       FROM files
     )
     SELECT out_bucket, COUNT(*) AS n_files,

@@ -44,12 +44,16 @@ def constraint_report(
     for c in unique:
         aggs.append((F.count(F.lit(1)) - F.count_distinct(F.col(c))).cast("long"))
         names.append(f"{table}.{c}_unique")
+    # A row violates a predicate/domain constraint unless the check is
+    # strictly TRUE — so a NULL amount FAILS 'amount > 0' rather than
+    # slipping through the three-valued-logic hole where ~NULL is NULL
+    # and contributes 0 to the violation count.
     for name, pred in (predicates or {}).items():
-        aggs.append(F.sum(F.when(~F.expr(pred), 1).otherwise(0)).cast("long"))
+        aggs.append(F.sum(F.when(F.expr(pred), 0).otherwise(1)).cast("long"))
         names.append(f"{table}.{name}")
     for c, allowed in (domains or {}).items():
         aggs.append(
-            F.sum(F.when(~F.col(c).isin(list(allowed)), 1).otherwise(0)).cast("long")
+            F.sum(F.when(F.col(c).isin(list(allowed)), 0).otherwise(1)).cast("long")
         )
         names.append(f"{table}.{c}_domain")
 

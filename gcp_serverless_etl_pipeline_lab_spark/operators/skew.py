@@ -18,7 +18,11 @@ The salt must distribute rows WITHIN a key — a salt derived from the key
 alone would move the hot key around but never split it. It need not be
 deterministic for correctness (it never reaches the output), but this
 engine prefers reproducible plans, so the default salt hashes the large
-side's whole row via a per-partition row index rather than rand().
+side's ROW CONTENT (every column) — stable across recomputation,
+retries, and partition-layout changes, unlike rand() or a
+monotonically_increasing_id()-derived index. Fully duplicate hot-key
+rows share a salt; that only matters in the degenerate corpus where the
+hot key's rows are all byte-identical.
 """
 
 from __future__ import annotations
@@ -46,7 +50,9 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salted_l = large.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int"),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salt)
+        ).cast("int"),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt")
     salted_s = small.select("*", salts)

@@ -82,9 +82,14 @@ def gapfill_locf(
         )
         .select("key", F.col("w.start").alias("bucket_start"), "n_events", "v")
     )
-    bounds = events.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    # Spine bounds come from the AGGREGATED bucket starts, not from
+    # truncating raw ts: window(ts, bucket) starts are epoch-aligned to
+    # the bucket width, so min/max of w.start aligns with the left-join
+    # key for ANY bucket ('1 day', '15 minutes', ...), where a hard-coded
+    # date_trunc('hour', ...) only aligned for buckets dividing an hour.
+    bounds = hourly.agg(
+        F.min("bucket_start").alias("lo"),
+        F.max("bucket_start").alias("hi"),
     )
     keys = events.select(F.col(key_col).alias("key")).distinct()
     spine = keys.crossJoin(F.broadcast(bounds)).select(

@@ -24,7 +24,14 @@ def _canon(value):
             return "NaN"
         if value == 0.0:
             value = 0.0  # collapse IEEE -0.0 into +0.0
-        return f"{value:.9g}"
+        s = f"{value:.9g}"
+        # Keep integral floats distinguishable from ints ("1.0" vs "1") —
+        # the driver's compare treats an int-typed Spark column vs a
+        # float64 oracle column (DuckDB HUGEINT via pandas) as a mismatch,
+        # so the local mirror must be at least that strict.
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     return str(value)
 
 
