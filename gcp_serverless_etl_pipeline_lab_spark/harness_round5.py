@@ -13,7 +13,12 @@ from pyspark.sql import functions as F  # noqa: F401  (builders below)
 
 from .functions.hashing import h60_duck
 from .harness import _t, register
-from .operators.seqdedup import POS_RADIX, drop_repeated_spans, repeated_spans
+from .operators.seqdedup import (
+    POS_RADIX,
+    drop_repeated_spans,
+    repeated_spans,
+    winnow_repeated_report,
+)
 
 # ---------------------------------------------------------------------------
 # Sequence-level (substring) dedup — operators/seqdedup.py
@@ -117,3 +122,194 @@ def a0_seq_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_tokens", "kept_tokens", "n_spans_dropped", "kept_text"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Winnowed fingerprints (MOSS scheme) — alignment-independent seq dedup
+# ---------------------------------------------------------------------------
+
+_WK, _WW = 4, 4  # k-token grams, winnow window of w gram hashes
+
+
+@register(
+    "a0_winnow_repeated_fps",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {_WK + _WW - 1}
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(range(0, len(t) - {_WK - 1}), i ->
+               {h60_duck(f"array_to_string(t[i + 1 : i + {_WK}], ' ')")}) AS hs
+      FROM toks
+    ),
+    sel AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(0, len(hs) - {_WW - 1}), j ->
+               struct_pack(
+                 p := CAST(j + list_position(hs[j + 1 : j + {_WW}],
+                             list_min(hs[j + 1 : j + {_WW}])) - 1 AS BIGINT),
+                 h := list_min(hs[j + 1 : j + {_WW}])))) AS fp
+      FROM hashed
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp.p AS p, fp.h AS h FROM sel),
+    rep AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             MIN(doc_id * {POS_RADIX} + p) AS firstkey
+      FROM fps GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT h, n_docs, n_occ,
+           firstkey // {POS_RADIX} AS first_doc,
+           firstkey % {POS_RADIX} AS first_pos
+    FROM rep ORDER BY h
+    """,
+)
+def a0_winnow_repeated_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint cross-doc matches (operators/seqdedup.py
+    winnow_repeated_report): MOSS-style min-hash selection over 4-gram
+    hashes, guaranteeing any shared run >= 7 tokens shares a fingerprint
+    at ANY alignment — the recall complement to the stride-tiled
+    a0_seq_dedup_spans."""
+    return winnow_repeated_report(
+        _t(spark, sf_dir, "documents"), k=_WK, w=_WW, min_docs=2
+    ).orderBy("h")
+
+
+# ---------------------------------------------------------------------------
+# Stateful-streaming batch twin — streaming/stateful.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0_stream_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a0_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.running_user_totals — the totals
+    the applyInPandasWithState stream's state converges to after all
+    events; streaming==batch parity is asserted in tests/test_streaming.py
+    (the stateful operator itself can't execute on a batch DataFrame)."""
+    from .streaming.stateful import running_user_totals_batch
+
+    return running_user_totals_batch(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + per-domain quota sampling — operators/redact.py
+# ---------------------------------------------------------------------------
+#
+# The synthetic corpus carries no real PII, so the query INJECTS a
+# deterministic email/IP pair into every third document (mirrored in the
+# oracle) and then redacts — the redaction mechanics, counts, and
+# placeholder text are what's under test.
+
+
+@register(
+    "a0_pii_redact_stats",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.1 now'
+             ELSE text END AS text
+      FROM documents
+    ),
+    emailed AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM injected
+    ),
+    red AS (
+      SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t1,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+               AS BIGINT) AS n_ips,
+             regexp_replace(t1,
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                 '<IP>', 'g') AS text_redacted
+      FROM emailed
+    )
+    SELECT doc_id, n_emails, n_ips, md5(text_redacted) AS redacted_md5
+    FROM red WHERE n_emails > 0 OR n_ips > 0
+    ORDER BY doc_id
+    """,
+)
+def a0_pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IPv4 scrub over documents (operators/redact.py): inject a
+    deterministic PII pair into every third doc, redact with the shared
+    Java-regex/RE2-subset patterns, report per-doc match counts and the
+    md5 of the redacted text. All map-side expressions — zero shuffle
+    beyond the final sort."""
+    from .operators.redact import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        redact_pii(docs)
+        .filter((F.col("n_emails") > 0) | (F.col("n_ips") > 0))
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_ips",
+            F.md5("text_redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "a0_domain_quota_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {h60_duck("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS quota_rank
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(quota_rank AS BIGINT) AS quota_rank
+    FROM ranked WHERE quota_rank <= 25
+    ORDER BY source, quota_rank
+    """,
+)
+def a0_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (operators/redact.py domain_quota_sample):
+    keep <= 25 docs per source, selected by ascending 60-bit hash of the
+    id — a stable pseudo-random draw that re-picks the same survivors on
+    every run. The mixing-control op for web-scale corpora."""
+    from .operators.redact import domain_quota_sample
+
+    return (
+        domain_quota_sample(
+            _t(spark, sf_dir, "documents"), quota=25
+        )
+        .select("source", "doc_id", F.col("quota_rank").cast("bigint").alias("quota_rank"))
+        .orderBy("source", "quota_rank")
+    )

@@ -464,9 +464,11 @@ def embedding_cosine_pairs(
     cand = cosine_candidate_pairs(v, dim)
     ea = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     eb = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # reduce(zip_with(...)) — fastest measured dot spelling, bit-identical
+    # fold order (see similarity._dot)
     dot = F.expr(
-        f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), (acc, i) -> "
-        f"acc + CAST(element_at(ea, i) AS DOUBLE) * CAST(element_at(eb, i) AS DOUBLE))"
+        "reduce(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (
         cand.join(ea, "id_a")

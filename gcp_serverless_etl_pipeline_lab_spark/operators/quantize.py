@@ -49,10 +49,12 @@ def quantize_embeddings(
 def dequantized_dot(q_vec: str, scale_col: str, f_vec: str, dim: int) -> F.Column:
     """dot(reconstructed int8 vector, float vector) as one fused array
     expression: sum_i (q_i * s / 127) * y_i."""
+    # reduce(zip_with(...)) — fastest measured dot spelling, bit-identical
+    # fold order (see similarity._dot)
     return F.expr(
-        f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), (acc, i) -> "
-        f"acc + (CAST(element_at({q_vec}, i) AS DOUBLE) * {scale_col} / 127.0D)"
-        f" * CAST(element_at({f_vec}, i) AS DOUBLE))"
+        f"reduce(zip_with({q_vec}, {f_vec}, (q, y) -> "
+        f"(CAST(q AS DOUBLE) * {scale_col} / 127.0D) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 

@@ -91,6 +91,81 @@ def window_hashes(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowed document fingerprints (the MOSS scheme): one (doc_id, p, h)
+    row per SELECTED k-token gram, where each window of ``w`` consecutive
+    gram hashes contributes its minimum (ties -> leftmost).
+
+    Why this exists next to ``window_hashes``: stride-tiled windows only
+    match repeats whose alignment difference is a multiple of the stride;
+    winnowing guarantees that ANY shared token run of length
+    >= w + k - 1 shares at least one selected fingerprint, at ~1/w the
+    fingerprint density of exhaustive stride-1 hashing. The selection is
+    ARRAY-LOCAL — gram hashes and window minima are computed inside one
+    row's arrays (transform/slice/array_min), so the corpus-wide shuffle
+    carries only the selected (doc_id, p, h) rows, ~2/(w+1) per token.
+
+    Deterministic and engine-portable: gram hash is the h60 primitive;
+    the window minimum ties break to the smallest position via
+    array_position's first-match semantics (DuckDB list_position agrees).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ", -1).alias("t"),
+    )
+    gram = f"concat_ws(' ', slice(t, i + 1, {k}))"
+    hs = f"transform(sequence(0, size(t) - {k}), i -> {h60_sql(gram)})"
+    win = f"slice(hs, j + 1, {w})"
+    sel = (
+        f"array_distinct(transform(sequence(0, size(hs) - {w}), j -> "
+        f"struct(CAST(j + array_position({win}, array_min({win})) - 1 AS BIGINT) AS p, "
+        f"array_min({win}) AS h)))"
+    )
+    return (
+        toks.filter(F.size("t") >= k + w - 1)
+        .select("doc_id", F.expr(hs).alias("hs"))
+        .select("doc_id", F.explode(F.expr(sel)).alias("fp"))
+        .select("doc_id", F.col("fp.p").alias("p"), F.col("fp.h").alias("h"))
+    )
+
+
+def winnow_repeated_report(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document matches over winnowed fingerprints: one row per
+    fingerprint hash selected in >= min_docs documents, with the global
+    first occurrence via the same partial-aggregatable composite MIN as
+    ``repeated_spans`` (no hot-key window)."""
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col)
+    return (
+        fp.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.col("doc_id") * POS_RADIX + F.col("p")).alias("firstkey"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "h",
+            "n_docs",
+            "n_occ",
+            F.expr(f"firstkey DIV {POS_RADIX}").alias("first_doc"),
+            F.pmod(F.col("firstkey"), F.lit(POS_RADIX)).alias("first_pos"),
+        )
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     w: int = 16,

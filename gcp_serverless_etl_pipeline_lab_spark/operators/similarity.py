@@ -50,9 +50,16 @@ def _plane_weights(dim: int) -> tuple[tuple[int, ...], ...]:
 
 
 def _dot(a: str, b: str, dim: int) -> F.Column:
+    # reduce(zip_with(...)) is the measured-fastest JVM spelling of the
+    # dot product (3.3x over aggregate(sequence(...)+element_at) on 7M
+    # pairs — no per-row index-array allocation, one lambda frame per
+    # element instead of two). Fold order is ascending index either way,
+    # so scores are bit-identical to the oracle's list_sum. `dim` is
+    # retained for call-site documentation; vectors are exactly dim wide
+    # (a length mismatch yields NULL score in both spellings).
     return F.expr(
-        f"aggregate(sequence(1, {dim}), CAST(0 AS DOUBLE), (acc, i) -> "
-        f"acc + CAST(element_at({a}, i) AS DOUBLE) * CAST(element_at({b}, i) AS DOUBLE))"
+        f"reduce(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -113,7 +120,7 @@ def _bucket_expr(vec: str, dim: int) -> str:
     for h, plane in enumerate(_plane_weights(dim)):
         lits = ", ".join(f"{w}D" for w in plane)
         proj = (
-            f"aggregate(zip_with(array({lits}), {vec}, "
+            f"reduce(zip_with(array({lits}), {vec}, "
             f"(w, x) -> w * CAST(x AS DOUBLE)), "
             f"CAST(0 AS DOUBLE), (a, y) -> a + y)"
         )
@@ -143,7 +150,7 @@ def _bucket_expr_table(vec: str, dim: int, table: int, planes: int) -> str:
     for h, plane in enumerate(_table_plane_weights(dim, table, planes)):
         lits = ", ".join(f"{w}D" for w in plane)
         proj = (
-            f"aggregate(zip_with(array({lits}), {vec}, "
+            f"reduce(zip_with(array({lits}), {vec}, "
             f"(w, x) -> w * CAST(x AS DOUBLE)), "
             f"CAST(0 AS DOUBLE), (a, y) -> a + y)"
         )
@@ -235,7 +242,7 @@ def _sq_dist_expr(vec: str, centroid: list[float]) -> str:
     list_sum(list_transform(...)) over the identical rounded centroid
     literals, so comparisons agree bit-for-bit."""
     return (
-        f"aggregate(zip_with({_lit_vec(centroid)}, {vec}, "
+        f"reduce(zip_with({_lit_vec(centroid)}, {vec}, "
         f"(w, x) -> (w - CAST(x AS DOUBLE)) * (w - CAST(x AS DOUBLE))), "
         f"CAST(0 AS DOUBLE), (a, y) -> a + y)"
     )
@@ -261,7 +268,11 @@ def _assign_cell(df: DataFrame, vec: str, centroids: list[tuple[int, list[float]
 
 
 def kmeans_centroids(
-    corpus: DataFrame, dim: int, k: int = 8, iters: int = 2
+    corpus: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    sample_rate: float = 1.0,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's over DataFrame ops; returns the tiny
     (cell, centroid) model driver-side (k×dim doubles — the only data that
@@ -280,10 +291,24 @@ def kmeans_centroids(
 
     Scale shape: per iteration one posexplode shuffle of (cell, i, x) and a
     k×dim-row collect; assignment itself is map-side against literal
-    centroids. Production would sample the training corpus first; the full
-    pass keeps the oracle exact here.
+    centroids.
+
+    ``sample_rate < 1.0`` trains on a DETERMINISTIC hash-Bernoulli sample
+    of the corpus (h60(vec_id) % 10000 < rate·10000 — the same stable
+    sampler as operators/sampling.py, no RNG, reproducible across runs
+    and engines): at 100 TB the Lloyd iterations should never scan the
+    full corpus — centroid quality converges on a tiny fraction of it
+    (tests/test_ann_recall.py measures assignment agreement at 10%). The
+    default 1.0 trains on everything, keeping the DuckDB oracle exact.
     """
+    from ..functions.hashing import h60
+
     c = corpus.select("vec_id", F.col("embedding").alias("e"))
+    if sample_rate < 1.0:
+        c = c.filter(
+            F.pmod(h60(F.col("vec_id").cast("string")), F.lit(10000))
+            < int(sample_rate * 10000)
+        )
     first = c.groupBy((F.col("vec_id") % k).alias("cell")).agg(
         F.min("vec_id").alias("vec_id")
     )
@@ -406,8 +431,44 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5) -> Dat
     return _rank_topk(scored, k)
 
 
+def _scored_bidirectional(v: DataFrame, cand: DataFrame, dim: int) -> DataFrame:
+    """Score unordered candidate pairs (id_a < id_b) against the vector
+    table and emit BOTH directions with one generator — the dot is
+    symmetric, so each scored pair serves as (query, neighbor) twice
+    without recomputing the join or the dot. Shared by knn_graph_lsh and
+    the oversized-block fallback in knn_graph_blocked."""
+    q = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qe"))
+    c = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("ce"))
+    half = (
+        cand.join(q, "id_a")
+        .join(c, "id_b")
+        .withColumn("s", _dot("qe", "ce", dim))
+    )
+    return half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("s").alias("score_raw"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("query_id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("s").alias("score_raw"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
 def knn_graph_blocked(
-    corpus: DataFrame, dim: int, k: int = 3, block_col: str = "label"
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    block_col: str = "label",
+    max_block_rows: int | None = 1024,
+    oversize_policy: str = "lsh",
 ) -> DataFrame:
     """k-NN GRAPH: top-k neighbors for EVERY corpus vector (not just a
     query set) by cosine, restricted to the vector's coarse block.
@@ -418,10 +479,32 @@ def knn_graph_blocked(
     when blocks are balanced: one shuffle of the corpus by block key,
     then each block's pairs are generated and scored locally; nothing
     quadratic in the CORPUS, only in the block. At 100 TB the block
-    column is a trained coarse cell (ivf_topk's k-means) and a hot block
-    is sub-divided with the sign-LSH trick from
-    dedup.embedding_cosine_pairs; candidates could equally come from
-    lsh_topk_multitable when no natural block exists.
+    column is a trained coarse cell (ivf_topk's k-means).
+
+    ``max_block_rows`` guards the hot block. A block within the bound is
+    exact, always. Blocks over the bound follow ``oversize_policy``:
+
+    - ``"lsh"`` (default): the oversized block's candidates come from the
+      within-block hamming<=1 sign-LSH multiprobe
+      (dedup.cosine_candidate_pairs) instead of exhaustive pairs —
+      APPROXIMATE for those blocks only (same contract as
+      ``knn_graph_lsh``: near-parallel neighbors kept with prob → 1,
+      weakly-similar exact-top-k not preserved). This is the 100 TB
+      default because the alternative is quadratic WORK, not just a
+      straggler: a 30% hot label at 10× data means 100× the pairs, and
+      round-5 measurement showed salting spreads the tasks but cannot
+      shrink the arithmetic (27× wall growth salted vs 0.9× for the LSH
+      candidates — SCALE_STRESS.json).
+    - ``"salt"``: exact everywhere; the oversized block's QUERY side is
+      split into ``ceil(rows / bound)`` hash sub-blocks with the
+      neighbor side replicated across them, so every query still scores
+      the full block and the output is byte-identical to unbounded —
+      pair generation spreads over ``n_sub`` reducers. Use when exact
+      results are non-negotiable and the cluster can afford the pairs.
+
+    Balanced blocks take the same single-shuffle plan either way; the
+    only added cost is one block-count aggregate that broadcasts back.
+    ``max_block_rows=None`` disables the guard (unbounded exact).
     """
     a = corpus.select(
         block_col,
@@ -433,12 +516,64 @@ def knn_graph_blocked(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
     )
-    scored = (
-        a.join(b, block_col)
+    if max_block_rows is None:
+        scored = (
+            a.join(b, block_col)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score_raw", _dot("qe", "ce", dim))
+        )
+        return _rank_topk(scored, k)
+    if oversize_policy not in ("lsh", "salt"):
+        raise ValueError(f"oversize_policy must be 'lsh' or 'salt', got {oversize_policy!r}")
+
+    sizes = corpus.groupBy(F.col(block_col)).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(max_block_rows))
+        .cast("int")
+        .alias("_nsub")
+    )
+
+    if oversize_policy == "salt":
+        a_s = a.join(F.broadcast(sizes), block_col).withColumn(
+            "_salt", F.pmod(F.xxhash64("query_id"), F.col("_nsub")).cast("int")
+        )
+        b_s = (
+            b.join(F.broadcast(sizes), block_col)
+            .withColumn("_salt", F.explode(F.expr("sequence(0, _nsub - 1)")))
+            .drop("_nsub")
+        )
+        scored = (
+            a_s.drop("_nsub")
+            .join(b_s, [block_col, "_salt"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score_raw", _dot("qe", "ce", dim))
+        )
+        return _rank_topk(scored, k)
+
+    # policy "lsh": exact on within-bound blocks, LSH candidates on the rest
+    tagged = corpus.join(F.broadcast(sizes), block_col)
+    small = tagged.filter(F.col("_nsub") <= 1)
+    big = tagged.filter(F.col("_nsub") > 1)
+    a_sm = small.select(
+        block_col, F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    b_sm = small.select(
+        block_col, F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored_small = (
+        a_sm.join(b_sm, block_col)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score_raw", _dot("qe", "ce", dim))
+        .select("query_id", "neighbor_id", "score_raw")
     )
-    return _rank_topk(scored, k)
+    from .dedup import cosine_candidate_pairs
+
+    big_v = big.select(
+        "vec_id", F.col(block_col).alias("label"), "embedding"
+    )
+    scored_big = _scored_bidirectional(
+        big_v, cosine_candidate_pairs(big_v, dim), dim
+    )
+    return _rank_topk(scored_small.unionAll(scored_big), k)
 
 
 def bucket_duck(vec: str, dim: int) -> str:
@@ -476,31 +611,6 @@ def knn_graph_lsh(corpus: DataFrame, dim: int, k: int = 3) -> DataFrame:
     from .dedup import cosine_candidate_pairs
 
     v = corpus.select("vec_id", "label", "embedding")
-    cand = cosine_candidate_pairs(v, dim)  # one row per unordered pair (id_a < id_b)
-    q = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("qe"))
-    c = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("ce"))
-    half = (
-        cand.join(q, "id_a")
-        .join(c, "id_b")
-        .withColumn("s", _dot("qe", "ce", dim))
-    )
-    # The dot is symmetric, so each scored pair serves both directions —
-    # emit them with ONE generator instead of a union of two scans of the
-    # candidate join (a union recomputes the join + dot per branch).
-    scored = half.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("query_id"),
-                    F.col("id_b").alias("neighbor_id"),
-                    F.col("s").alias("score_raw"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("query_id"),
-                    F.col("id_a").alias("neighbor_id"),
-                    F.col("s").alias("score_raw"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.*")
-    return _rank_topk(scored, k)
+    # one candidate row per unordered pair (id_a < id_b), scored once and
+    # emitted in both directions (_scored_bidirectional)
+    return _rank_topk(_scored_bidirectional(v, cosine_candidate_pairs(v, dim), dim), k)

@@ -64,3 +64,22 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``running_user_totals``: the per-user totals the
+    stream's state converges to once every event has been consumed (state
+    accumulates the raw double sum; only the emitted value is rounded —
+    mirrored here by rounding the final aggregate).
+
+    The parity contract — final-micro-batch streaming state ==
+    this one native aggregation — is asserted in tests/test_streaming.py
+    and oracle-gated via the ``a0_stream_user_totals`` harness entry; it
+    is what lets the stateful Python operator be trusted at all, since
+    ``applyInPandasWithState`` itself can't run on a batch DataFrame."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -141,37 +141,147 @@ def _emb_replica(e: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _event_replica(ev: DataFrame, k: int) -> DataFrame:
+    """Replica k offsets event_id and user_id by k*10M (within-replica
+    funnel/cohort/session structure replicates exactly), then routes 20%
+    of events to ONE shared hot user (42) across ALL replicas — the
+    power-user skew that stresses per-user aggregations and joins: the
+    hot user's event count grows linearly with N while every other user
+    stays constant-size."""
+    out = ev.select(
+        (F.col("event_id") + k * 10_000_000).alias("event_id"),
+        (F.col("user_id") + k * 10_000_000).alias("user_id"),
+        "event_type",
+        "ts",
+        "value",
+        "props",
+    )
+    return out.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(42)).otherwise(F.col("user_id")),
+    )
+
+
 def generate(spark: SparkSession, n: int) -> str:
     out = os.path.join(DATA_DIR, f"x{n}")
-    if os.path.isdir(os.path.join(out, "documents")) and os.path.isdir(
-        os.path.join(out, "embeddings")
-    ):
-        return out
-    d = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet")).select(
-        "doc_id", "text"
-    )
-    e = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
-    docs = None
-    embs = None
-    for k in range(n):
-        dk = _synth_dups(_doc_replica(d, k))
-        ek = _emb_replica(e, k)
-        docs = dk if docs is None else docs.unionAll(dk)
-        embs = ek if embs is None else embs.unionAll(ek)
-    docs.repartition(4 * n).write.mode("overwrite").parquet(
-        os.path.join(out, "documents")
-    )
-    embs.repartition(2 * n).write.mode("overwrite").parquet(
-        os.path.join(out, "embeddings")
-    )
+    # per-table: a corpus generated by an older revision (docs+embs only)
+    # gains the events table without re-writing the others
+    if not os.path.isdir(os.path.join(out, "documents")):
+        d = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        docs = None
+        for k in range(n):
+            dk = _synth_dups(_doc_replica(d, k))
+            docs = dk if docs is None else docs.unionAll(dk)
+        docs.repartition(4 * n).write.mode("overwrite").parquet(
+            os.path.join(out, "documents")
+        )
+    if not os.path.isdir(os.path.join(out, "embeddings")):
+        e = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+        embs = None
+        for k in range(n):
+            ek = _emb_replica(e, k)
+            embs = ek if embs is None else embs.unionAll(ek)
+        embs.repartition(2 * n).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings")
+        )
+    if not os.path.isdir(os.path.join(out, "events")):
+        ev_base = spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+        evs = None
+        for k in range(n):
+            vk = _event_replica(ev_base, k)
+            evs = vk if evs is None else evs.unionAll(vk)
+        evs.repartition(4 * n).write.mode("overwrite").parquet(
+            os.path.join(out, "events")
+        )
     return out
 
 
+def _cohort_weekly(ev: DataFrame) -> DataFrame:
+    # mirrors harness_round4.cohort_retention_weekly on a raw events DF
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("c"))
+    offsets = activity.join(cohort, "user_id").select(
+        "user_id", "c", F.datediff("d", "c").alias("day_offset")
+    )
+    return (
+        offsets.filter(F.col("day_offset").isin([0, 7, 14, 21, 28]))
+        .groupBy("c", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+def _funnel(ev: DataFrame) -> DataFrame:
+    # mirrors harness_round4.funnel_signup_view_purchase
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")))
+    )
+
+
 def _ops(spark: SparkSession, path: str):
+    from gcp_serverless_etl_pipeline_lab_spark.operators import (
+        retrieval,
+        seqdedup,
+        timeseries,
+    )
+
     docs = spark.read.parquet(os.path.join(path, "documents"))
     embs = spark.read.parquet(os.path.join(path, "embeddings"))
+    events = spark.read.parquet(os.path.join(path, "events"))
     queries = embs.filter(F.col("vec_id") < 10)
     return {
+        # Sequence-level dedup: the untagged boilerplate sentence (16
+        # tokens, 30% of docs at every replica) is a HOT repeated span —
+        # its occurrence list grows linearly with N, and the composite-MIN
+        # first-wins aggregation must absorb it map-side (the design
+        # argument in operators/seqdedup.py step 3, measured here).
+        "seq_dedup_spans": lambda: seqdedup.repeated_spans(
+            docs, w=16, stride=8, min_docs=2
+        ),
+        # BM25 with a HOT query term: 'boilerplate' appears in 30% of all
+        # docs across every replica, so its posting list grows linearly
+        # with N — the df/N/avgdl broadcast and map-side term filter must
+        # keep growth linear (partial aggregation absorbs the hot term).
+        "bm25_hot_term": lambda: retrieval.bm25_topk(
+            docs, ["boilerplate", "footer", "common"], k=10
+        ),
+        # Cohort retention with the hot user owning 20%·N of events:
+        # the (user, day) distinct and the per-user cohort agg both key on
+        # composites or partial-aggregate, so no single reducer sees the
+        # hot user's full event list.
+        "cohort_retention_weekly": lambda: _cohort_weekly(events),
+        # Three-stage funnel: per-stage per-user MIN aggregations and
+        # survivor joins; hot user = hot probe key against 1-row build.
+        "funnel_signup_view_purchase": lambda: _funnel(events),
+        # Dense-key spine: per-USER hourly grid (users × 720 buckets grows
+        # linearly with N; ~10.8M generated spine rows at x10); the LOCF
+        # window sorts 720 rows per user regardless of event volume.
+        "events_gapfill_locf_users": lambda: timeseries.gapfill_locf(
+            events, key_col="user_id", bucket="1 hour", cents_avg=True
+        ),
+    } | {
         "dedup_exact": lambda: dedup.exact_dup_pairs(docs),
         "dedup_ngram_jaccard_capped": lambda: dedup.ngram_jaccard_pairs(
             docs, threshold=0.8, max_df=NGRAM_MAX_DF

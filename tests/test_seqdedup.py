@@ -107,3 +107,53 @@ def test_single_doc_repeat_not_cross_doc(spark):
     assert repeated_spans(docs, **W8).count() == 0
     out = drop_repeated_spans(docs, **W8).collect()[0]
     assert out.n_spans_dropped == 0 and out.kept_tokens == 16
+
+
+def test_winnow_alignment_independent(spark):
+    # A 12-token run shared at MISALIGNED offsets (shift by 1, which
+    # stride-8 tiling cannot match) must still produce a shared winnowed
+    # fingerprint: guarantee holds for runs >= w + k - 1 = 7 tokens.
+    from gcp_serverless_etl_pipeline_lab_spark.operators.seqdedup import (
+        winnow_repeated_report,
+    )
+
+    run = " ".join(f"r{j}" for j in range(12))
+    docs = _mkdocs(
+        spark,
+        [
+            (1, f"{run} " + " ".join(f"a{j}" for j in range(4))),
+            (2, "zzz " + run),  # shifted by ONE token
+        ],
+    )
+    # tiled windows (w=8, stride=4) find nothing at this alignment
+    tiled = repeated_spans(docs, w=8, stride=4, min_docs=2).count()
+    assert tiled == 0
+    rep = winnow_repeated_report(docs, k=4, w=4, min_docs=2).collect()
+    assert len(rep) >= 1
+    assert all(r.n_docs == 2 for r in rep)
+    # first occurrence is in doc 1 (smaller doc_id)
+    assert all(r.first_doc == 1 for r in rep)
+
+
+def test_winnow_density_and_dedup(spark):
+    # Selected fingerprints are deduped per doc and much sparser than the
+    # exhaustive gram set (~2/(w+1) of grams in expectation).
+    from gcp_serverless_etl_pipeline_lab_spark.operators.seqdedup import (
+        winnow_fingerprints,
+    )
+
+    text = " ".join(f"t{j}" for j in range(200))
+    docs = _mkdocs(spark, [(1, text)])
+    fps = winnow_fingerprints(docs, k=4, w=4).collect()
+    n_grams = 200 - 4 + 1
+    assert 0 < len(fps) < n_grams * 0.8
+    assert len({(r.p, r.h) for r in fps}) == len(fps)
+
+
+def test_winnow_short_doc_guard(spark):
+    from gcp_serverless_etl_pipeline_lab_spark.operators.seqdedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _mkdocs(spark, [(1, "a b c d e f")])  # 6 < k + w - 1 = 7
+    assert winnow_fingerprints(docs, k=4, w=4).count() == 0

@@ -165,6 +165,20 @@ def test_stateful_running_totals(spark, tmp_path):
     # user 1 cumulative across batches; user 3 new; user 2 not re-emitted
     assert out2 == {1: (3, 17.5), 3: (1, 7.0)}
 
+    # Batch-parity: the converged streaming state (latest emit per user
+    # across all runs) must equal the native batch twin on the full input
+    # — the contract behind the a0_stream_user_totals harness oracle.
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.stateful import (
+        running_user_totals_batch,
+    )
+
+    final = {**out1, **out2}
+    batch_twin = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in running_user_totals_batch(spark.read.parquet(str(src))).collect()
+    }
+    assert batch_twin == final
+
 
 def test_spark_sql_surface(spark):
     """The engine exposes the warehouse as temp views for ad-hoc SQL
