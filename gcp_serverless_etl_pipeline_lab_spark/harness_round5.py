@@ -125,6 +125,142 @@ def a0_seq_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed-table co-located join — sinks.write_bucketed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0_bucketed_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def a0_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈lineitem revenue THROUGH the bucketed warehouse layout
+    (sinks.write_bucketed / read_bucketed): both tables written bucketed
+    by the join key (8 buckets, in-bucket sorted, one file per bucket),
+    then joined from the catalog — the equi-join runs with no Exchange
+    (asserted in tests/test_bucketed.py; this query proves the VALUES
+    survive the layout round-trip). Tables dropped eagerly after the
+    1-row-per-group aggregate is collected."""
+    from .sinks import read_bucketed, write_bucketed
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    write_bucketed(o, "h5_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "h5_lineitem_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    try:
+        rows = (
+            read_bucketed(spark, "h5_orders_b")
+            .hint("merge")
+            .join(read_bucketed(spark, "h5_lineitem_b"), "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS h5_orders_b")
+        spark.sql("DROP TABLE IF EXISTS h5_lineitem_b")
+    return spark.createDataFrame(
+        [(r["o_orderpriority"], r["n_items"], r["revenue_cents"]) for r in rows],
+        "o_orderpriority string, n_items bigint, revenue_cents bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink roundtrip — sources/jsonl.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0_jsonl_roundtrip",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM({h60_duck("text")} % 1000000007) AS BIGINT) AS text_hashsum
+    FROM documents
+    """,
+)
+def a0_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip (sources/jsonl.py): write `documents`
+    as sharded newline-delimited JSON, drop three malformed lines into the
+    directory, re-read with an explicit schema (PERMISSIVE + corrupt-
+    record capture), route corrupt lines aside, and aggregate the clean
+    side. Matching the oracle — computed straight from the parquet table —
+    proves the writer/reader round-trips rows, types, and text VALUES
+    (the 60-bit text hash sum), and that malformed input lands in the
+    dead-letter split instead of the corpus. Temp dirs cleaned eagerly,
+    1-row result returned as a literal (same discipline as
+    etl_roundtrip_sinks)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.hashing import h60
+    from .sources.jsonl import read_jsonl, split_corrupt, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        out_dir = os.path.join(base, "corpus")
+        write_jsonl(docs, out_dir, shards=4)
+        with open(os.path.join(out_dir, "part-corrupt.json"), "w") as f:
+            f.write('{"doc_id": 1, "text": unquoted}\n')
+            f.write("not json at all\n")
+            f.write('{"doc_id": }\n')
+        back = read_jsonl(
+            spark,
+            out_dir,
+            "doc_id bigint, text string, lang string, source string, n_chars int",
+        )
+        clean, corrupt = split_corrupt(back)  # caches the parse; unpersisted below
+        row = (
+            clean.agg(
+                F.count(F.lit(1)).alias("n_clean"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.count_distinct("lang").alias("n_langs"),
+                F.sum(F.pmod(h60(F.col("text")), F.lit(1000000007)))
+                .cast("bigint")
+                .alias("text_hashsum"),
+            )
+            .crossJoin(corrupt.agg(F.count(F.lit(1)).alias("n_corrupt")))
+            .collect()[0]
+        )
+        back.unpersist()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_clean"],
+                row["n_corrupt"],
+                row["sum_chars"],
+                row["n_langs"],
+                row["text_hashsum"],
+            )
+        ],
+        "n_clean bigint, n_corrupt bigint, sum_chars bigint, n_langs bigint, "
+        "text_hashsum bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowed fingerprints (MOSS scheme) — alignment-independent seq dedup
 # ---------------------------------------------------------------------------
 

@@ -47,7 +47,14 @@ def pagerank_fixed_point(
     """(node, rank_fp) after ``iters`` damped iterations; rank_fp is the
     BIGINT fixed-point rank (units of 1/SCALE), identical across engines.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge table ONCE before iterating: every iteration
+    # references e / nodes / outdeg, and without a cut Spark re-executes
+    # the whole upstream plan (e.g. the kNN-graph join that produced the
+    # edges) once per reference — measured 3x the total runtime on the
+    # harness pagerank query. Same pattern as the per-round truncation in
+    # operators/cluster.py; at 100 TB this is a persist of the (src, dst)
+    # pairs, tiny next to the corpus that produced them.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

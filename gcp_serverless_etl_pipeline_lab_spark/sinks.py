@@ -13,6 +13,7 @@ partition the warehouse by date and prune at read time.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_warehouse(
@@ -111,3 +112,70 @@ def read_warehouse_versioned(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions} under {path}")
     return read_warehouse(spark, os.path.join(path, f"v={v}"), fmt)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed warehouse tables (shuffle-free co-located joins)
+# ---------------------------------------------------------------------------
+#
+# THE 100 TB join technique: write both fact tables bucketed (and sorted)
+# by the join key once at ingest, and every subsequent equi-join on that
+# key runs with NO Exchange and NO Sort — each task zips bucket i of one
+# table with bucket i of the other. Bucketing metadata lives in the
+# session catalog (saveAsTable), so these writers speak table names, not
+# paths; `spark.sql.warehouse.dir` owns the storage.
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    single_file_buckets: bool = True,
+) -> None:
+    """Overwrite ``table`` bucketed by ``bucket_cols``, optionally sorted
+    within each bucket. Joins between tables bucketed on the same keys
+    with the SAME bucket count need no shuffle (asserted in
+    tests/test_bucketed.py).
+
+    Dropping the SortMergeJoin's per-task Sort as well needs two more
+    things: exactly ONE file per bucket (``single_file_buckets``
+    repartitions by the bucket key before writing — otherwise each
+    writing task emits its own file per bucket and the reader can't
+    trust the merged order) and the reader session setting
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (the scan
+    only advertises its sort order under that conf; leave it off for
+    multi-file-bucket tables, where it reduces scan parallelism to one
+    task per bucket).
+
+    Bucket count is a layout contract: pick it from target bucket FILE
+    size (~128-256 MB) at the table's full scale and keep it stable
+    across tables that join — a mismatch silently reintroduces the
+    shuffle on one side."""
+    import os
+    import shutil
+
+    if single_file_buckets:
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a managed-table location orphaned by a previous session (catalog
+    # entry gone, files left) blocks saveAsTable with
+    # LOCATION_ALREADY_EXISTS — remove it before overwriting
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.split(".")[-1])
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table WITH its bucketing metadata (a plain
+    path-read of the same files would lose the layout and re-shuffle)."""
+    return spark.table(table)

@@ -1,0 +1,65 @@
+"""JSONL source/sink semantics (sources/jsonl.py)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_etl_pipeline_lab_spark.sources.jsonl import (
+    read_jsonl,
+    split_corrupt,
+    write_jsonl,
+)
+
+SCHEMA = "doc_id bigint, text string, score double"
+
+
+def test_roundtrip_types_and_values(spark, tmp_path):
+    rows = [
+        (1, 'quote " and backslash \\ and newline-free', 0.5),
+        (2, "unicode é中文", -1.25),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = str(tmp_path / "c")
+    write_jsonl(df, out, shards=2)
+    # shard control: exactly 2 part files
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 2
+    back, corrupt = split_corrupt(read_jsonl(spark, out, SCHEMA))
+    assert corrupt.count() == 0
+    got = sorted((r.doc_id, r.text, r.score) for r in back.collect())
+    assert got == sorted(rows)
+    back.unpersist()
+
+
+def test_corrupt_lines_routed_not_fatal(spark, tmp_path):
+    df = spark.createDataFrame([(1, "ok", 1.0)], SCHEMA)
+    out = str(tmp_path / "c")
+    write_jsonl(df, out)
+    with open(os.path.join(out, "bad.json"), "w") as f:
+        f.write("{broken\n")
+        f.write("also broken\n")
+    clean, corrupt = split_corrupt(read_jsonl(spark, out, SCHEMA))
+    assert clean.count() == 1
+    bad = sorted(r.raw_line for r in corrupt.collect())
+    assert bad == sorted(["{broken", "also broken"])
+    assert "_corrupt_record" not in clean.columns
+    clean.unpersist()
+
+
+def test_explicit_schema_no_inference_extra_fields_ignored(spark, tmp_path):
+    # extra JSON fields are dropped by the explicit schema (no inference
+    # pass); missing fields are null
+    out = str(tmp_path / "c")
+    os.makedirs(out)
+    with open(os.path.join(out, "d.json"), "w") as f:
+        f.write('{"doc_id": 7, "text": "x", "score": 2.0, "extra": "zzz"}\n')
+        f.write('{"doc_id": 8}\n')
+    clean, corrupt = split_corrupt(read_jsonl(spark, out, SCHEMA))
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert corrupt.count() == 0
+    assert rows[7].text == "x" and "extra" not in clean.columns
+    assert rows[8].text is None and rows[8].score is None
+    clean.unpersist()
