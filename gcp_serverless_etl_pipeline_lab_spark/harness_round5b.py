@@ -1,0 +1,338 @@
+"""Round-5 second batch: multi-join analytics, SCD2 history, CMS heavy
+hitters, partition-pruned warehouse reads, salted hot-key joins.
+
+Names are prefixed ``a0b_`` (sorting just after the ``a0_`` batch, still
+well inside the driver correctness gate's 50-entry alphabetical window —
+COVERAGE.md "Driver correctness-gate truncation").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import h60_duck
+from .harness import _t, register
+from .operators.scd2 import scd2_history
+from .operators.sketchfreq import cms_heavy_hitters
+from .operators.skew import salted_join
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shaped six-table join — the join-planning breadth query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_tpch_q5_region_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def a0b_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation for one region.
+
+    Six-table join chain exercising the planner's mixed strategy: region
+    and nation are explicitly broadcast (a few rows — the filter on
+    r_name prunes nation to the region's members BEFORE the big join, so
+    the fact-side rows for other regions never shuffle), supplier is
+    small enough for AQE to broadcast on its own, and
+    customer⋈orders⋈lineitem run as shuffle joins on their keys. The
+    extra c_nationkey = s_nationkey equi-condition (the "local supplier"
+    predicate) rides the supplier join as a post-join filter. The date
+    filter is pushed to the orders parquet scan.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history — operators/scd2.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_scd2_user_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    intervals AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             CAST(ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+               AS version_n
+      FROM changes
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           MIN(valid_from) AS first_from,
+           MAX(CASE WHEN valid_to IS NULL THEN valid_from END) AS current_from,
+           MAX(CASE WHEN valid_to IS NULL THEN state END) AS current_state,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN
+             epoch_us(valid_to) - epoch_us(valid_from)
+             ELSE 0 END) AS BIGINT) AS closed_us
+    FROM intervals
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def a0b_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 per-user state history from the events change log, reported
+    as one row per user (version count, current state, total closed-
+    interval dwell time) so the result stays compact at any SF while the
+    hash still covers every interval boundary. The builder
+    (operators/scd2.py) compresses consecutive duplicate states and
+    closes each interval with the next change's timestamp — single
+    shuffle, both windows share one Exchange+Sort (asserted in
+    tests/test_plans_round5b.py)."""
+    hist = scd2_history(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return (
+        hist.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.min("valid_from").alias("first_from"),
+            F.max(F.when(F.col("is_current"), F.col("valid_from"))).alias(
+                "current_from"
+            ),
+            F.max(F.when(F.col("is_current"), F.col("state"))).alias(
+                "current_state"
+            ),
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.unix_micros("valid_to") - F.unix_micros("valid_from"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("closed_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters — operators/sketchfreq.py
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
+
+
+def _cms_bucket_duck(row: int) -> str:
+    hashed = h60_duck(f"'{row}:' || k")
+    return f"{hashed} % {_CMS_W}"
+
+
+@register(
+    "a0b_cms_heavy_hitters",
+    f"""
+    WITH keys AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ),
+    cells_raw AS (
+      SELECT k, UNNEST([{", ".join(
+          f"struct_pack(hrow := {r}, bucket := {_cms_bucket_duck(r)})"
+          for r in range(_CMS_D)
+      )}]) AS c
+      FROM keys
+    ),
+    cells AS (
+      SELECT k, c.hrow AS hrow, c.bucket AS bucket FROM cells_raw
+    ),
+    sketch AS (
+      SELECT hrow, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS exact FROM keys GROUP BY k
+    ),
+    probes_raw AS (
+      SELECT k, UNNEST([{", ".join(
+          f"struct_pack(hrow := {r}, bucket := {_cms_bucket_duck(r)})"
+          for r in range(_CMS_D)
+      )}]) AS c
+      FROM exact
+    ),
+    probes AS (
+      SELECT k, c.hrow AS hrow, c.bucket AS bucket FROM probes_raw
+    ),
+    est AS (
+      SELECT p.k, CAST(MIN(s.cnt) AS BIGINT) AS est
+      FROM probes p JOIN sketch s
+        ON s.hrow = p.hrow AND s.bucket = p.bucket
+      GROUP BY p.k
+    )
+    SELECT e.k, e.est, x.exact, e.est - x.exact AS overcount
+    FROM est e JOIN exact x USING (k)
+    ORDER BY e.est DESC, e.k
+    LIMIT {_CMS_TOP}
+    """,
+)
+def a0b_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over events.user_id: d=4 × w=1024
+    counters, estimates = min over rows of the addressed counter, top-20
+    by estimate with the exact count and overcount alongside. The sketch
+    build's shuffle is bounded at d·w rows per input partition (map-side
+    partial agg); the estimate lookup broadcasts the 4096-cell sketch.
+    The oracle replays the identical MD5-salted bucketing, so every
+    counter — including collisions — matches value-for-value."""
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        depth=_CMS_D,
+        width=_CMS_W,
+        top_n=_CMS_TOP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned warehouse read — sinks.write_warehouse(partition_by)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_partitioned_prune_year",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE CAST(year(o_orderdate) AS INTEGER) = 1997
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a0b_partitioned_prune_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by priority for one year, read THROUGH a year-partitioned
+    warehouse layout: orders is written with
+    sinks.write_warehouse(partition_by=['o_year']) and read back with a
+    partition filter, so the scan lists exactly one o_year=… directory
+    instead of the whole table (pruning asserted on the plan in
+    tests/test_plans_round5b.py; this query proves the values survive
+    the partitioned round-trip). The 100 TB warehouse pattern: date-
+    partition the fact table at write time, prune at read time."""
+    import shutil
+    import tempfile
+
+    from .sinks import read_warehouse, write_warehouse
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    base = tempfile.mkdtemp(prefix="part_wh_")
+    try:
+        write_warehouse(orders, base, partition_by=["o_year"])
+        rows = (
+            read_warehouse(spark, base)
+            .filter(F.col("o_year") == 1997)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["o_orderpriority"], r["n_orders"], r["revenue"]) for r in rows],
+        "o_orderpriority string, n_orders bigint, revenue double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted hot-key join — operators/skew.py as an end-to-end oracled query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_salted_hot_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def a0b_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈customer revenue by market segment THROUGH the salted-join
+    utility (operators/skew.py, n_salt=8): the fact side's shuffle key
+    becomes (custkey, content-hash salt) so a pathological hot customer
+    spreads over 8 reducers; the dimension side replicates once per
+    salt. Matching the plain-join oracle proves salting is
+    result-invariant — same rows, same aggregate, independent of salt
+    fan-out and partition layout."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(orders, cust, on="c_custkey", n_salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
