@@ -244,6 +244,72 @@ def a0b_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM perplexity scoring — operators/lmscore.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_bigram_lm_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    occ AS (
+      SELECT doc_id, t, UNNEST(range(0, len(t) - 1)) AS i FROM toks
+    ),
+    pairs AS (
+      SELECT doc_id, t[CAST(i AS BIGINT) + 1] AS w1,
+             t[CAST(i AS BIGINT) + 2] AS w2
+      FROM occ
+    ),
+    bg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM pairs GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(k) AS BIGINT) AS c1 FROM bg GROUP BY w1
+    ),
+    vcb AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg
+      )
+    ),
+    scored AS (
+      SELECT bg.doc_id, bg.k, c12.c12, c1.c1, vcb.v
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vcb
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             CAST(SUM(k * (
+               CAST(FLOOR(ln(c12 + 1) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(c1 + v) * 1000000) AS BIGINT)
+             )) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, score_micro,
+           CAST((-score_micro) // n_bigrams AS BIGINT) AS neg_avg_micro
+    FROM perdoc ORDER BY doc_id
+    """,
+)
+def a0b_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: an add-one-smoothed bigram LM
+    trained on the corpus scores every document's total and per-token
+    log-probability in exact integer micro-nats (operators/lmscore.py —
+    integer-exact so the last-ulp ln() divergence between engines can't
+    flake the hash compare). The Zipf-skewed count joins run hybrid
+    hot/cold: heavy-hitter bigrams/heads broadcast, the tail shuffles."""
+    from .operators.lmscore import doc_logprob_micro
+
+    return doc_logprob_micro(
+        _t(spark, sf_dir, "documents"), hot_threshold=1000
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Partition-pruned warehouse read — sinks.write_warehouse(partition_by)
 # ---------------------------------------------------------------------------
 
@@ -335,4 +401,181 @@ def a0b_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape) — Catalyst decorrelation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_tpch_q17_small_qty",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(SUM(l.l_extendedprice), 2) AS small_qty_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+    )
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def a0b_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    20% of their part's average — a correlated scalar subquery, exercised
+    through the engine's spark.sql surface. Catalyst DECORRELATES it into
+    a per-part aggregate joined back to the fact table (asserted in
+    tests/test_plans_round5b.py: the plan is aggregates + equi-joins, no
+    nested-loop re-execution per outer row — the only plan that survives
+    at 100 TB)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small,
+               ROUND(SUM(l.l_extendedprice), 2) AS small_qty_revenue
+        FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM q17_lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+        )
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC interchange roundtrip — second columnar format through the sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_orc_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           MAX(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def a0b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC warehouse roundtrip: write `orders` through
+    sinks.write_warehouse(fmt='orc'), read it back with
+    read_warehouse(fmt='orc'), and aggregate — matching the parquet-
+    derived oracle proves rows, types (timestamp included), and values
+    survive the second columnar format. ORC matters for interchange with
+    Hive-era warehouses; predicate pushdown and column pruning work the
+    same as parquet (Spark native reader)."""
+    import shutil
+    import tempfile
+
+    from .sinks import read_warehouse, write_warehouse
+
+    base = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        write_warehouse(_t(spark, sf_dir, "orders"), base, fmt="orc")
+        row = (
+            read_warehouse(spark, base, fmt="orc")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct("o_orderpriority")
+                .cast("bigint")
+                .alias("n_priorities"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.max("o_orderdate").alias("max_date"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(row["n_rows"], row["n_priorities"], row["sum_price"], row["max_date"])],
+        "n_rows bigint, n_priorities bigint, sum_price double, max_date timestamp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFC-4180 CSV roundtrip — sources/csv_rfc.py (standards-mode CSV)
+# ---------------------------------------------------------------------------
+
+
+_TRICKY_DUCK = h60_duck("'v,' || chr(34) || text || chr(34) || ',x'")
+
+@register(
+    "a0b_csv_rfc_roundtrip",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clean,
+           CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM({_TRICKY_DUCK} % 1000000007)
+             AS BIGINT) AS tricky_hashsum
+    FROM documents
+    """,
+)
+def a0b_csv_rfc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV roundtrip (sources/csv_rfc.py): every document's text
+    is wrapped with embedded commas AND double quotes (`v,"…",x`), written
+    as quoted CSV, re-read in standards mode, with two malformed lines
+    dead-lettered. Matching the oracle — which recomputes the tricky
+    string straight from parquet — proves the writer quotes and the
+    reader unquotes EXACTLY (doubled-quote escaping round-trips), the one
+    thing the reference's naive-split reader cannot do (SURVEY.md §1.3).
+    The engine ships both semantics: text_csv.py for reference parity,
+    csv_rfc.py for standards interchange."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.hashing import h60
+    from .sources.csv_rfc import read_csv_rfc, split_corrupt, write_csv_rfc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('v,"'), F.col("text"), F.lit('",x')).alias("tricky"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+    )
+    base = tempfile.mkdtemp(prefix="csv_rfc_")
+    try:
+        out_dir = os.path.join(base, "csv")
+        write_csv_rfc(docs, out_dir, shards=4)
+        # two malformed lines: unbalanced quote, wrong arity after parse
+        with open(os.path.join(out_dir, "part-corrupt.csv"), "w") as fh:
+            fh.write('doc_id,tricky,n_chars\n')
+            fh.write('9000001,"unterminated quote,12\n')
+            fh.write('9000002,"ok",notanint\n')
+        back = read_csv_rfc(
+            spark, out_dir, "doc_id bigint, tricky string, n_chars int"
+        )
+        clean, corrupt = split_corrupt(back)
+        row = (
+            clean.agg(
+                F.count(F.lit(1)).alias("n_clean"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.sum(F.pmod(h60(F.col("tricky")), F.lit(1000000007)))
+                .cast("bigint")
+                .alias("tricky_hashsum"),
+            )
+            .crossJoin(corrupt.agg(F.count(F.lit(1)).alias("n_corrupt")))
+            .collect()[0]
+        )
+        back.unpersist()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                row["n_clean"],
+                row["n_corrupt"],
+                row["sum_chars"],
+                row["tricky_hashsum"],
+            )
+        ],
+        "n_clean bigint, n_corrupt bigint, sum_chars bigint, tricky_hashsum bigint",
     )

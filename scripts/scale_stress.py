@@ -242,8 +242,11 @@ def _funnel(ev: DataFrame) -> DataFrame:
 
 def _ops(spark: SparkSession, path: str):
     from gcp_serverless_etl_pipeline_lab_spark.operators import (
+        lmscore,
         retrieval,
+        scd2,
         seqdedup,
+        sketchfreq,
         timeseries,
     )
 
@@ -280,6 +283,30 @@ def _ops(spark: SparkSession, path: str):
         # window sorts 720 rows per user regardless of event volume.
         "events_gapfill_locf_users": lambda: timeseries.gapfill_locf(
             events, key_col="user_id", bucket="1 hour", cents_avg=True
+        ),
+        # Bigram LM scoring under Zipf-head skew: the untagged boilerplate
+        # bigrams appear in 30% of docs at EVERY replica, so their corpus
+        # counts grow linearly with N — they must ride the hybrid join's
+        # broadcast hot leg (operators/lmscore.py) or the (w1,w2) shuffle
+        # develops a linearly-growing hot key.
+        "bigram_lm_scores": lambda: lmscore.doc_logprob_micro(
+            docs, hot_threshold=1000
+        ),
+        # SCD2 over the hot user: user 42 owns 20%·N of all events, so its
+        # window partition grows linearly — the per-key sort is one task
+        # but linear work; everything else partial-aggregates.
+        "scd2_user_history": lambda: scd2.scd2_history(
+            events,
+            key_col="user_id",
+            state_col="event_type",
+            ts_col="ts",
+            tiebreak_col="event_id",
+        ),
+        # CMS sketch build: shuffle bounded at d·w cells per partition by
+        # map-side partial agg regardless of N — growth should track the
+        # scan, not the key distribution (hot user 42 lands in 4 counters).
+        "cms_heavy_hitters": lambda: sketchfreq.cms_heavy_hitters(
+            events, "user_id", top_n=20
         ),
     } | {
         "dedup_exact": lambda: dedup.exact_dup_pairs(docs),

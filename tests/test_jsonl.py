@@ -63,3 +63,45 @@ def test_explicit_schema_no_inference_extra_fields_ignored(spark, tmp_path):
     assert rows[7].text == "x" and "extra" not in clean.columns
     assert rows[8].text is None and rows[8].score is None
     clean.unpersist()
+
+
+def test_csv_rfc_vs_naive_split_quoted_comma(spark, tmp_path):
+    """SURVEY.md §1.3: the reference's naive split REJECTS a quoted-comma
+    row (extra fields -> failed float cast), while standards-mode CSV
+    accepts it. The engine ships both semantics; this pins the contrast."""
+    from gcp_serverless_etl_pipeline_lab_spark.sources.csv_rfc import (
+        read_csv_rfc,
+        split_corrupt,
+    )
+
+    p = tmp_path / "quoted.csv"
+    p.write_text(
+        'id,product,price\n'
+        '1,"Bluetooth Speaker, Portable",59.99\n'
+        "2,Plain Product,10.0\n"
+    )
+    back = read_csv_rfc(spark, str(p), "id bigint, product string, price double")
+    clean, corrupt = split_corrupt(back)
+    rows = {r["id"]: r for r in clean.collect()}
+    assert corrupt.count() == 0
+    assert rows[1]["product"] == "Bluetooth Speaker, Portable"
+    assert rows[1]["price"] == 59.99
+    back.unpersist()
+
+
+def test_csv_rfc_doubled_quote_roundtrip(spark, tmp_path):
+    from gcp_serverless_etl_pipeline_lab_spark.sources.csv_rfc import (
+        read_csv_rfc,
+        split_corrupt,
+        write_csv_rfc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 'He said "hi", twice'), (2, "plain")], "id bigint, s string"
+    )
+    out = str(tmp_path / "rt")
+    write_csv_rfc(df, out, shards=1)
+    clean, corrupt = split_corrupt(read_csv_rfc(spark, out, "id bigint, s string"))
+    got = {r["id"]: r["s"] for r in clean.collect()}
+    assert got == {1: 'He said "hi", twice', 2: "plain"}
+    assert corrupt.count() == 0

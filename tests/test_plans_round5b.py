@@ -91,3 +91,13 @@ def test_partitioned_warehouse_prunes_to_one_year(spark, tmp_path):
     n_years = orders.select("o_year").distinct().count()
     assert n_years > 1
     assert pruned.select(F.countDistinct("o_year")).collect()[0][0] == 1
+
+
+def test_q17_subquery_is_decorrelated(spark):
+    tree = _plan(spark, "a0b_tpch_q17_small_qty")
+    head = tree.split("\n\n")[0]
+    # the correlated scalar subquery must become a per-part aggregate
+    # joined back — never a nested-loop re-execution per outer row
+    assert "BroadcastNestedLoopJoin" not in head
+    assert "CartesianProduct" not in head
+    assert head.count("HashAggregate") >= 2  # per-part avg + final group-by
