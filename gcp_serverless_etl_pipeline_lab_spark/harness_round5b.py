@@ -579,3 +579,85 @@ def a0b_csv_rfc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_clean bigint, n_corrupt bigint, sum_chars bigint, tricky_hashsum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (prefix-filtered trigram similarity) — operators/fuzzyjoin.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_fuzzy_name_join",
+    """
+    WITH tnames AS (
+      SELECT doc_id AS tid, lower(substr(text, 1, 30)) AS s FROM documents
+      WHERE length(substr(text, 1, 30)) >= 3
+    ),
+    pnames AS (
+      -- probe = same prefix with the 5th character dropped (typo)
+      SELECT doc_id AS pid,
+             lower(substr(text, 1, 4) || substr(text, 6, 26)) AS s
+      FROM documents
+      WHERE doc_id % 3 = 0 AND length(substr(text, 1, 30)) >= 3
+    ),
+    tset AS (
+      SELECT tid, list_distinct(list_transform(
+               range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
+      FROM tnames WHERE length(s) >= 3
+    ),
+    pset AS (
+      SELECT pid, list_distinct(list_transform(
+               range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
+      FROM pnames WHERE length(s) >= 3
+    ),
+    pairs AS (
+      SELECT p.pid, t.tid,
+             CAST(len(p.g) AS BIGINT) AS n_p,
+             CAST(len(t.g) AS BIGINT) AS n_t,
+             CAST(len(list_intersect(p.g, t.g)) AS BIGINT) AS n_inter
+      FROM pset p CROSS JOIN tset t
+    ),
+    scored AS (
+      SELECT pid, tid, n_p, n_t, n_inter,
+             ROUND(n_inter / (n_p + n_t - n_inter), 4) AS jaccard
+      FROM pairs
+      WHERE ROUND(n_inter / (n_p + n_t - n_inter), 4) >= 0.6
+    )
+    SELECT pid, tid, n_p, n_t, n_inter, jaccard
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY pid ORDER BY jaccard DESC, tid) = 1
+    ORDER BY pid
+    """,
+)
+def a0b_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: probe strings (30-char document prefixes with a
+    deterministic one-character-deletion typo) fuzzy-matched against the
+    corpus on trigram Jaccard >= 0.6 via the prefix-filtered similarity
+    join (operators/fuzzyjoin.py — candidates only from each string's
+    rarest trigrams, LOSSLESS for the threshold; never all-pairs), best
+    match per probe. The oracle verifies against a brute-force all-pairs
+    cross join, proving the prefix filter loses nothing."""
+    from .operators.fuzzyjoin import fuzzy_best_match
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = docs.select(
+        F.col("doc_id").alias("t_id"),
+        F.lower(F.substring("text", 1, 30)).alias("t_name"),
+    ).filter(F.length("t_name") >= 3)
+    probes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("p_id"),
+            F.lower(
+                F.concat(
+                    F.substring("text", 1, 4), F.substring("text", 6, 26)
+                )
+            ).alias("p_name"),
+        )
+        .filter(F.length("p_name") >= 3)
+    )
+    return fuzzy_best_match(
+        probes, targets, "p_id", "p_name", "t_id", "t_name", threshold=0.6
+    ).select(
+        F.col("pid"), F.col("tid"), "n_p", "n_t", "n_inter", "jaccard"
+    ).orderBy("pid")
