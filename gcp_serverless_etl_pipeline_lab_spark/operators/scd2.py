@@ -64,6 +64,70 @@ def scd2_history(
             F.col(ts_col).alias("valid_from"),
             F.lead(ts_col).over(w2).alias("valid_to"),
             F.row_number().over(w2).alias("version_n"),
+            # the tiebreak of the change row that OPENED the interval —
+            # lets scd2_apply_append reconstruct an order-consistent
+            # change row from an interval without the raw log
+            F.col(tiebreak_col).alias("opened_by"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def scd2_apply_append(
+    history: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Incrementally apply an APPEND-ONLY change batch to an existing
+    SCD2 history — the daily-CDC shape. Only the affected keys are
+    recomputed; untouched keys pass through with zero work beyond an
+    anti-join.
+
+    Precondition (the append-only contract): every delta row's timestamp
+    is at or after its key's current ``valid_from``. Under it this is
+    EQUIVALENT to rebuilding from the full raw log — each affected key's
+    open interval is reconstructed as a change row (state, valid_from,
+    opened_by) and re-compressed together with the delta, so a delta row
+    extending the current state merges into the open interval and a new
+    state closes it; closed intervals are never touched. A late delta
+    landing BEFORE the current interval would need raw-log reprocessing
+    — compression already discarded the duplicate rows that decide how
+    it splits — which is exactly why real CDC pipelines reprocess the
+    affected window instead of patching in place.
+
+    Scale: delta-keyed semi/anti joins (delta key sets are small and
+    broadcastable by AQE); the recompute windows touch only
+    (open intervals of affected keys + delta) rows."""
+    delta_keys = changes.select(key_col).distinct()
+    untouched = history.join(delta_keys, key_col, "left_anti")
+    affected = history.join(delta_keys, key_col, "left_semi")
+    closed = affected.filter(~F.col("is_current"))
+
+    open_as_changes = affected.filter(F.col("is_current")).select(
+        F.col(key_col),
+        F.col("state").alias(state_col),
+        F.col("valid_from").alias(ts_col),
+        F.col("opened_by").alias(tiebreak_col),
+    )
+    delta_rows = changes.select(key_col, state_col, ts_col, tiebreak_col)
+    recomputed = scd2_history(
+        open_as_changes.unionByName(delta_rows),
+        key_col,
+        state_col,
+        ts_col,
+        tiebreak_col,
+    )
+    # re-base version numbers on top of the untouched closed prefix
+    n_closed = closed.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("int").alias("_n_closed")
+    )
+    rebased = (
+        recomputed.join(n_closed, key_col, "left")
+        .fillna({"_n_closed": 0})
+        .withColumn("version_n", F.col("version_n") + F.col("_n_closed"))
+        .drop("_n_closed")
+    )
+    return untouched.unionByName(closed).unionByName(rebased)

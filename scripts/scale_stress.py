@@ -308,6 +308,51 @@ def _ops(spark: SparkSession, path: str):
         "cms_heavy_hitters": lambda: sketchfreq.cms_heavy_hitters(
             events, "user_id", top_n=20
         ),
+        # Prefix-filtered fuzzy join on ENTITY-SHAPED names: 20-char text
+        # prefix + '#'-joined doc_id (entity names are distinct strings
+        # whose id digits carry rare grams — the operator's contract), a
+        # char dropped mid-name as the probe typo. Growth must track the
+        # name count; the word-tagged doc replicas are NOT a valid input
+        # here — they collapse the gram vocabulary to O(1) in corpus
+        # size, where NO gram blocking can work and candidates go
+        # quadratic (measured 19x at 10x; documented operator limit — use
+        # the minhash/LSH dedup family for minimal-vocab corpora).
+        "fuzzy_name_join": lambda: (
+            lambda fj: fj.fuzzy_best_match(
+                docs.filter(F.col("doc_id") % 3 == 0).select(
+                    F.col("doc_id").alias("p_id"),
+                    F.lower(
+                        F.concat(
+                            F.substring("text", 1, 9),
+                            F.substring("text", 11, 10),
+                            F.lit("#"),
+                            F.reverse(F.col("doc_id").cast("string")),
+                        )
+                    ).alias("p_name"),
+                ),
+                docs.select(
+                    F.col("doc_id").alias("t_id"),
+                    F.lower(
+                        F.concat(
+                            F.substring("text", 1, 20),
+                            F.lit("#"),
+                            F.reverse(F.col("doc_id").cast("string")),
+                        )
+                    ).alias("t_name"),
+                ),
+                "p_id",
+                "p_name",
+                "t_id",
+                "t_name",
+                threshold=0.6,
+                q=5,
+            )
+        )(
+            __import__(
+                "gcp_serverless_etl_pipeline_lab_spark.operators.fuzzyjoin",
+                fromlist=["fuzzy_best_match"],
+            )
+        ),
     } | {
         "dedup_exact": lambda: dedup.exact_dup_pairs(docs),
         "dedup_ngram_jaccard_capped": lambda: dedup.ngram_jaccard_pairs(

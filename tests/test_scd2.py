@@ -83,3 +83,34 @@ def test_null_state_change_detection(spark):
     assert len(out) == 2
     assert out[(1, 1)]["state"] is None
     assert out[(1, 2)]["state"] == "a"
+
+
+def test_apply_append_equals_full_rebuild(spark):
+    from gcp_serverless_etl_pipeline_lab_spark.operators.scd2 import (
+        scd2_apply_append,
+        scd2_history,
+    )
+
+    rows = [
+        # key 1: history a->b, delta extends b (compresses) then c
+        (1, "a", _ts("2024-01-01T00:00:00"), 1),
+        (1, "b", _ts("2024-01-02T00:00:00"), 2),
+        (1, "b", _ts("2024-01-05T00:00:00"), 10),  # delta, same state
+        (1, "c", _ts("2024-01-06T00:00:00"), 11),  # delta, new state
+        # key 2: untouched by the delta
+        (2, "x", _ts("2024-01-01T00:00:00"), 3),
+        # key 3: brand-new key arriving only in the delta
+        (3, "z", _ts("2024-01-05T00:00:00"), 12),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, state string, ts timestamp, id bigint")
+    cutoff = _ts("2024-01-04T00:00:00")
+    base = scd2_history(
+        df.filter(df.ts < cutoff), "k", "state", "ts", "id"
+    )
+    inc = scd2_apply_append(
+        base, df.filter(df.ts >= cutoff), "k", "state", "ts", "id"
+    )
+    full = scd2_history(df, "k", "state", "ts", "id")
+    key = lambda r: (r["k"], r["version_n"], r["state"], r["valid_from"],
+                     r["valid_to"], r["is_current"], r["opened_by"])
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
