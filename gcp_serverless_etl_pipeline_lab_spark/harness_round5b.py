@@ -754,3 +754,71 @@ def a0b_scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) — operators/drift.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_drift_price_psi",
+    """
+    WITH ref AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    cur AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) n_ref FROM ref GROUP BY bucket),
+    b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) n_cur FROM cur GROUP BY bucket),
+    j AS (
+      SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    ),
+    t AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) tot_ref,
+             CAST(SUM(n_cur) AS BIGINT) tot_cur,
+             CAST(COUNT(*) AS BIGINT) k
+      FROM j
+    ),
+    scored AS (
+      SELECT j.bucket, j.n_ref, j.n_cur,
+             (j.n_ref + 1) * 1000000 // (t.tot_ref + t.k) AS p_ref_ppm,
+             (j.n_cur + 1) * 1000000 // (t.tot_cur + t.k) AS p_cur_ppm,
+             CAST(FLOOR(ln(j.n_cur + 1) * 1000000) AS BIGINT)
+               + CAST(FLOOR(ln(t.tot_ref + t.k) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(j.n_ref + 1) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(t.tot_cur + t.k) * 1000000) AS BIGINT)
+               AS logratio_micro
+      FROM j CROSS JOIN t
+    )
+    SELECT bucket, n_ref, n_cur,
+           CAST(p_ref_ppm AS BIGINT) AS p_ref_ppm,
+           CAST(p_cur_ppm AS BIGINT) AS p_cur_ppm,
+           logratio_micro,
+           CAST((p_cur_ppm - p_ref_ppm) * logratio_micro AS BIGINT)
+             AS psi_contrib_pico
+    FROM scored
+    ORDER BY bucket
+    """,
+)
+def a0b_drift_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI-style distribution drift of order value: 1998+ orders vs the
+    pre-1998 reference window, 50k-wide price buckets. Integer-exact
+    machinery (operators/drift.py): ppm probabilities via integer
+    division, micro-nat log-ratios via the per-distinct-count ilog floor,
+    pico-scale PSI contributions as exact BIGINT products — sum/1e12 is
+    the classic PSI. Laplace add-one keeps one-sided buckets finite."""
+    from .operators.drift import drift_report
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return drift_report(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint"),
+    ).orderBy("bucket")
