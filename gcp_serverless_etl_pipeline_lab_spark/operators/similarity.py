@@ -532,6 +532,19 @@ def knn_graph_blocked(
         .alias("_nsub")
     )
 
+    # Short-circuit: when NO block exceeds the bound (the common case —
+    # trained k-means cells, balanced labels), skip the two-leg guarded
+    # plan entirely. One block-count aggregate (#blocks rows, the same
+    # class as the allowed 1-row gate aggregates) buys back the guard's
+    # plan-doubling overhead, measured ~0.6-1.2 s per query at sf0.1.
+    if sizes.filter(F.col("_nsub") > 1).limit(1).count() == 0:
+        scored = (
+            a.join(b, block_col)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score_raw", _dot("qe", "ce", dim))
+        )
+        return _rank_topk(scored, k)
+
     if oversize_policy == "salt":
         a_s = a.join(F.broadcast(sizes), block_col).withColumn(
             "_salt", F.pmod(F.xxhash64("query_id"), F.col("_nsub")).cast("int")

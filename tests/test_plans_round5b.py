@@ -101,3 +101,48 @@ def test_q17_subquery_is_decorrelated(spark):
     assert "BroadcastNestedLoopJoin" not in head
     assert "CartesianProduct" not in head
     assert head.count("HashAggregate") >= 2  # per-part avg + final group-by
+
+
+def test_range_clustering_gives_disjoint_file_ranges(spark, tmp_path):
+    """The z-order-lite layout recipe for file-skipping: repartitionByRange
+    on the skip column + sortWithinPartitions before writing means each
+    parquet file covers a narrow, non-overlapping value range — a reader
+    filtering on that column can skip whole files via footer min/max
+    stats. Verified from the data itself: per-file [min, max] intervals
+    must not overlap."""
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "clustered")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    ranges = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1
+    ivs = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(ivs, ivs[1:]):
+        assert lo_next >= hi_prev  # boundary value may repeat; no interior overlap
+    # contrast: an unclustered hash layout has (near-)full-range files
+    path2 = str(tmp_path / "hashed")
+    orders.repartition(8).write.mode("overwrite").parquet(path2)
+    spans = (
+        spark.read.parquet(path2)
+        .groupBy(F.input_file_name())
+        .agg((F.unix_date(F.to_date(F.max("o_orderdate")))
+              - F.unix_date(F.to_date(F.min("o_orderdate")))).alias("span"))
+        .collect()
+    )
+    full = max(r["span"] for r in spans)
+    max_clustered = max(
+        (iv[1] - iv[0]).days if hasattr(iv[1] - iv[0], "days") else 0
+        for iv in ivs
+    )
+    assert max_clustered < full / 3  # clustered files are narrow slices
