@@ -80,28 +80,65 @@ def scd2_apply_append(
     state_col: str,
     ts_col: str,
     tiebreak_col: str,
+    validate_contract: bool = False,
 ) -> DataFrame:
     """Incrementally apply an APPEND-ONLY change batch to an existing
     SCD2 history — the daily-CDC shape. Only the affected keys are
     recomputed; untouched keys pass through with zero work beyond an
     anti-join.
 
-    Precondition (the append-only contract): every delta row's timestamp
-    is at or after its key's current ``valid_from``. Under it this is
-    EQUIVALENT to rebuilding from the full raw log — each affected key's
-    open interval is reconstructed as a change row (state, valid_from,
-    opened_by) and re-compressed together with the delta, so a delta row
-    extending the current state merges into the open interval and a new
-    state closes it; closed intervals are never touched. A late delta
-    landing BEFORE the current interval would need raw-log reprocessing
-    — compression already discarded the duplicate rows that decide how
-    it splits — which is exactly why real CDC pipelines reprocess the
-    affected window instead of patching in place.
+    Precondition (the append-only contract): every delta row's
+    ``(ts, tiebreak)`` sorts STRICTLY AFTER its key's current
+    ``(valid_from, opened_by)`` — strict ``ts > valid_from`` is the
+    simple sufficient form. "At or after" is NOT enough: a delta row
+    with ts equal to the open interval's valid_from but a tiebreak
+    sorting before ``opened_by`` would re-compress in an order the
+    original raw log never had (compression already discarded the
+    duplicate rows at that timestamp that decide how the run splits)
+    and silently diverge from a full rebuild. Under the strict contract
+    this is EQUIVALENT to rebuilding from the full raw log — each
+    affected key's open interval is reconstructed as a change row
+    (state, valid_from, opened_by) and re-compressed together with the
+    delta, so a delta row extending the current state merges into the
+    open interval and a new state closes it; closed intervals are never
+    touched. A late delta landing at-or-before the current interval
+    needs raw-log reprocessing, which is exactly why real CDC pipelines
+    reprocess the affected window instead of patching in place.
+
+    ``validate_contract=True`` pays one extra aggregate over the
+    (small, delta-keyed) open intervals and raises ``ValueError`` if
+    any delta row violates the strict ordering — route such rows to a
+    raw-log reprocess path instead.
 
     Scale: delta-keyed semi/anti joins (delta key sets are small and
     broadcastable by AQE); the recompute windows touch only
     (open intervals of affected keys + delta) rows."""
     delta_keys = changes.select(key_col).distinct()
+    if validate_contract:
+        current = history.filter(F.col("is_current")).select(
+            key_col,
+            F.col("valid_from").alias("_vf"),
+            F.col("opened_by").alias("_ob"),
+        )
+        bad = (
+            changes.join(current, key_col)
+            .filter(
+                (F.col(ts_col) < F.col("_vf"))
+                | (
+                    (F.col(ts_col) == F.col("_vf"))
+                    & (F.col(tiebreak_col) <= F.col("_ob"))
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "scd2_apply_append contract violation: a delta row's "
+                f"({ts_col}, {tiebreak_col}) does not sort strictly after "
+                "its key's current (valid_from, opened_by); reprocess the "
+                "affected window from the raw log instead"
+            )
     untouched = history.join(delta_keys, key_col, "left_anti")
     affected = history.join(delta_keys, key_col, "left_semi")
     closed = affected.filter(~F.col("is_current"))

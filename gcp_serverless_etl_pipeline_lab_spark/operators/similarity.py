@@ -505,6 +505,13 @@ def knn_graph_blocked(
     Balanced blocks take the same single-shuffle plan either way; the
     only added cost is one block-count aggregate that broadcasts back.
     ``max_block_rows=None`` disables the guard (unbounded exact).
+
+    EAGER EVALUATION NOTE: with the guard enabled, building the plan runs
+    one small Spark job (a block-count probe) at DataFrame-CONSTRUCTION
+    time, so this function is not fully lazy: the balanced-vs-oversized
+    decision is snapshotted when the plan is built, and a corpus that
+    changes between construction and execution can make it stale. Pass
+    ``max_block_rows=None`` if you need a lazily-built (unguarded) plan.
     """
     a = corpus.select(
         block_col,

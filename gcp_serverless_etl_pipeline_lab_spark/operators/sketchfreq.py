@@ -65,7 +65,14 @@ def cms_estimates(
 ) -> DataFrame:
     """Point-query the sketch for each candidate key: est = min over
     hash rows of the addressed counter. The sketch is d·w rows — always
-    broadcast; the candidate side never shuffles."""
+    broadcast; the candidate side never shuffles.
+
+    The probe LEFT-joins the sketch and treats an absent cell as count 0:
+    the sketch only stores non-empty cells, so a candidate key that never
+    appeared in the stream addresses empty cells and must estimate as the
+    CMS-correct 0 — an inner join would instead drop the key entirely (all
+    cells empty) or return a collision-inflated min (some cells shared
+    with real keys)."""
     k = F.col(key_col).cast("string")
     probes = candidates.select(
         k.alias("k"),
@@ -82,7 +89,8 @@ def cms_estimates(
         ).alias("c"),
     ).select("k", F.col("c.hrow").alias("hrow"), F.col("c.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(sketch), ["hrow", "bucket"])
+        probes.join(F.broadcast(sketch), ["hrow", "bucket"], "left")
+        .select("k", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
         .groupBy("k")
         .agg(F.min("cnt").cast("bigint").alias("est"))
     )

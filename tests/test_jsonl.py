@@ -105,3 +105,24 @@ def test_csv_rfc_doubled_quote_roundtrip(spark, tmp_path):
     got = {r["id"]: r["s"] for r in clean.collect()}
     assert got == {1: 'He said "hi", twice', 2: "plain"}
     assert corrupt.count() == 0
+
+
+def test_csv_rfc_empty_vs_null_roundtrip(spark, tmp_path):
+    """Empty string and null are distinct on disk (quoted "" vs unquoted
+    empty field) and after the round trip — the fix for the default-option
+    collapse where both read back as null."""
+    from gcp_serverless_etl_pipeline_lab_spark.sources.csv_rfc import (
+        read_csv_rfc,
+        split_corrupt,
+        write_csv_rfc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, None)], "id bigint, s string"
+    )
+    out = str(tmp_path / "en")
+    write_csv_rfc(df, out, shards=1)
+    clean, corrupt = split_corrupt(read_csv_rfc(spark, out, "id bigint, s string"))
+    got = {r["id"]: r["s"] for r in clean.collect()}
+    assert got == {1: "a", 2: "", 3: None}
+    assert corrupt.count() == 0

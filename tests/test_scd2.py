@@ -114,3 +114,38 @@ def test_apply_append_equals_full_rebuild(spark):
     key = lambda r: (r["k"], r["version_n"], r["state"], r["valid_from"],
                      r["valid_to"], r["is_current"], r["opened_by"])
     assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+
+
+def test_apply_append_contract_validation(spark):
+    """validate_contract=True rejects a delta row whose (ts, tiebreak)
+    does not sort strictly after the key's current (valid_from,
+    opened_by) — the case where incremental apply silently diverges from
+    a full rebuild (phantom extra version)."""
+    import pytest
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.scd2 import (
+        scd2_apply_append,
+        scd2_history,
+    )
+
+    base_rows = [
+        (1, "a", _ts("2024-01-01T00:00:00"), 5),
+    ]
+    base = scd2_history(
+        spark.createDataFrame(base_rows, "k bigint, state string, ts timestamp, id bigint"),
+        "k", "state", "ts", "id",
+    )
+    # same ts as the open interval's valid_from, tiebreak BEFORE opened_by
+    bad_delta = spark.createDataFrame(
+        [(1, "b", _ts("2024-01-01T00:00:00"), 2)],
+        "k bigint, state string, ts timestamp, id bigint",
+    )
+    with pytest.raises(ValueError, match="contract violation"):
+        scd2_apply_append(base, bad_delta, "k", "state", "ts", "id", validate_contract=True)
+    # a conforming delta passes validation and matches the full rebuild
+    good_delta = spark.createDataFrame(
+        [(1, "b", _ts("2024-01-02T00:00:00"), 7)],
+        "k bigint, state string, ts timestamp, id bigint",
+    )
+    inc = scd2_apply_append(base, good_delta, "k", "state", "ts", "id", validate_contract=True)
+    assert inc.filter("state = 'b' AND is_current").count() == 1

@@ -60,3 +60,20 @@ def test_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, cms_sketch(df.repartition(1), "k").collect()))
     b = sorted(map(tuple, cms_sketch(df.repartition(17), "k").collect()))
     assert a == b
+
+
+def test_estimates_external_absent_key_is_zero(spark):
+    """A candidate key absent from the stream must estimate as 0 (or a
+    collision-bounded overcount) and must NOT vanish from the output —
+    the left-join-with-coalesce contract for external candidate lists."""
+    df = _corpus(spark)
+    sk = cms_sketch(df, "k", depth=4, width=4096)
+    cands = spark.createDataFrame(
+        [("hot-a",), ("never-seen-1",), ("never-seen-2",)], "k string"
+    )
+    got = {r["k"]: r["est"] for r in cms_estimates(cands, sk, "k", depth=4, width=4096).collect()}
+    assert set(got) == {"hot-a", "never-seen-1", "never-seen-2"}
+    assert got["hot-a"] >= 300
+    # width 4096 over ~53 distinct keys: some min cell is empty w.h.p.
+    assert got["never-seen-1"] == 0
+    assert got["never-seen-2"] == 0
