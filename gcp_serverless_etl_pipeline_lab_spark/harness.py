@@ -923,3 +923,4 @@ from . import harness_breadth  # noqa: E402,F401
 from . import harness_round4  # noqa: E402,F401
 from . import harness_round5  # noqa: E402,F401
 from . import harness_round5b  # noqa: E402,F401
+from . import harness_sql  # noqa: E402,F401
