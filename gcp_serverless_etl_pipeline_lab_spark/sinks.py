@@ -21,11 +21,74 @@ def write_warehouse(
     path: str,
     partition_by: list[str] | None = None,
     fmt: str = "parquet",
+    atomic: bool = True,
+    keep_versions: int = 2,
 ) -> None:
+    """S2 truncate-overwrite. BigQuery's WRITE_TRUNCATE replaces the table
+    ATOMICALLY — a reader never sees a missing or partial table. Spark's
+    plain ``mode('overwrite')`` has a delete-then-write window, so the
+    default commit protocol here is version-and-flip: write a fresh
+    immutable ``v=N`` snapshot, then atomically flip the ``_CURRENT``
+    pointer file to it (``os.replace`` locally; on an object store the
+    pointer flip is a single-object PUT, equally atomic). Readers resolve
+    the pointer (``read_warehouse``), so a writer that dies mid-write
+    leaves the pointer — and every concurrent reader — on the previous
+    complete snapshot; the orphaned partial ``v=N`` directory is swept by
+    a later write's pruning. ``keep_versions`` bounds disk: the newest N
+    snapshots survive each commit (keep >= 2 so readers mid-scan of the
+    prior version don't lose their files).
+
+    ``atomic=False`` restores the plain in-place overwrite (flat layout,
+    delete-then-write window) for sinks whose consumers require the bare
+    directory contract."""
+    import os
+
+    if not atomic:
+        writer = df.write.mode("overwrite").format(fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return
+    versions = _list_versions(path)
+    new_v = (versions[-1] + 1) if versions else 0
     writer = df.write.mode("overwrite").format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.save(path)
+    writer.save(os.path.join(path, f"v={new_v}"))
+    _flip_pointer(path, new_v)
+    import shutil
+
+    for old in _list_versions(path)[:-keep_versions]:
+        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+
+
+_POINTER = "_CURRENT"
+
+
+def _flip_pointer(path: str, version: int) -> None:
+    """Atomically point ``path/_CURRENT`` at ``v=<version>`` — write a
+    temp file then ``os.replace`` (atomic on POSIX; the object-store
+    analogue is one PUT of the pointer object)."""
+    import os
+
+    tmp = os.path.join(path, f".{_POINTER}.tmp.{version}")
+    with open(tmp, "w") as fh:
+        fh.write(f"v={version}")
+    os.replace(tmp, os.path.join(path, _POINTER))
+
+
+def _resolve_current(path: str) -> str | None:
+    """The snapshot directory ``_CURRENT`` points at, or None when the
+    path uses the legacy flat layout (no pointer)."""
+    import os
+
+    try:
+        with open(os.path.join(path, _POINTER)) as fh:
+            v = fh.read().strip()
+    except OSError:
+        return None
+    sub = os.path.join(path, v)
+    return sub if os.path.isdir(sub) else None
 
 
 def write_dead_letter(
@@ -42,7 +105,11 @@ def write_dead_letter(
 
 
 def read_warehouse(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    return spark.read.format(fmt).load(path)
+    """Read the warehouse table: resolve the ``_CURRENT`` pointer to the
+    committed snapshot when present (atomic layout), else read the path
+    flat (legacy layout / ``atomic=False`` writes)."""
+    target = _resolve_current(path)
+    return spark.read.format(fmt).load(target if target else path)
 
 
 # ---------------------------------------------------------------------------
@@ -89,7 +156,9 @@ def write_warehouse_versioned(
 
     versions = _list_versions(path)
     new_v = (versions[-1] + 1) if versions else 0
-    write_warehouse(df, os.path.join(path, f"v={new_v}"), partition_by, fmt)
+    write_warehouse(
+        df, os.path.join(path, f"v={new_v}"), partition_by, fmt, atomic=False
+    )
     if keep_versions is not None:
         for old in _list_versions(path)[:-keep_versions]:
             shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
