@@ -57,66 +57,95 @@ def _qgram_rows(
     )
 
 
-def fuzzy_string_join(
+def _fuzzy_core(
     probes: DataFrame,
     targets: DataFrame,
-    probe_id: str,
-    probe_col: str,
-    target_id: str,
-    target_col: str,
-    threshold: float = 0.6,
-    q: int = 3,
+    threshold: float,
+    q: int,
 ) -> DataFrame:
-    """All (probe, target) pairs with q-gram Jaccard >= threshold
-    (rounded to 4 decimals before comparing — the engine-wide oracle
-    convention). Output: pid, tid, n_p, n_t, n_inter, jaccard."""
-    tg_p = _qgram_rows(probes, probe_id, probe_col, "pid", q)
-    tg_t = _qgram_rows(targets, target_id, target_col, "tid", q)
-    sz_p = tg_p.groupBy("pid").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
-    sz_t = tg_t.groupBy("tid").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    """The similarity join over (pid, _s) / (tid, _s) tables of DISTINCT
+    strings. Candidate generation applies BOTH lossless PPJoin filters:
 
+    - prefix filter: candidates must share a gram among each side's
+      L = n - ceil(tau*n) + 1 rarest grams;
+    - positional filter: for a shared prefix gram at ranks (i, j), total
+      overlap is bounded by 1 + min(n_p - i, n_t - j) (one match so far
+      plus everything after the matched positions). A pair survives only
+      if its BEST shared prefix gram's bound reaches the threshold's
+      minimum overlap ceil(tau/(1+tau)·(n_p+n_t)) — the earliest shared
+      gram maximizes the bound, so max-over-shared-grams equals the
+      classic first-match bound and pruning stays lossless. The epsilon
+      inside the ceil guards float round-up over-pruning.
+
+    The per-pair groupBy that evaluates the positional bound replaces the
+    previous .distinct() — same shuffle, strictly fewer surviving pairs.
+
+    Plan shape (one aggregation per side): each side's gram rows join the
+    broadcast target-df table once and collapse into a SINGLE per-id
+    sorted gram array ``_g`` (ascending (df, tg) — the shared rarity
+    order). Set size, prefix rows (a slice-explode of ``_g``), and the
+    verification gram array all derive from ``_g``, replacing the earlier
+    window + per-side size aggregate + size join (measured 1.8x faster at
+    the 10x stress scale, same output).
+    """
     # global rarity order from the TARGET side (reference corpus);
-    # trigrams unseen there get df=0 (rarest — they block nothing anyway,
-    # since an unseen trigram has no target partner).
+    # grams unseen there get df=0 (rarest — they block nothing anyway,
+    # since an unseen gram has no target partner).
+    tg_t = _qgram_rows(targets, "tid", "_s", "tid", q)
     df_t = tg_t.groupBy("tg").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
 
-    def prefix(tg: DataFrame, id_name: str, sz: DataFrame, n_name: str) -> DataFrame:
-        ranked = (
+    def per_id(src: DataFrame, id_name: str) -> DataFrame:
+        tg = _qgram_rows(src, id_name, "_s", id_name, q)
+        return (
             tg.join(F.broadcast(df_t), "tg", "left")
             .fillna({"df": 0})
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(id_name).orderBy("df", "tg")
-                ),
-            )
-            .join(sz, id_name)
+            .groupBy(id_name)
+            .agg(F.sort_array(F.collect_list(F.struct("df", "tg"))).alias("_g"))
         )
-        # L = n - ceil(tau*n) + 1
-        L = F.col(n_name) - F.ceil(F.col(n_name) * F.lit(threshold)) + 1
-        return ranked.filter(F.col("_rn") <= L).select(id_name, "tg")
 
+    def prefix(per: DataFrame, id_name: str, n_name: str, rn_name: str) -> DataFrame:
+        n = F.size("_g").cast("bigint")
+        # L = n - ceil(tau*n) + 1
+        L = (n - F.ceil(n * F.lit(threshold)) + 1).cast("int")
+        return per.select(
+            id_name,
+            n.alias(n_name),
+            F.posexplode(F.slice(F.expr("transform(_g, x -> x.tg)"), 1, L))
+            .alias("_pos", "tg"),
+        ).select(id_name, n_name, "tg", (F.col("_pos") + 1).alias(rn_name))
+
+    P = per_id(probes, "pid")
+    T = per_id(targets, "tid")
+
+    ub = F.lit(1) + F.least(
+        F.col("n_p") - F.col("_rn_p"), F.col("n_t") - F.col("_rn_t")
+    )
+    min_overlap = F.ceil(
+        (F.col("n_p") + F.col("n_t")) * F.lit(threshold / (1.0 + threshold))
+        - F.lit(1e-9)
+    )
     cand = (
-        prefix(tg_p, "pid", sz_p, "n_p")
-        .join(prefix(tg_t, "tid", sz_t, "n_t"), "tg")
-        .select("pid", "tid")
-        .distinct()
-        .join(sz_p, "pid")
-        .join(sz_t, "tid")
+        prefix(P, "pid", "n_p", "_rn_p")
+        .join(prefix(T, "tid", "n_t", "_rn_t"), "tg")
+        .groupBy("pid", "tid", "n_p", "n_t")
+        .agg(F.max(ub).alias("_ub"))
+        .filter(F.col("_ub") >= min_overlap)
         # length filter: J(A,B) >= tau forces |B| in [tau|A|, |A|/tau];
         # prunes most false candidates before any per-pair work
         .filter(
             (F.col("n_t") >= F.ceil(F.col("n_p") * F.lit(threshold)))
             & (F.col("n_p") >= F.ceil(F.col("n_t") * F.lit(threshold)))
         )
+        .select("pid", "tid", "n_p", "n_t")
     )
 
-    # exact verification, ARRAY-LOCAL: ship each side's (sorted) trigram
-    # set once per candidate pair and intersect in-task — two hash joins
-    # sized by the candidate count, instead of a candidates×|A| exploded
-    # shuffle join (measured 4x faster at sf0.1)
-    arr_p = tg_p.groupBy("pid").agg(F.sort_array(F.collect_list("tg")).alias("g_p"))
-    arr_t = tg_t.groupBy("tid").agg(F.sort_array(F.collect_list("tg")).alias("g_t"))
+    # exact verification, ARRAY-LOCAL: ship each side's gram array once
+    # per candidate pair and intersect in-task — two hash joins sized by
+    # the candidate count, instead of a candidates×|A| exploded shuffle
+    # join (measured 4x faster at sf0.1). array_intersect is order-
+    # insensitive, so `_g` serves as-is.
+    arr_p = P.select("pid", F.expr("transform(_g, x -> x.tg)").alias("g_p"))
+    arr_t = T.select("tid", F.expr("transform(_g, x -> x.tg)").alias("g_t"))
     return (
         cand.join(arr_p, "pid")
         .join(arr_t, "tid")
@@ -134,6 +163,57 @@ def fuzzy_string_join(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("pid", "tid", "n_p", "n_t", "n_inter", "jaccard")
+    )
+
+
+def fuzzy_string_join(
+    probes: DataFrame,
+    targets: DataFrame,
+    probe_id: str,
+    probe_col: str,
+    target_id: str,
+    target_col: str,
+    threshold: float = 0.6,
+    q: int = 3,
+) -> DataFrame:
+    """All (probe, target) pairs with q-gram Jaccard >= threshold
+    (rounded to 4 decimals before comparing — the engine-wide oracle
+    convention). Output: pid, tid, n_p, n_t, n_inter, jaccard.
+
+    Identical (case-normalized) strings are collapsed before the join —
+    every per-pair quantity depends only on the string value, so the
+    expensive core runs once per DISTINCT string and the results fan
+    back out to ids with two slim joins. On entity corpora (names,
+    titles) duplication is the norm; on all-unique inputs the collapse
+    costs two short-string groupBys."""
+    p_ids = probes.select(
+        F.col(probe_id).alias("_opid"), F.lower(F.col(probe_col)).alias("_s")
+    )
+    t_ids = targets.select(
+        F.col(target_id).alias("_otid"), F.lower(F.col(target_col)).alias("_s")
+    )
+    p_rep = p_ids.groupBy("_s").agg(F.min("_opid").alias("pid"))
+    t_rep = t_ids.groupBy("_s").agg(F.min("_otid").alias("tid"))
+    core = _fuzzy_core(p_rep, t_rep, threshold, q)
+    p_exp = p_ids.join(p_rep, "_s").select(
+        F.col("pid").alias("_rep_p"), F.col("_opid")
+    )
+    t_exp = t_ids.join(t_rep, "_s").select(
+        F.col("tid").alias("_rep_t"), F.col("_otid")
+    )
+    return (
+        core.withColumnRenamed("pid", "_rep_p")
+        .withColumnRenamed("tid", "_rep_t")
+        .join(p_exp, "_rep_p")
+        .join(t_exp, "_rep_t")
+        .select(
+            F.col("_opid").alias("pid"),
+            F.col("_otid").alias("tid"),
+            "n_p",
+            "n_t",
+            "n_inter",
+            "jaccard",
+        )
     )
 
 
