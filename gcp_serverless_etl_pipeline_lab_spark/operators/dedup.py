@@ -383,9 +383,36 @@ def simhash_pairs(
     )
 
 
-def cosine_candidate_pairs(vectors: DataFrame, dim: int) -> DataFrame:
+def cosine_candidate_pairs(
+    vectors: DataFrame,
+    dim: int,
+    tables: int = 1,
+    planes_per_table: int | None = None,
+    probe_hamming: int = 1,
+) -> DataFrame:
     """Candidate (id_a, id_b) pairs for cosine near-dup detection: same
     `label` block AND sign-LSH buckets within Hamming distance 1.
+
+    The default (``tables=1``, 8 planes, ``probe_hamming=1``) is the
+    oracle-mirrored near-dup configuration documented below. The three
+    knobs escalate RECALL for retrieval-shaped workloads where true
+    neighbors are far (θ/π ≈ 0.4 — the regime where the near-dup config's
+    recall collapses by design):
+
+    - ``tables`` > 1 switches to L independent narrow hash tables
+      (`mlsh` plane family, shared with similarity.lsh_topk_multitable);
+      a pair is a candidate on a bucket-or-adjacent match in ANY table.
+      Per-pair recall is 1 - (1 - p)^L for per-table probe mass p, so
+      narrow tables multiply recall where a single wide table prunes
+      everything (the far regime).
+    - ``planes_per_table`` sets table width P (probe mass per table
+      ~(1 + P + ...)/2^P of the block).
+    - ``probe_hamming`` extends the multiprobe radius (masks with up to
+      that many bits; radius 1 = the classic adjacent-bucket probe).
+
+    Escalated configs dedup candidate pairs across tables/masks
+    (``.distinct()``); the default single-table radius-1 path keeps its
+    dedup-free plan (each pair matches exactly one XOR mask).
 
     The bucket is the deterministic 8-plane sign projection shared with
     similarity.lsh_topk (hashlib-seeded hyperplanes, reproducible in the
@@ -400,6 +427,13 @@ def cosine_candidate_pairs(vectors: DataFrame, dim: int) -> DataFrame:
     probability ~(1+8)/256 ≈ 3.5% per pair, which is what defuses a hot
     label."""
     from .similarity import NUM_PLANES, _bucket_expr
+
+    if planes_per_table is None:
+        planes_per_table = NUM_PLANES
+    if tables != 1 or planes_per_table != NUM_PLANES or probe_hamming != 1:
+        return _multitable_candidate_pairs(
+            vectors, dim, tables, planes_per_table, probe_hamming
+        )
 
     # Coalesce sentinels: see _nn — keep the implicit isnotnull(join key)
     # from re-materializing the 8-plane projection as a pushed-down scan
@@ -430,6 +464,71 @@ def cosine_candidate_pairs(vectors: DataFrame, dim: int) -> DataFrame:
         a.join(probe, ["label", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+    )
+
+
+def _multitable_candidate_pairs(
+    vectors: DataFrame,
+    dim: int,
+    tables: int,
+    planes_per_table: int,
+    probe_hamming: int,
+) -> DataFrame:
+    """Escalated candidate generation (see cosine_candidate_pairs): L
+    independent P-plane sign-LSH tables, multiprobe radius h within each;
+    a pair is a candidate iff some table's buckets are within Hamming h.
+    Same scale shape as the default path — only slim
+    (id, label, table, bucket) rows shuffle, embeddings never ride the
+    explode — plus one dedup shuffle on the (usually small) pair set."""
+    import itertools
+
+    from .similarity import _bucket_expr_table
+
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(planes_per_table), h):
+            masks.append(sum(1 << b for b in bits))
+
+    bucket_cols = [
+        F.expr(_bucket_expr_table("embedding", dim, t, planes_per_table)).alias(
+            f"_b{t}"
+        )
+        for t in range(tables)
+    ]
+    cells = vectors.select("vec_id", "label", *bucket_cols)
+    # per-side null sentinels as in the default path: a null bucket (null
+    # or short embedding) must never pair, and coalesce keeps the join key
+    # non-nullable so the isnotnull predicate isn't pushed down as a
+    # re-materialized projection scan filter (see _nn).
+    stack_a = ", ".join(f"{t}, coalesce(_b{t}, -1)" for t in range(tables))
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.expr(f"stack({tables}, {stack_a}) AS (t, bkt)"),
+    )
+    stack_b = ", ".join(f"{t}, coalesce(_b{t}, {-(1 << 20)})" for t in range(tables))
+    probe = (
+        cells.select(
+            F.col("vec_id").alias("id_b"),
+            "label",
+            F.expr(f"stack({tables}, {stack_b}) AS (t, bkt0)"),
+        )
+        .select(
+            "id_b",
+            "label",
+            "t",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
+            "bkt0",
+        )
+        .select(
+            "id_b", "label", "t", F.expr("CAST(bkt0 ^ m AS BIGINT)").alias("bkt")
+        )
+    )
+    return (
+        a.join(probe, ["label", "t", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

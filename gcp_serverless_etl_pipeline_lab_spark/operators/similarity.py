@@ -614,11 +614,19 @@ def bucket_duck(vec: str, dim: int) -> str:
     return " + ".join(bits)
 
 
-def knn_graph_lsh(corpus: DataFrame, dim: int, k: int = 3) -> DataFrame:
+def knn_graph_lsh(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    tables: int = 1,
+    planes_per_table: int | None = None,
+    probe_hamming: int = 1,
+) -> DataFrame:
     """Approximate k-NN graph: same output shape as ``knn_graph_blocked``
-    but candidates come from the label block AND the hamming<=1 sign-LSH
-    multiprobe (dedup.cosine_candidate_pairs) instead of block-exhaustive
-    pairs.
+    but candidates come from the label block AND the sign-LSH multiprobe
+    (dedup.cosine_candidate_pairs) instead of block-exhaustive pairs;
+    every candidate is RERANKED by the exact dot product, so output
+    quality is exactly candidate recall.
 
     This is the 100 TB spelling: ``knn_graph_blocked`` is quadratic in
     its largest block (a label owning 30% of a 10x corpus makes it melt —
@@ -627,10 +635,39 @@ def knn_graph_lsh(corpus: DataFrame, dim: int, k: int = 3) -> DataFrame:
     for unrelated vectors, ~3.5% at P=8). The price is recall: a true
     neighbor separated by >1 plane bits is missed; near-parallel
     neighbors (the ones that matter for dedup/curation) land in the same
-    or an adjacent bucket with probability ≈ (1-θ/π)^8 → ~1 as θ → 0."""
+    or an adjacent bucket with probability ≈ (1-θ/π)^8 → ~1 as θ → 0.
+
+    ``tables`` / ``planes_per_table`` / ``probe_hamming`` escalate recall
+    for retrieval-shaped workloads whose true neighbors are FAR (the
+    regime where the near-dup default collapses by design). Measured on
+    the sf0.01 embeddings (500 vectors in ONE block — weak similarity,
+    θ/π ≈ 0.4; recall@3 vs the exact global graph; wall = min-of-2 full
+    materializations on local[32]; cost also shown as scored-candidate
+    fraction of all pairs):
+
+    | config                          | recall@3 | candidates | wall  |
+    |---------------------------------|----------|------------|-------|
+    | default (1 table × 8 planes)    |  0.13    |  3.9%      | 1.0x  |
+    | probe_hamming=3                 |  0.61    | 37%        | 1.1x  |
+    | tables=4, planes_per_table=3    |  0.99    | 93%        | 2.0x  |
+    | exact (knn_graph_blocked)       |  1.00    | 100%       | 2.3x  |
+
+    (recall floors asserted in tests/test_ann_recall.py). The escalation
+    trades pruning for recall smoothly — ``probe_hamming=3`` is the
+    recommended retrieval setting (recall 0.61 at ~1.1x cost); at 100 TB
+    prefer trained-IVF blocks (``knn_graph_blocked`` over k-means cells)
+    when you need exact-within-cell, and escalated LSH when the corpus
+    can't afford cell-exhaustive pairs."""
     from .dedup import cosine_candidate_pairs
 
     v = corpus.select("vec_id", "label", "embedding")
     # one candidate row per unordered pair (id_a < id_b), scored once and
     # emitted in both directions (_scored_bidirectional)
-    return _rank_topk(_scored_bidirectional(v, cosine_candidate_pairs(v, dim), dim), k)
+    cand = cosine_candidate_pairs(
+        v,
+        dim,
+        tables=tables,
+        planes_per_table=planes_per_table,
+        probe_hamming=probe_hamming,
+    )
+    return _rank_topk(_scored_bidirectional(v, cand, dim), k)

@@ -304,3 +304,44 @@ def test_knn_graph_blocked_lsh_policy(spark):
     assert twins
     found = sum(1 for t in twins if t in approx_pairs)
     assert found / len(twins) == 1.0
+
+
+def test_knn_graph_lsh_multiprobe_recall_escalation(spark):
+    """The recall-vs-cost escalation table in knn_graph_lsh's docstring,
+    asserted with slack: probe_hamming=3 lifts weak-similarity recall@3
+    from ~0.13 to >=0.5 while scoring ~37% of pairs; tables=4 x planes=3
+    reaches ~0.99. Candidate-fraction bounds pin the cost side (wall
+    clock is machine-dependent; candidates are the work)."""
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.dedup import (
+        cosine_candidate_pairs,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    one = emb.withColumn("label", F.lit(1))
+    n = one.count()
+    total_pairs = n * (n - 1) // 2
+    exact = _topk_sets(
+        similarity.knn_graph_blocked(one, 64, k=3, block_col="label",
+                                     max_block_rows=None)
+    )
+
+    def rec(**kw):
+        got = _topk_sets(similarity.knn_graph_lsh(one, 64, k=3, **kw))
+        vals = [len(got.get(q, set()) & t) / len(t) for q, t in exact.items()]
+        return sum(vals) / len(vals)
+
+    v = one.select("vec_id", "label", "embedding")
+    # default: heavy pruning, weak recall (the documented near-dup trade)
+    assert cosine_candidate_pairs(v, 64).count() <= 0.10 * total_pairs
+    assert rec() <= 0.35
+    # escalated multiprobe: recall >= 0.5 at bounded extra work
+    cand_h3 = cosine_candidate_pairs(v, 64, probe_hamming=3).count()
+    assert cand_h3 <= 0.50 * total_pairs, cand_h3 / total_pairs
+    r3 = rec(probe_hamming=3)
+    assert r3 >= 0.5, f"probe_hamming=3 recall@3 {r3:.3f} < 0.5"
+    # narrow multi-table: near-exact recall (cost approaches exhaustive)
+    r43 = rec(tables=4, planes_per_table=3)
+    assert r43 >= 0.9, f"tables=4/planes=3 recall@3 {r43:.3f} < 0.9"
