@@ -388,8 +388,17 @@ def _ivf_iter_duck(prev_cent: str, n: int) -> str:
 )
 def sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _sim_queries(spark, sf_dir)
+    # sample_rate=1.0 pins the full-corpus-trained model the DuckDB
+    # oracle re-derives in SQL (the operator's default is the scale-safe
+    # 0.1 hash-Bernoulli sample)
     out = similarity.ivf_trained_topk(
-        corpus, queries, EMB_DIM, cells=_IVF_K, iters=2, nprobe=_IVF_NPROBE
+        corpus,
+        queries,
+        EMB_DIM,
+        cells=_IVF_K,
+        iters=2,
+        nprobe=_IVF_NPROBE,
+        sample_rate=1.0,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -1463,7 +1472,9 @@ def knn_graph_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the exact label-blocked graph is measured in
     tests/test_ann_recall.py."""
     corpus, _ = _sim_queries(spark, sf_dir)
-    model = similarity.kmeans_centroids(corpus, EMB_DIM, k=_IVF_K, iters=2)
+    model = similarity.kmeans_centroids(
+        corpus, EMB_DIM, k=_IVF_K, iters=2, sample_rate=1.0
+    )
     assigned = similarity._assign_cell(
         corpus.select("vec_id", "embedding"), "embedding", model
     )

@@ -272,11 +272,11 @@ def kmeans_centroids(
     dim: int,
     k: int = 8,
     iters: int = 2,
-    sample_rate: float = 1.0,
+    sample_rate: float = 0.1,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's over DataFrame ops; returns the tiny
     (cell, centroid) model driver-side (k×dim doubles — the only data that
-    ever reaches the driver).
+    ever reaches the driver, in ONE collect after the final iteration).
 
     Reproducible across engines by construction, so the DuckDB oracle can
     re-derive the identical model in SQL:
@@ -285,21 +285,31 @@ def kmeans_centroids(
     - each iteration re-computes per-cell elementwise means ROUNDED to 6
       decimals — summation-order float noise (~1e-13) between Spark's
       partial aggregation and the oracle's is quashed by the rounding;
-    - assignment breaks distance ties on the lowest cell id;
+    - assignment breaks distance ties on the lowest cell id (the strict
+      ``<`` fold over cell-ascending centroids);
     - cells that empty out are dropped (assignments only ever target
       surviving cells — mirrored exactly by the oracle's inner join).
 
-    Scale shape: per iteration one posexplode shuffle of (cell, i, x) and a
-    k×dim-row collect; assignment itself is map-side against literal
-    centroids.
+    Scale shape — fully distributed: centroids live in a DataFrame across
+    iterations; each iteration crossJoins the corpus against the ONE
+    broadcast row holding the centroid array, assigns cells map-side with
+    a fold over that array (no shuffle, no per-row window), and
+    re-aggregates means via a posexplode groupBy whose map-side partial
+    aggregation bounds the shuffle at k×dim rows per partition. No driver
+    round-trip per iteration — the k×dim model is collected once at the
+    end. (The per-centroid fold is an interpreted higher-order function,
+    unlike the codegen'd literal-centroid assignment `_assign_cell` used
+    at query time — acceptable for the training pass, which runs over the
+    sample, not the corpus.)
 
-    ``sample_rate < 1.0`` trains on a DETERMINISTIC hash-Bernoulli sample
-    of the corpus (h60(vec_id) % 10000 < rate·10000 — the same stable
-    sampler as operators/sampling.py, no RNG, reproducible across runs
-    and engines): at 100 TB the Lloyd iterations should never scan the
-    full corpus — centroid quality converges on a tiny fraction of it
-    (tests/test_ann_recall.py measures assignment agreement at 10%). The
-    default 1.0 trains on everything, keeping the DuckDB oracle exact.
+    ``sample_rate < 1.0`` (default 0.1 — the 100 TB-safe setting) trains
+    on a DETERMINISTIC hash-Bernoulli sample of the corpus
+    (h60(vec_id) % 10000 < rate·10000 — the same stable sampler as
+    operators/sampling.py, no RNG, reproducible across runs and engines):
+    Lloyd never needs the full corpus — centroid quality converges on a
+    tiny fraction of it (tests/test_ann_recall.py measures recall with
+    the sampled model). Pass 1.0 to train on everything — what the
+    oracled harness queries do, pinning the DuckDB-mirrored model.
     """
     from ..functions.hashing import h60
 
@@ -312,33 +322,48 @@ def kmeans_centroids(
     first = c.groupBy((F.col("vec_id") % k).alias("cell")).agg(
         F.min("vec_id").alias("vec_id")
     )
-    init = (
+    cent = (
         c.join(F.broadcast(first), "vec_id")
-        .select("cell", "e")
-        .collect()
+        .select("cell", F.expr("transform(e, x -> CAST(x AS DOUBLE))").alias("ce"))
     )
-    centroids = sorted(
-        (int(r["cell"]), [float(x) for x in r["e"]]) for r in init
+    # fold over the cell-ascending centroid array: distance computed once
+    # per centroid, strict < keeps the lowest cell on ties — identical
+    # semantics to the literal-centroid argmin in _assign_cell.
+    assign = F.expr(
+        "aggregate("
+        "  transform(cents, s -> named_struct("
+        "    'd', reduce(zip_with(s.ce, e, (w, x) -> (w - CAST(x AS DOUBLE)) * (w - CAST(x AS DOUBLE))),"
+        "                CAST(0 AS DOUBLE), (a, y) -> a + y),"
+        "    'cl', s.cell)),"
+        "  named_struct('d', CAST('Infinity' AS DOUBLE), 'cl', CAST(-1 AS BIGINT)),"
+        "  (acc, s) -> IF(s.d < acc.d, s, acc)"
+        ").cl"
     )
+    for _ in range(iters):
+        cents_row = cent.agg(
+            F.expr("array_sort(collect_list(struct(cell, ce)))").alias("cents")
+        )
+        assigned = c.crossJoin(F.broadcast(cents_row)).select(
+            assign.alias("cell"), "e"
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("e").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, v))), s -> s.v)"
+                ).alias("ce")
+            )
+        )
+    rows = cent.collect()
+    centroids = sorted((int(r["cell"]), [float(x) for x in r["ce"]]) for r in rows)
     if not centroids:
         raise ValueError(
             "empty centroid model (empty corpus?) — the coarse quantizer "
             "needs at least one vector; use brute_force_topk for "
             "degenerate corpora"
-        )
-    for _ in range(iters):
-        means = (
-            _assign_cell(c, "e", centroids)
-            .select("cell", F.posexplode("e").alias("i", "x"))
-            .groupBy("cell", "i")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["i"])] = float(r["v"])
-        centroids = sorted(
-            (cell, [dims[i] for i in range(dim)]) for cell, dims in by_cell.items()
         )
     return centroids
 
@@ -352,6 +377,7 @@ def ivf_trained_topk(
     iters: int = 2,
     nprobe: int = 2,
     model: list[tuple[int, list[float]]] | None = None,
+    sample_rate: float = 0.1,
 ) -> DataFrame:
     """Top-k restricted to the query's `nprobe` nearest k-means cells — the
     production IVF shape (`ivf_topk`'s label-as-cell is the degenerate
@@ -367,10 +393,14 @@ def ivf_trained_topk(
     Pass ``model`` (a prior ``kmeans_centroids`` result — k×dim floats, a
     trivially serializable list) to skip training: production fits the
     quantizer once per corpus snapshot and serves many query batches
-    against it.
+    against it. ``sample_rate`` forwards to training (default 0.1 — the
+    scale-safe hash-Bernoulli sample; pass 1.0 for the full-corpus model
+    the DuckDB oracles mirror).
     """
     if model is None:
-        model = kmeans_centroids(corpus, dim, k=cells, iters=iters)
+        model = kmeans_centroids(
+            corpus, dim, k=cells, iters=iters, sample_rate=sample_rate
+        )
     if not model:
         raise ValueError(
             "empty centroid model (empty corpus?) — ivf_trained_topk needs "
