@@ -1349,3 +1349,57 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day_offset", F.col("day_offset").cast("long"))
         .orderBy("cohort_date", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction EXECUTION (round 6 — compact_file_plan only plans)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "compact_execute_verify",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS files_reduced
+    FROM documents
+    """,
+)
+def compact_execute_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the compaction the planner only plans: materialize
+    `documents` as MANY small parquet files (repartition 64), rewrite
+    with operators.compaction.compact_execute (one distributed job, one
+    output file per cumulative-size group), then RE-READ the compacted
+    copy and aggregate. Matching the oracle — which aggregates the source
+    table directly — proves the re-layout moved every row unchanged;
+    ``files_reduced`` is computed from the actual before/after file
+    counts, so a compaction that failed to reduce files mismatches the
+    oracle's TRUE. The 1-row result is collected eagerly and the temp
+    fixture deleted (same discipline as etl_roundtrip_sinks)."""
+    import shutil
+    import tempfile
+
+    from .operators.compaction import compact_execute, read_compacted
+    from .sources.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="compact_exec_")
+    try:
+        src = base + "/small_files"
+        dst = base + "/compacted"
+        load_table(spark, sf_dir, "documents").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stats = compact_execute(spark, src, dst, target_bytes=1 << 20)
+        agg = read_compacted(spark, dst).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.lit(stats["files_after"] < stats["files_before"]).alias(
+                "files_reduced"
+            ),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
