@@ -29,8 +29,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -132,17 +134,81 @@ def sample_frames(
     return video.mapInPandas(sample, schema=FRAMES_SCHEMA)
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - env-gated stub
-    """STUB: real image decode. The container has no imaging libraries;
-    wire Pillow/torchvision here in production."""
+def decode_image_real(payload: bytes):
+    """Decode a real image payload with Pillow. Import-gated: raises
+    ImportError with an actionable message where Pillow is absent (this
+    test container has no imaging libraries; the deterministic fake
+    codec in payload_features/sample_frames exercises the identical
+    Spark plumbing there)."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env without Pillow
+        raise ImportError(
+            "decode_image_real requires Pillow (`pip install Pillow`); "
+            "use payload_features (deterministic fake codec) where real "
+            "decoding isn't needed."
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))
+
+
+REAL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def payload_features_real(media: DataFrame) -> DataFrame:
+    """Real-codec twin of ``payload_features``: Arrow-batched mapInPandas
+    stage that DECODES each binary payload with Pillow and emits typed
+    image features (dimensions, mode, mean 8-bit luminance). Exactly the
+    fake codec's shape — binary in, fixed-schema features out, one row
+    per image — so swapping codecs changes no Spark plumbing.
+
+    Import-gated at BUILD time (fail fast on the driver with a clear
+    message rather than per-task executor errors). Executors decode
+    inside the Arrow batch loop; payload bytes never touch the driver.
+    Tested in tests/test_multimodal_real.py, which skips without Pillow.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without Pillow
+        raise ImportError(
+            "payload_features_real requires Pillow on driver and "
+            "executors; use payload_features for the codec-free pipeline."
+        ) from exc
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        return Image.open(io.BytesIO(payload))
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Image decoding requires Pillow, which is not available in this "
-            "environment. payload_features/sample_frames exercise the full "
-            "Spark plumbing with a deterministic fake codec instead."
-        ) from exc
+        from PIL import Image, ImageStat
+
+        for pdf in batches:
+            doc_ids, widths, heights, modes, pixels, lumas = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(bytes(payload)))
+                doc_ids.append(doc_id)
+                widths.append(img.width)
+                heights.append(img.height)
+                modes.append(img.mode)
+                pixels.append(img.width * img.height)
+                lumas.append(float(ImageStat.Stat(img.convert("L")).mean[0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mode": pd.Series(modes, dtype="object"),
+                    "n_pixels": pd.Series(pixels, dtype="int64"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=REAL_FEATURES_SCHEMA)
