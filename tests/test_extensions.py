@@ -93,9 +93,28 @@ def test_multimodal_frame_fanout(spark):
     assert all(sorted(r["idx"]) == [0, 3, 6] for r in rows)
 
 
-def test_multimodal_real_decode_is_marked_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"\x00" * 16)
+def test_multimodal_real_decode_import_gated():
+    """decode_image_real is a REAL Pillow-backed path (round 6): without
+    Pillow it fails fast with an actionable ImportError; with Pillow it
+    decodes (covered end-to-end in tests/test_multimodal_real.py)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="Pillow"):
+            multimodal.decode_image_real(b"\x00" * 16)
+    else:
+        img = multimodal.decode_image_real(_tiny_png())
+        assert img.width >= 1
+
+
+def _tiny_png() -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (1, 1)).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def test_multitable_lsh_recall_at_least_0_9(spark):
