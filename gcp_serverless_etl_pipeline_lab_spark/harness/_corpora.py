@@ -5,7 +5,7 @@ queries synthesize them deterministically: every 7th doc gets an exact
 copy (+1_000_000 id) and every 11th a near-copy with the first word
 dropped (+2_000_000 id). The DuckDB side rebuilds the identical corpus so
 detector output is verified value-for-value. Lives in its own module
-(not harness_ext) so any harness module can import it without touching
+(not the dedup module) so any harness module can import it without touching
 the registration import cycle.
 """
 
@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup
+from ..operators import dedup
 
 EMB_DIM = 64
 
@@ -24,7 +24,7 @@ def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # auto threshold) but the per-row shingle/signature work downstream is
     # heavy, so a 32-way spread of the single-row-group scan pays for
     # itself many times over.
-    from .sources.tables import load_table
+    from ..sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", "text"
@@ -51,7 +51,7 @@ corpus AS (
 
 
 def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sources.tables import load_table
+    from ..sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
     base = emb.select(

@@ -1,15 +1,6 @@
-"""Correctness-harness query registry.
-
-One named entry per implemented operator (SURVEY.md §2 + the
-training-data-pipeline extensions). Each entry pairs a Spark DataFrame
-builder ``(spark, sf_dir) -> DataFrame`` with an equivalent DuckDB SQL
-oracle over the same parquet tables (views: region nation customer supplier
-part orders lineitem events documents embeddings). Determinism rules:
-
-- every computed column is aliased identically on both sides;
-- double aggregates are ROUND(x, 2); dates/timestamps are emitted as
-  formatted strings; DuckDB HUGEINT sums are cast to BIGINT;
-- anything order-dependent carries a total tiebreak.
+"""Sales-ETL harness queries: the reference's validation chain (R1-R12)
+run end-to-end on deterministically synthesized messy CSV lines, plus the
+standalone R6/R7/R8/R9/R10 operator checks on the shared tables.
 
 The sales-ETL queries synthesize CSV lines deterministically from
 ``lineitem`` (corruption class = key % 23) and push them through the real
@@ -21,44 +12,13 @@ order, lenient casts, two date formats.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.transform import split_clean_errors
-from .operators.validate import annotate
-from .session import ensure_oracle_conf
-from .sources.tables import load_table
-from .sources.text_csv import LINE_COL, LINE_ID_COL
-from .streaming.file_stream import windowed_event_counts
-
-
-@dataclass(frozen=True)
-class Query:
-    builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → driver runs the weaker rows-only check
-
-
-QUERIES: dict[str, Query] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            ensure_oracle_conf(spark)
-            return fn(spark, sf_dir)
-
-        QUERIES[name] = Query(builder=wrapped, oracle=oracle)
-        return wrapped
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
-
+from ..operators.transform import split_clean_errors
+from ..operators.validate import annotate
+from ..sources.text_csv import LINE_COL, LINE_ID_COL
+from ._registry import _t, register
 
 # ---------------------------------------------------------------------------
 # S1 — scan / filter / projection (predicate + column pushdown to parquet)
@@ -366,8 +326,8 @@ def etl_roundtrip_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .pipeline import run_sales_etl
-    from .sinks import read_warehouse
+    from ..pipeline import run_sales_etl
+    from ..sinks import read_warehouse
 
     base = tempfile.mkdtemp(prefix="etl_roundtrip_")
     result = None
@@ -459,7 +419,7 @@ def etl_split_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .operators.transform import split_clean_errors_staged
+    from ..operators.transform import split_clean_errors_staged
 
     base = tempfile.mkdtemp(prefix="etl_split_staged_")
     try:
@@ -471,142 +431,6 @@ def etl_split_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, joined.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-
-
-# ---------------------------------------------------------------------------
-# A1–A7 — the reference's SQL analytics surface on the shared tables
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a1_validation_aggregate",
-    """
-    SELECT COUNT(*) AS total_rows,
-           COUNT(DISTINCT o_orderkey) AS unique_ids,
-           CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS positive_rows
-    FROM orders
-    """,
-)
-def a1_validation_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "orders").agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.countDistinct("o_orderkey").alias("unique_ids"),
-        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("positive_rows"),
-    )
-
-
-@register(
-    "a2_having_gate",
-    """
-    SELECT * FROM (
-      SELECT COUNT(*) AS total_rows,
-             COUNT(DISTINCT o_orderkey) AS unique_ids,
-             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS positive_rows
-      FROM orders
-    ) WHERE total_rows > 0 AND unique_ids = total_rows AND positive_rows = total_rows
-    """,
-)
-def a2_having_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = a1_validation_aggregate(spark, sf_dir)
-    return agg.filter(
-        (F.col("total_rows") > 0)
-        & (F.col("unique_ids") == F.col("total_rows"))
-        & (F.col("positive_rows") == F.col("total_rows"))
-    )
-
-
-@register(
-    "a4_summary_report",
-    """
-    SELECT COUNT(*) AS total_sales,
-           ROUND(SUM(l_extendedprice * l_quantity), 2) AS total_revenue,
-           ROUND(AVG(l_extendedprice * l_quantity), 2) AS avg_sale_value,
-           COUNT(DISTINCT l_partkey) AS unique_products,
-           strftime(MAX(l_shipdate), '%Y-%m-%d') AS latest_sale_date
-    FROM lineitem
-    """,
-)
-def a4_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    total = F.col("l_extendedprice") * F.col("l_quantity")
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.count(F.lit(1)).alias("total_sales"),
-        F.round(F.sum(total), 2).alias("total_revenue"),
-        F.round(F.avg(total), 2).alias("avg_sale_value"),
-        F.countDistinct("l_partkey").alias("unique_products"),
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("latest_sale_date"),
-    )
-
-
-@register(
-    "a5_revenue_by_flag",
-    """
-    SELECT l_returnflag, ROUND(SUM(l_extendedprice * l_quantity), 2) AS revenue
-    FROM lineitem GROUP BY l_returnflag ORDER BY revenue DESC, l_returnflag
-    """,
-)
-def a5_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "l_returnflag")
-    )
-
-
-@register(
-    "a5_revenue_by_product",
-    """
-    SELECT p_name AS product, ROUND(SUM(l_extendedprice * l_quantity), 2) AS revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_name ORDER BY revenue DESC, product
-    """,
-)
-def a5_revenue_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 against the dimension join: `part` is the small side → broadcast
-    hash join, no shuffle of the fact table for the join itself."""
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_name").alias("product"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "product")
-    )
-
-
-@register(
-    "a6_demo_summary",
-    """
-    SELECT COUNT(*) AS total_rows,
-           strftime(MAX(l_shipdate), '%Y-%m-%d') AS latest_sale,
-           ROUND(SUM(l_extendedprice * l_quantity), 2) AS total_revenue
-    FROM lineitem
-    """,
-)
-def a6_demo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("latest_sale"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias("total_revenue"),
-    )
-
-
-@register(
-    "a7_max_dates",
-    """
-    SELECT strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
-           strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship
-    FROM lineitem
-    """,
-)
-def a7_max_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
-        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
-    )
-
 
 # ---------------------------------------------------------------------------
 # R6/R7/R8 standalone operator checks on the shared tables
@@ -744,183 +568,3 @@ def r10_derived_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.col("l_extendedprice") * F.col("l_quantity"), 2).alias("total_sale"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Joins / windows / top-k (engine capability beyond the reference, §2.4–2.6)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 2) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary — the flagship aggregate."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-@register(
-    "q3_top_unshipped_orders",
-    """
-    SELECT o_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
-    GROUP BY o_orderkey, o_orderdate
-    ORDER BY revenue DESC, o_orderkey LIMIT 10
-    """,
-)
-def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style 3-way join + top-k. Customer/orders are small
-    relative to lineitem → dimension side broadcast; rounded revenue plus
-    key tiebreak keeps the LIMIT cut deterministic vs the oracle."""
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-        li.l_orderkey == F.col("o_orderkey"),
-    )
-    return (
-        joined.groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select(
-            "o_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
-        )
-        .orderBy(F.desc("revenue"), "o_orderkey")
-        .limit(10)
-    )
-
-
-@register(
-    "join_semi_anti",
-    """
-    SELECT c_mktsegment,
-           CAST(SUM(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT) AS n_without_orders,
-           CAST(SUM(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders
-    FROM (
-      SELECT c_custkey, c_mktsegment,
-             EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
-      FROM customer
-    ) GROUP BY c_mktsegment ORDER BY c_mktsegment
-    """,
-)
-def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    order_keys = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
-    with_orders = (
-        cust.join(order_keys, cust.c_custkey == order_keys.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_with_orders"))
-    )
-    without_orders = (
-        cust.join(order_keys, cust.c_custkey == order_keys.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_without_orders"))
-    )
-    segments = cust.select("c_mktsegment").distinct()
-    return (
-        segments.join(without_orders, "c_mktsegment", "left")
-        .join(with_orders, "c_mktsegment", "left")
-        .select(
-            "c_mktsegment",
-            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
-            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "window_topk_per_group",
-    """
-    SELECT c_nationkey, o_orderkey, o_totalprice
-    FROM (
-      SELECT c_nationkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY c_nationkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders JOIN customer ON o_custkey = c_custkey
-    ) WHERE rn <= 3 ORDER BY c_nationkey, o_totalprice DESC, o_orderkey
-    """,
-)
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer nation: broadcast dim join + ranking window
-    with a total tiebreak."""
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("c_nationkey", "o_orderkey", "o_totalprice")
-        .orderBy("c_nationkey", F.desc("o_totalprice"), "o_orderkey")
-    )
-
-
-@register(
-    "events_windowed_agg",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
-    FROM events GROUP BY window_start, event_type
-    ORDER BY window_start, event_type
-    """,
-)
-def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregate — the batch plan of the streaming
-    operator in streaming.file_stream (same builder)."""
-    return windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour").orderBy(
-        "window_start", "event_type"
-    )
-
-
-def query_names() -> list[str]:
-    return sorted(QUERIES)
-
-
-# Training-data-pipeline extension queries (dedup / similarity search /
-# text analysis / multimodal) register themselves on import; keep this at
-# the bottom so `register` and `_t` exist when harness_ext imports them.
-from . import harness_ext  # noqa: E402,F401
-from . import harness_breadth  # noqa: E402,F401
-from . import harness_round4  # noqa: E402,F401
-from . import harness_round5  # noqa: E402,F401
-from . import harness_round5b  # noqa: E402,F401
-from . import harness_sql  # noqa: E402,F401

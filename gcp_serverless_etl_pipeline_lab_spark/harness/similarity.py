@@ -1,0 +1,478 @@
+"""Similarity-search harness queries: brute-force / int8-quantized /
+IVF (label- and trained-k-means-cell) / sign-LSH (single and multi-table)
+top-k search, blocked and LSH-candidate kNN graphs, and fixed-point
+PageRank over the kNN graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60_duck
+from ..operators import similarity
+from ..operators import similarity as _sim
+from ._corpora import EMB_DIM
+from ._registry import _t, register
+
+_bucket_duck = similarity.bucket_duck
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SIM_BASE_DUCK = """
+c AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM c WHERE vec_id < 10)
+"""
+
+
+def _sim_rank_duck(scored_cte: str) -> str:
+    return f"""
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM ({scored_cte})
+    ) WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+def _sim_queries(spark: SparkSession, sf_dir: str):
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    return emb, emb.filter(F.col("vec_id") < 10)
+
+
+@register(
+    "sim_search_bruteforce",
+    f"""
+    WITH {_SIM_BASE_DUCK}
+    {_sim_rank_duck(f'''
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qe[i] * c.e[i])) AS s
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ''')}
+    """,
+)
+def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.brute_force_topk(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "sim_search_bruteforce_int8",
+    # oracle mirrors the symmetric max-abs int8 quantization bit-for-bit:
+    # qs = greatest(max|x|, 1e-30), q_i = round(x/qs*127)::tinyint, score
+    # = sum (q_i*qs/127)*y_i in index order (operators/quantize.py).
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    cs AS (
+      SELECT vec_id, e,
+             GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-30) AS qs
+      FROM c
+    ),
+    cq AS (
+      SELECT vec_id, qs,
+             list_transform(e, x -> CAST(ROUND(x / qs * 127) AS TINYINT)) AS q8
+      FROM cs
+    )
+    {_sim_rank_duck(f'''
+      SELECT q.query_id, cq.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (CAST(q8[i] AS DOUBLE) * qs / 127.0) * qe[i])) AS s
+      FROM cq, q WHERE cq.vec_id <> q.query_id
+    ''')}
+    """,
+)
+def sim_search_bruteforce_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import brute_force_topk_int8
+
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = brute_force_topk_int8(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "sim_search_ivf_label",
+    f"""
+    WITH {_SIM_BASE_DUCK}
+    {_sim_rank_duck(f'''
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qe[i] * c.e[i])) AS s
+      FROM c JOIN q ON c.label = q.qlabel AND c.vec_id <> q.query_id
+    ''')}
+    """,
+)
+def sim_search_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.ivf_topk(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --- trained IVF oracle: the DuckDB twin re-derives the identical k-means
+# model (deterministic init, 2 Lloyd iterations, ROUND(avg, 6) centroids,
+# dist-then-cell tie-break) — see similarity.kmeans_centroids for why the
+# rounding makes the model bit-reproducible across engines.
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_dist_duck(vec: str, cent: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"j -> ({cent}[j] - {vec}[j]) * ({cent}[j] - {vec}[j])))"
+    )
+
+
+def _ivf_iter_duck(prev_cent: str, n: int) -> str:
+    return f"""
+    d{n} AS (
+      SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist
+      FROM c CROSS JOIN {prev_cent} i
+    ),
+    a{n} AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT vec_id, e, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d{n}) WHERE rn = 1
+    ),
+    cent{n} AS (
+      SELECT cell, list(v ORDER BY j) AS ce FROM (
+        SELECT cell, j, ROUND(AVG(e[j]), 6) AS v
+        FROM a{n}, range(1, {EMB_DIM + 1}) t(j)
+        GROUP BY cell, j) GROUP BY cell
+    )"""
+
+
+@register(
+    "sim_search_ivf_trained",
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    init AS (
+      SELECT cell, e AS ce FROM (
+        SELECT vec_id % {_IVF_K} AS cell, e,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_K} ORDER BY vec_id) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    {_ivf_iter_duck('init', 1)},
+    {_ivf_iter_duck('cent1', 2)},
+    fa AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_ivf_dist_duck('c.e', 'i.ce')}, i.cell) AS rn
+        FROM c CROSS JOIN cent2 i) WHERE rn = 1
+    ),
+    qp AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, i.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    )
+    {_sim_rank_duck(f'''
+      SELECT qp.query_id, fa.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qp.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell AND fa.vec_id <> qp.query_id
+    ''')}
+    """,
+)
+def sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    # sample_rate=1.0 pins the full-corpus-trained model the DuckDB
+    # oracle re-derives in SQL (the operator's default is the scale-safe
+    # 0.1 hash-Bernoulli sample)
+    out = similarity.ivf_trained_topk(
+        corpus,
+        queries,
+        EMB_DIM,
+        cells=_IVF_K,
+        iters=2,
+        nprobe=_IVF_NPROBE,
+        sample_rate=1.0,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "sim_search_lsh_bucketed",
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    cb AS (SELECT vec_id, e, {_bucket_duck('e', EMB_DIM)} AS bucket FROM c),
+    qb AS (SELECT query_id, qe, {_bucket_duck('qe', EMB_DIM)} AS bucket FROM q)
+    {_sim_rank_duck(f'''
+      SELECT qb.query_id, cb.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qb.qe[i] * cb.e[i])) AS s
+      FROM cb JOIN qb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.query_id
+    ''')}
+    """,
+)
+def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.lsh_topk(corpus, queries, EMB_DIM)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_MT_TABLES = 8
+_MT_PLANES = 2  # narrow tables: this corpus's true top-k are FAR (scores
+# ~0.3, θ/π ≈ 0.4); per-neighbor recall = 1 - (1 - 0.6^P)^L needs small P
+# here. Near-dup corpora would use P=8-16 (see lsh_topk_multitable).
+
+
+def _bucket_duck_table(vec: str, dim: int, table: int, planes: int) -> str:
+    bits = []
+    for h in range(planes):
+        w = h60_duck(
+            f"'mlsh|' || '{table}' || '|' || '{h}' || '|' || CAST(i AS VARCHAR)"
+        )
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(({w}) % {similarity.PLANE_MOD} - {similarity.PLANE_SHIFT} AS DOUBLE)"
+            f" * {vec}[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << h} ELSE 0 END")
+    return " + ".join(bits)
+
+
+_MT_CB = ", ".join(
+    f"{_bucket_duck_table('e', EMB_DIM, t, _MT_PLANES)} AS b{t}"
+    for t in range(_MT_TABLES)
+)
+_MT_QB = ", ".join(
+    f"{_bucket_duck_table('qe', EMB_DIM, t, _MT_PLANES)} AS b{t}"
+    for t in range(_MT_TABLES)
+)
+_MT_ANY = " OR ".join(f"cb.b{t} = qb.b{t}" for t in range(_MT_TABLES))
+
+
+@register(
+    "sim_search_lsh_multitable",
+    # candidate iff the pair shares a bucket in ANY of the L tables — the
+    # oracle mirrors the engine's deterministic multi-table predicate.
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    cb AS (SELECT vec_id, e, {_MT_CB} FROM c),
+    qb AS (SELECT query_id, qe, {_MT_QB} FROM q)
+    {_sim_rank_duck(f'''
+      SELECT qb.query_id, cb.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qb.qe[i] * cb.e[i])) AS s
+      FROM cb JOIN qb ON ({_MT_ANY}) AND cb.vec_id <> qb.query_id
+    ''')}
+    """,
+)
+def sim_search_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _sim_queries(spark, sf_dir)
+    out = similarity.lsh_topk_multitable(
+        corpus, queries, EMB_DIM, tables=_MT_TABLES, planes_per_table=_MT_PLANES
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+# ---------------------------------------------------------------------------
+# k-NN graph over the embedding corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_graph_blocked",
+    f"""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS s
+        FROM c a JOIN c b ON a.label = b.label AND a.vec_id <> b.vec_id
+      )
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_graph_blocked as knn
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    out = knn(emb, 64, k=3, block_col="label")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph, LSH-candidate variant (the 100 TB spelling)
+# ---------------------------------------------------------------------------
+
+from ..operators import similarity as _sim  # noqa: E402
+
+
+@register(
+    "knn_graph_lsh",
+    f"""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT vec_id, label, e, {_sim.bucket_duck('e', 64)} AS bkt FROM c),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS s
+      FROM vb a JOIN vb b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+       AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b.bkt AS BIGINT))) <= 1
+    )
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    out = _sim.knn_graph_lsh(emb, 64, k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph (fixed-point integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+
+
+def _pr_iter_duck(prev: str, k: int) -> str:
+    return f"""
+    r{k} AS (
+      SELECT nd.node,
+             CAST((SELECT (15 * {_PR_SCALE}) // (100 * n) FROM nn) +
+                  COALESCE(fl.inflow, 0) AS BIGINT) AS rank_fp
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((85 * p.rank_fp) // (100 * od.od)) AS BIGINT) AS inflow
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN od ON od.src = e.src
+        GROUP BY e.dst) fl ON fl.node = nd.node
+    )"""
+
+
+@register(
+    "graph_pagerank_knn",
+    f"""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS qa, b.vec_id AS nb,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS s
+      FROM c a JOIN c b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    edges AS (
+      SELECT qa AS src, nb AS dst FROM (
+        SELECT qa, nb, row_number() OVER (PARTITION BY qa ORDER BY s DESC, nb) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, CAST({_PR_SCALE} // n AS BIGINT) AS rank_fp
+      FROM nodes CROSS JOIN nn
+    ),
+    {_pr_iter_duck("r0", 1)},
+    {_pr_iter_duck("r1", 2)},
+    {_pr_iter_duck("r2", 3)}
+    SELECT node, rank_fp FROM r3
+    ORDER BY rank_fp DESC, node
+    LIMIT 20
+    """,
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 central vectors of the exact blocked kNN graph by 3-round
+    fixed-point PageRank (operators/graphrank.py). Centrality over the
+    neighbor graph = prototypicality; the tail end of the same ranking
+    is an outlier signal. All arithmetic BIGINT, bit-identical across
+    engines."""
+    from ..operators.graphrank import pagerank_fixed_point
+    from ..operators.similarity import knn_graph_blocked as knn
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    edges = knn(emb, 64, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    ranks = pagerank_fixed_point(edges, iters=3)
+    return ranks.orderBy(F.desc("rank_fp"), "node").limit(20)
+
+
+@register(
+    "knn_graph_ivf_cells",
+    # Full-corpus kNN graph blocked by the TRAINED coarse quantizer: the
+    # oracle re-derives the identical k-means model (init by residue
+    # class, 2 rounded-mean iterations, min-cell tie-break) and self-joins
+    # the full assignment within cells.
+    f"""
+    WITH {_SIM_BASE_DUCK},
+    init AS (
+      SELECT cell, e AS ce FROM (
+        SELECT vec_id % {_IVF_K} AS cell, e,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_K} ORDER BY vec_id) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    {_ivf_iter_duck('init', 1)},
+    {_ivf_iter_duck('cent1', 2)},
+    fa AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_ivf_dist_duck('c.e', 'i.ce')}, i.cell) AS rn
+        FROM c CROSS JOIN cent2 i) WHERE rn = 1
+    )
+    SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+      FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                        i -> a.e[i] * b.e[i])) AS s
+        FROM fa a JOIN fa b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      )
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_graph_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph over TRAINED IVF cells — the principled approximate
+    graph for corpora whose neighbors are weakly similar (where sign-LSH
+    candidates collapse, see knn_graph_lsh): k-means cells are balanced
+    by construction, so the within-cell self-join is bounded at ~n²/k
+    pairs regardless of label skew, and geometrically-close vectors
+    share a cell far more often than they share an 8-bit sign bucket.
+    Recall vs the exact label-blocked graph is measured in
+    tests/test_ann_recall.py."""
+    corpus, _ = _sim_queries(spark, sf_dir)
+    model = similarity.kmeans_centroids(
+        corpus, EMB_DIM, k=_IVF_K, iters=2, sample_rate=1.0
+    )
+    assigned = similarity._assign_cell(
+        corpus.select("vec_id", "embedding"), "embedding", model
+    )
+    out = similarity.knn_graph_blocked(assigned, EMB_DIM, k=3, block_col="cell")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

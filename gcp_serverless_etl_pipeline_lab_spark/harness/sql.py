@@ -34,15 +34,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .harness import (
-    _ETL_ORACLE_BASE,
-    _ETL_ORACLE_CHAIN,
-    _etl_lines,
-    register,
-)
-from .operators.transform import split_clean_errors
-from .operators.validate import annotate
-from .sources.tables import register_views
+from ._registry import register
+from .etl import _ETL_ORACLE_BASE, _ETL_ORACLE_CHAIN, _etl_lines
+from ..operators.transform import split_clean_errors
+from ..operators.validate import annotate
+from ..sources.tables import register_views
 
 # Oracle chain over the DISTINCT line set with unique total-order ids
 # (see module docstring): byte-identical lines collapse, colliding keys
@@ -70,7 +66,7 @@ def _sales_view(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .sources.text_csv import LINE_COL, LINE_ID_COL
+    from ..sources.text_csv import LINE_COL, LINE_ID_COL
 
     w = Window.partitionBy(LINE_ID_COL).orderBy(LINE_COL)
     lines = (

@@ -1,0 +1,589 @@
+"""Text-analysis harness queries: token statistics, marker-based
+language-ID, quality scoring, repetition signals, winnowing-lite
+fingerprints, explode-based word counts, BM25 retrieval, vocabulary
+coverage, bigram-LM perplexity scoring, and the prefix-filtered fuzzy
+string join (entity resolution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h60_duck, h60_sql
+from ._corpora import _DOC_CORPUS_DUCK, _doc_corpus
+from ._registry import _t, register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+               AS sum_alpha_tokens,
+           ROUND(AVG(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))), 4) AS avg_distinct_ratio
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("split(text, ' ', -1)")
+    return (
+        d.select(
+            "lang",
+            F.size(toks).alias("nt"),
+            F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias("na"),
+            F.size(F.array_distinct(toks)).alias("nd"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("sum_tokens"),
+            F.sum("na").alias("sum_alpha_tokens"),
+            F.round(F.avg(F.col("nd").cast("double") / F.col("nt")), 4).alias(
+                "avg_distinct_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_MARKERS_DUCK = {
+    "en": "['the', 'a', 'of', 'and', 'to']",
+    "de": "['der', 'die', 'das', 'und', 'ist']",
+    "es": "['el', 'la', 'de', 'y', 'es']",
+    "fr": "['le', 'la', 'et', 'de', 'est']",
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['en']})) AS s_en,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['de']})) AS s_de,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['es']})) AS s_es,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_MARKERS_DUCK['fr']})) AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                  WHEN s_fr > 0 THEN 'fr'
+                  ELSE 'und' END AS predicted
+      FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM pred
+    GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.expr("split(text, ' ', -1)"))
+    scores = {
+        name: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        ).alias(f"s_{name}")
+        for name, markers in (
+            ("en", ("the", "a", "of", "and", "to")),
+            ("de", ("der", "die", "das", "und", "ist")),
+            ("es", ("el", "la", "de", "y", "es")),
+            ("fr", ("le", "la", "et", "de", "est")),
+        )
+    }
+    scored = d.select("lang", *scores.values())
+    predicted = (
+        F.when(
+            (F.col("s_en") > 0)
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_de") > 0)
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when((F.col("s_es") > 0) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("und")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH feat AS (
+      SELECT len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS awl
+      FROM documents
+    ),
+    scores AS (
+      SELECT 0.4 * LEAST(1.0, nt / 50.0)
+           + 0.4 * (CAST(nd AS DOUBLE) / nt)
+           + 0.2 * LEAST(1.0, awl / 8.0) AS score
+      FROM feat
+    )
+    SELECT CAST(FLOOR(score * 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_score
+    FROM scores GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("split(text, ' ', -1)")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    awl = (F.length("text") - (nt - 1)).cast("double") / nt
+    score = (
+        0.4 * F.least(F.lit(1.0), nt / 50.0)
+        + 0.4 * (nd.cast("double") / nt)
+        + 0.2 * F.least(F.lit(1.0), awl / 8.0)
+    )
+    return (
+        d.select(score.alias("score"))
+        .select(F.floor(F.col("score") * 10).cast("int").alias("bucket"), "score")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("bucket")
+    )
+
+# ---------------------------------------------------------------------------
+# Explode / UDTF-style flattening — word counts over documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "explode_word_counts",
+    """
+    SELECT word, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS docs
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ) WHERE word <> ''
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 50
+    """,
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral flatten (explode = built-in Generate node, the UDTF shape)
+    then count + count-distinct per word. The distinct runs as a two-phase
+    partial/merge aggregate on (word, doc_id) — no row ever leaves the
+    executors until the final top-50, which is a TakeOrdered (no global
+    sort materialization)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+        .orderBy(F.desc("cnt"), "word")
+        .limit(50)
+    )
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "vector")
+
+
+@register(
+    "bm25_keyword_search",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query over the documents table.
+
+    The reference has no retrieval surface (its queries are aggregate
+    reports, `/root/reference/composer/sales_etl_dag.py:60-88`); this is
+    part of the beyond-reference training-data toolkit.
+    """
+    from ..operators.retrieval import bm25_topk
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building + OOV coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_coverage_report",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rn FROM freq
+      ) WHERE rn <= 16
+    ),
+    flagged AS (
+      SELECT t.doc_id, CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS in_vocab
+      FROM toks t LEFT JOIN vocab v ON v.term = t.term
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(in_vocab) AS BIGINT) AS covered_tokens,
+           CAST(COUNT(*) - SUM(in_vocab) AS BIGINT) AS oov_tokens,
+           COUNT(DISTINCT CASE WHEN in_vocab = 0 THEN doc_id END) AS docs_with_oov
+    FROM flagged
+    """,
+)
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K frequency vocabulary (total tiebreak) + corpus coverage/OOV
+    accounting — the tokenizer-budget planning primitive. The vocab is a
+    TakeOrdered of the term-frequency aggregate (small by construction)
+    broadcast back against the token stream; the corpus shuffles once
+    for the frequency count and never again. K=16 here so the toy
+    vocabulary covers a meaningful but partial token share; a real run
+    uses K=2^15..2^17 with identical plan shape."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (
+        freq.orderBy(F.desc("tf"), "term").limit(16).select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_v", F.lit(1))), "term", "left"
+    ).select("doc_id", F.coalesce(F.col("_v"), F.lit(0)).alias("in_vocab"))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum("in_vocab").cast("bigint").alias("covered_tokens"),
+        (F.count(F.lit(1)) - F.sum("in_vocab")).cast("bigint").alias("oov_tokens"),
+        F.count_distinct(
+            F.when(F.col("in_vocab") == 0, F.col("doc_id"))
+        ).alias("docs_with_oov"),
+    )
+
+
+@register(
+    "text_repetition_score",
+    # Gopher/C4-style repetition signals: duplicate word-bigram fraction
+    # (array expression, map-side) and top-word dominance (one
+    # (doc_id, word) shuffle). Histogram over dominance deciles.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 2 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(
+                         list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+                       / (len(t) - 1) END AS dup_bigram_frac,
+             len(t) AS nt
+      FROM toks
+    ),
+    wc AS (
+      SELECT doc_id, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      GROUP BY doc_id, w
+    ),
+    topw AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    )
+    SELECT CAST(FLOOR(top_word_frac * 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(dup_bigram_frac), 4) AS avg_dup_bigram_frac,
+           ROUND(AVG(top_word_frac), 4) AS avg_top_word_frac
+    FROM bi JOIN topw USING (doc_id)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals per document, bucketed: duplicate-bigram
+    fraction (how much of the text is repeated word pairs) stays a pure
+    array expression; top-word dominance (most frequent word's share)
+    needs one (doc_id, word) shuffle. Both are standard repetitious-junk
+    filters in LLM corpus curation; a gate would drop docs past a
+    threshold — the histogram here makes both distributions oracle-visible."""
+    from ..sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = d.select("doc_id", F.expr("split(text, ' ', -1)").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(t) < 2 THEN 0.0D ELSE "
+            "1.0D - CAST(size(array_distinct(transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))) AS DOUBLE)"
+            " / (size(t) - 1) END"
+        ).alias("dup_bigram_frac"),
+    )
+    topw = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"))
+    )
+    return (
+        bi.join(topw, "doc_id")
+        .select(
+            F.floor(F.col("top_word_frac") * 10).cast("int").alias("bucket"),
+            "dup_bigram_frac",
+            "top_word_frac",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_bigram_frac"), 4).alias("avg_dup_bigram_frac"),
+            F.round(F.avg("top_word_frac"), 4).alias("avg_top_word_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_FP_HASH_DUCK = h60_duck("substr(text, i, 5)")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    fp AS (
+      SELECT doc_id,
+             list_min(list_transform(
+               range(1, CASE WHEN length(text) >= 5 THEN length(text) - 3 ELSE 1 END),
+               i -> {_FP_HASH_DUCK})) AS fp
+      FROM corpus
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    ORDER BY fp
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite content fingerprint: min 60-bit hash over character
+    5-grams. (A production system uses a rolling Rabin-Karp hash — O(n)
+    instead of O(n*w) — and keeps k mins per window; the declarative
+    min-over-substring-hashes here has identical collision semantics for
+    dedup grouping.)"""
+    corpus = _doc_corpus(spark, sf_dir)
+    fp = F.expr(
+        "IF(length(text) >= 5, "
+        "array_min(transform(sequence(1, length(text) - 4), i -> "
+        + h60_sql("substring(text, i, 5)")
+        + ")), CAST(NULL AS BIGINT))"
+    )
+    return (
+        corpus.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity scoring — operators/lmscore.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_bigram_lm_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    occ AS (
+      SELECT doc_id, t, UNNEST(range(0, len(t) - 1)) AS i FROM toks
+    ),
+    pairs AS (
+      SELECT doc_id, t[CAST(i AS BIGINT) + 1] AS w1,
+             t[CAST(i AS BIGINT) + 2] AS w2
+      FROM occ
+    ),
+    bg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM pairs GROUP BY doc_id, w1, w2
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(k) AS BIGINT) AS c1 FROM bg GROUP BY w1
+    ),
+    vcb AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg
+      )
+    ),
+    scored AS (
+      SELECT bg.doc_id, bg.k, c12.c12, c1.c1, vcb.v
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vcb
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             CAST(SUM(k * (
+               CAST(FLOOR(ln(c12 + 1) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(c1 + v) * 1000000) AS BIGINT)
+             )) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, score_micro,
+           CAST((-score_micro) // n_bigrams AS BIGINT) AS neg_avg_micro
+    FROM perdoc ORDER BY doc_id
+    """,
+)
+def a0b_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: an add-one-smoothed bigram LM
+    trained on the corpus scores every document's total and per-token
+    log-probability in exact integer micro-nats (operators/lmscore.py —
+    integer-exact so the last-ulp ln() divergence between engines can't
+    flake the hash compare). The Zipf-skewed count joins run hybrid
+    hot/cold: heavy-hitter bigrams/heads broadcast, the tail shuffles."""
+    from ..operators.lmscore import doc_logprob_micro
+
+    return doc_logprob_micro(
+        _t(spark, sf_dir, "documents"), hot_threshold=1000
+    ).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (prefix-filtered trigram similarity) — operators/fuzzyjoin.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_fuzzy_name_join",
+    """
+    WITH tnames AS (
+      SELECT doc_id AS tid, lower(substr(text, 1, 30)) AS s FROM documents
+      WHERE length(substr(text, 1, 30)) >= 5
+    ),
+    pnames AS (
+      -- probe = same prefix with the 28th character dropped (typo)
+      SELECT doc_id AS pid,
+             lower(substr(text, 1, 27) || substr(text, 29, 2)) AS s
+      FROM documents
+      WHERE doc_id % 3 = 0 AND length(substr(text, 1, 30)) >= 5
+    ),
+    tset AS (
+      SELECT tid, list_distinct(list_transform(
+               range(1, length(s) - 3), i -> substr(s, i, 5))) AS g
+      FROM tnames WHERE length(s) >= 5
+    ),
+    pset AS (
+      SELECT pid, list_distinct(list_transform(
+               range(1, length(s) - 3), i -> substr(s, i, 5))) AS g
+      FROM pnames WHERE length(s) >= 5
+    ),
+    pairs AS (
+      SELECT p.pid, t.tid,
+             CAST(len(p.g) AS BIGINT) AS n_p,
+             CAST(len(t.g) AS BIGINT) AS n_t,
+             CAST(len(list_intersect(p.g, t.g)) AS BIGINT) AS n_inter
+      FROM pset p CROSS JOIN tset t
+    ),
+    scored AS (
+      SELECT pid, tid, n_p, n_t, n_inter,
+             ROUND(n_inter / (n_p + n_t - n_inter), 4) AS jaccard
+      FROM pairs
+      WHERE ROUND(n_inter / (n_p + n_t - n_inter), 4) >= 0.6
+    )
+    SELECT pid, tid, n_p, n_t, n_inter, jaccard
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY pid ORDER BY jaccard DESC, tid) = 1
+    ORDER BY pid
+    """,
+)
+def a0b_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: probe strings (30-char document prefixes with a
+    deterministic one-character-deletion typo) fuzzy-matched against the
+    corpus on 5-gram Jaccard >= 0.6 via the prefix-filtered similarity
+    join (operators/fuzzyjoin.py — candidates only from each string's
+    rarest grams, LOSSLESS for the threshold; never all-pairs), best
+    match per probe. q=5 because this corpus's trigram vocabulary is
+    tiny (375 grams — every trigram common, blocking useless; see the
+    operator docstring). The oracle verifies against a brute-force
+    all-pairs cross join, proving the prefix filter loses nothing."""
+    from ..operators.fuzzyjoin import fuzzy_best_match
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = docs.select(
+        F.col("doc_id").alias("t_id"),
+        F.lower(F.substring("text", 1, 30)).alias("t_name"),
+    ).filter(F.length("t_name") >= 5)
+    probes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("p_id"),
+            F.lower(
+                F.concat(
+                    F.substring("text", 1, 27), F.substring("text", 29, 2)
+                )
+            ).alias("p_name"),
+        )
+        .filter(F.length("p_name") >= 5)
+    )
+    return fuzzy_best_match(
+        probes, targets, "p_id", "p_name", "t_id", "t_name", threshold=0.6, q=5
+    ).select(
+        F.col("pid"), F.col("tid"), "n_p", "n_t", "n_inter", "jaccard"
+    ).orderBy("pid")

@@ -1,6 +1,6 @@
 """Small-file compaction: plan AND execute.
 
-The planning query (`compact_file_plan` in harness_round4.py) models the
+The planning query (`compact_file_plan` in harness.storage) models the
 metadata-scale group assignment; this module executes it against a real
 parquet directory: list part files with sizes, assign each to a
 cumulative-size output group, rewrite the dataset in ONE distributed job

@@ -1,6 +1,6 @@
 """Deterministic sampling operators.
 
-`sample_hash_bernoulli` (harness_breadth) established the engine's
+`sample_hash_bernoulli` (harness.corpus) established the engine's
 sampling contract: membership is a pure function of row identity —
 ``h60(key) % denom < threshold`` — never of partition layout or RNG
 state, so a 100 TB re-shard, a retry, or a different engine reproduces

@@ -110,7 +110,7 @@ def _emb_replica(e: DataFrame, k: int) -> DataFrame:
                 "(f, x) -> IF(f = 1, -x, x))"
             ),
         )
-    # near-dup synthesis (mirrors harness_ext._vec_corpus): every 13th
+    # near-dup synthesis (mirrors harness._corpora._vec_corpus): every 13th
     # vector gets a dim-1-perturbed renormalized copy at +1M — so true
     # cosine pairs exist and replicate exactly N times. Sign flips commute
     # with the perturbation structure within a replica.
@@ -199,7 +199,7 @@ def generate(spark: SparkSession, n: int) -> str:
 
 
 def _cohort_weekly(ev: DataFrame) -> DataFrame:
-    # mirrors harness_round4.cohort_retention_weekly on a raw events DF
+    # mirrors harness.events.cohort_retention_weekly on a raw events DF
     activity = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
     cohort = activity.groupBy("user_id").agg(F.min("d").alias("c"))
     offsets = activity.join(cohort, "user_id").select(
@@ -213,7 +213,7 @@ def _cohort_weekly(ev: DataFrame) -> DataFrame:
 
 
 def _funnel(ev: DataFrame) -> DataFrame:
-    # mirrors harness_round4.funnel_signup_view_purchase
+    # mirrors harness.events.funnel_signup_view_purchase
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")

@@ -29,7 +29,8 @@ from __future__ import annotations
 
 import pytest
 
-from gcp_serverless_etl_pipeline_lab_spark.harness_ext import EMB_DIM, _sim_queries
+from gcp_serverless_etl_pipeline_lab_spark.harness._corpora import EMB_DIM
+from gcp_serverless_etl_pipeline_lab_spark.harness.similarity import _sim_queries
 from gcp_serverless_etl_pipeline_lab_spark.operators import similarity
 
 from conftest import SF_ORACLE, SF_SMOKE
@@ -183,7 +184,7 @@ def test_knn_graph_lsh_recall_vs_exact(spark):
     trade-off, documented in the operator docstring). Assert the part
     the operator promises: every perturbed twin (cos ~ 0.999) in the
     dup-bearing corpus appears in the approximate graph."""
-    from gcp_serverless_etl_pipeline_lab_spark.harness_ext import _vec_corpus
+    from gcp_serverless_etl_pipeline_lab_spark.harness._corpora import _vec_corpus
     from gcp_serverless_etl_pipeline_lab_spark.operators.similarity import (
         knn_graph_lsh,
     )
@@ -292,7 +293,7 @@ def test_knn_graph_blocked_lsh_policy(spark):
     block degrades to LSH candidates — its near-dup twins must still be
     found (the knn_graph_lsh contract)."""
     from pyspark.sql import functions as F
-    from gcp_serverless_etl_pipeline_lab_spark.harness_ext import _vec_corpus
+    from gcp_serverless_etl_pipeline_lab_spark.harness._corpora import _vec_corpus
 
     v = _vec_corpus(spark, SF_SMOKE)  # contains perturbed twins (+1M ids)
     skewed = v.withColumn(

@@ -1,4 +1,4 @@
-"""The spark.sql surface (harness_sql.py) — SQL twin == DataFrame twin.
+"""The spark.sql surface (harness.sql) — SQL twin == DataFrame twin.
 
 SURVEY §3.3 commits to exposing BOTH the DataFrame builders and a
 spark.sql path; these tests pin that a user porting the reference's
