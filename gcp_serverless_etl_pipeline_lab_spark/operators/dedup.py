@@ -144,7 +144,7 @@ def cap_document_frequency(grams: DataFrame, max_df: int) -> DataFrame:
 def ngram_jaccard_pairs(
     corpus: DataFrame,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
     ordered: bool = True,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (the ground-truth baseline
@@ -166,7 +166,10 @@ def ngram_jaccard_pairs(
     BOUND (the capped intersection count divides full-set union sizes);
     recompute exact Jaccard on survivors if the value itself matters.
     At 100 TB run `minhash_lsh_pairs` for discovery and keep this (with a
-    cap) for candidate verification.
+    cap) for candidate verification. The cap DEFAULTS ON (``max_df=10_000``
+    — a gram shared by 10k+ docs carries no near-dup signal, only cost);
+    pass ``max_df=None`` explicitly to get the uncapped exact baseline,
+    which is Σ_gram df² and must never ship as a scale default.
 
     Skew note: a gram at the cap explodes to ≤ max_df ordered-pair rows per
     list element via the chained generators — each output row is built by

@@ -86,9 +86,12 @@ def classify_batch(
     batch: DataFrame,
     base: DataFrame,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Every batch row tagged: 'exact_dup' | 'near_dup' | 'new'.
+
+    ``max_df`` defaults ON (10_000) like dedup.ngram_jaccard_pairs — pass
+    ``None`` only for an uncapped exact baseline on bounded corpora.
 
     Exact wins over near (an exact dup is trivially also a near dup);
     near means "no byte-identical base doc, but a Jaccard match".
