@@ -67,3 +67,26 @@ def word_ngrams_duck(tokens_expr: str, n: int) -> str:
         f" THEN len({tokens_expr}) - {n - 2} ELSE 1 END),"
         f" i -> {gram}))"
     )
+
+
+# GPT-2-style pre-tokenizer, ASCII subset: contraction suffixes, optionally
+# space-prefixed letter runs / digit runs / punctuation runs, residual
+# whitespace runs. Deliberately restricted to constructs Java regex (Spark,
+# JVM-side regexp_extract_all) and RE2 (DuckDB oracle) compile IDENTICALLY:
+# no \p{L} classes, no lookarounds (RE2 has neither), leftmost-first
+# alternation in both. The real GPT-2 pattern adds \p{L}/\p{N} and a
+# trailing-space lookahead; the *operator shape* — count BPE pre-tokens as
+# one vectorized regexp pass, zero Python — is identical.
+BPE_PRETOKEN_RE = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+
+def bpe_pretokens(text: Column | str) -> Column:
+    """BPE pre-token array of a string column (one JVM regex pass)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_pretokens_duck(text_expr: str) -> str:
+    """DuckDB: the identical pre-token list (RE2; same pattern verbatim)."""
+    lit = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"regexp_extract_all({text_expr}, '{lit}')"

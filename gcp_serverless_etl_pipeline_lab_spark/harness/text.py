@@ -587,3 +587,116 @@ def a0b_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("pid"), F.col("tid"), "n_p", "n_t", "n_inter", "jaccard"
     ).orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pre-tokenizer token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+from ..functions.text import BPE_PRETOKEN_RE, bpe_pretokens, bpe_pretokens_duck  # noqa: E402
+
+# Deterministic augmentation so contractions / digit runs / punctuation runs
+# all appear in every document (the synthetic corpus is plain lowercase
+# words): `<text> it's <doc_id%100>-ish, don't stop`.
+_BPE_AUG_DUCK = (
+    "text || ' it''s ' || CAST(doc_id % 100 AS VARCHAR) || '-ish, don''t stop'"
+)
+_BPE_TOKS_DUCK = bpe_pretokens_duck("aug")
+
+
+def _bpe_cat_duck(pattern: str) -> str:
+    lit = pattern.replace("'", "''")
+    return (
+        f"CAST(len(list_filter(toks, t -> regexp_full_match(t, '{lit}')))"
+        " AS BIGINT)"
+    )
+
+
+_BPE_SPACE_RUN = "\\s+"
+
+
+@register(
+    "text_bpe_pretoken_stats",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, lang, {_BPE_AUG_DUCK} AS aug FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, {_BPE_TOKS_DUCK} AS toks,
+             len(string_split(aug, ' ')) AS n_ws
+      FROM aug
+    ),
+    cat AS (
+      SELECT lang,
+             CAST(len(toks) AS BIGINT) AS n_bpe,
+             CAST(n_ws AS BIGINT) AS n_ws,
+             {_bpe_cat_duck(" ?[a-zA-Z]+")} AS n_letter,
+             {_bpe_cat_duck(" ?[0-9]+")} AS n_digit,
+             {_bpe_cat_duck("'(?:[sdmt]|ll|ve|re)")} AS n_contr,
+             {_bpe_cat_duck(_BPE_SPACE_RUN)} AS n_space
+      FROM tok
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(n_letter) AS BIGINT) AS sum_letter_runs,
+           CAST(SUM(n_digit) AS BIGINT) AS sum_digit_runs,
+           CAST(SUM(n_contr) AS BIGINT) AS sum_contractions,
+           CAST(SUM(n_bpe - n_letter - n_digit - n_contr - n_space) AS BIGINT)
+               AS sum_punct_runs,
+           ROUND(AVG(CAST(n_bpe AS DOUBLE) / n_ws), 4) AS avg_bpe_per_ws
+    FROM cat GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer (functions/text.py
+    BPE_PRETOKEN_RE): GPT-2-shaped contraction/letter/digit/punct/space
+    runs, counted per document in ONE vectorized JVM regexp pass (no
+    Python, no shuffle before the per-language rollup), reported next to
+    the whitespace token count. The per-category split classifies the
+    SAME composite token list (filter + rlike over the extracted array),
+    so categories sum exactly to the total. The budget-planning twin to
+    vocab_coverage_report: BPE pre-token counts are the unit LLM token
+    budgets are quoted in."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" it's "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("-ish, don't stop"),
+    )
+    toks = bpe_pretokens(aug)
+
+    def cat(pattern: str) -> F.Column:
+        return F.size(
+            F.filter(toks, lambda t: t.rlike("^(?:" + pattern + ")$"))
+        ).cast("bigint")
+
+    per_doc = d.select(
+        "lang",
+        F.size(toks).cast("bigint").alias("n_bpe"),
+        F.size(F.split(aug, " ", -1)).cast("bigint").alias("n_ws"),
+        cat(" ?[a-zA-Z]+").alias("n_letter"),
+        cat(" ?[0-9]+").alias("n_digit"),
+        cat("'(?:[sdmt]|ll|ve|re)").alias("n_contr"),
+        cat("\\s+").alias("n_space"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+            F.sum("n_ws").alias("sum_ws_tokens"),
+            F.sum("n_letter").alias("sum_letter_runs"),
+            F.sum("n_digit").alias("sum_digit_runs"),
+            F.sum("n_contr").alias("sum_contractions"),
+            F.sum(
+                F.col("n_bpe") - F.col("n_letter") - F.col("n_digit")
+                - F.col("n_contr") - F.col("n_space")
+            ).alias("sum_punct_runs"),
+            F.round(
+                F.avg(F.col("n_bpe").cast("double") / F.col("n_ws")), 4
+            ).alias("avg_bpe_per_ws"),
+        )
+        .orderBy("lang")
+    )
