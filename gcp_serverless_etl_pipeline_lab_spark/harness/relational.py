@@ -794,3 +794,64 @@ def a0b_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.p_brand
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — HAVING-subquery semi-join (large-volume orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0b_tpch_q18_big_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o_totalprice, 2) AS totalprice,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def a0b_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed 180 total units.
+
+    The IN-subquery-with-HAVING becomes an explicit two-phase plan: ONE
+    per-order quantity aggregate serves both the gate (HAVING > 180,
+    shrinking it to the few large orders) and the final sum_qty column —
+    the big lineitem table is scanned and shuffled on l_orderkey exactly
+    once, then the small surviving-order set joins orders and the
+    customer dim. At 100 TB the survivors are broadcastable by
+    construction (HAVING is selective); AQE makes that call from the
+    runtime size. Total tiebreak (totalprice desc, orderkey) keeps the
+    LIMIT cut deterministic vs the oracle; quantities are integral so
+    the BIGINT cast of the double sum is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("_qty")
+    )
+    big = per_order.filter(F.col("_qty") > 180)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("_qty").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
