@@ -1,0 +1,38 @@
+"""Physical-plan assertions for the round-6 queries: the scale claims in
+the docstrings (single scan, zero Python, aggregate reuse, broadcast
+survivors) must be visible in the plan."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+from gcp_serverless_etl_pipeline_lab_spark.harness import QUERIES
+
+
+def _plan(spark, name):
+    df = QUERIES[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_bpe_pretoken_one_scan_no_python(spark):
+    tree = _plan(spark, "text_bpe_pretoken_stats")
+    head = tree.split("\n\n")[0]
+    # one vectorized pass over documents: single scan, no Python anywhere,
+    # and only the groupBy(lang) + final-sort exchanges
+    assert head.count("Scan parquet") == 1
+    assert "Python" not in tree
+    assert head.count("Exchange") <= 2
+
+
+def test_q18_single_lineitem_scan_broadcast_survivors(spark):
+    tree = _plan(spark, "a0b_tpch_q18_big_orders")
+    head = tree.split("\n\n")[0]
+    # the per-order aggregate serves gate AND output column: lineitem is
+    # scanned exactly once (3 scans total = lineitem + orders + customer)
+    assert head.count("Scan parquet") == 3
+    # HAVING survivors and the customer dim both ride broadcast joins;
+    # nothing falls back to a sort-merge join of the full fact table
+    assert head.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in head
+    assert "Python" not in tree
