@@ -90,3 +90,32 @@ def bpe_pretokens_duck(text_expr: str) -> str:
     """DuckDB: the identical pre-token list (RE2; same pattern verbatim)."""
     lit = BPE_PRETOKEN_RE.replace("'", "''")
     return f"regexp_extract_all({text_expr}, '{lit}')"
+
+
+def url_host(url: Column | str) -> Column:
+    """Host of a URL via the JVM built-in ``parse_url`` (strips scheme,
+    userinfo, port, path/query/fragment) — zero Python, codegen'd."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def url_host_duck(url_expr: str) -> str:
+    """DuckDB twin of ``url_host`` (RE2; same component grammar —
+    authority after ``scheme://`` with optional userinfo, host stops at
+    ``: / ? #``). Hive's parse_url exposes no PORT part, so port
+    detection goes through the authority (see harness.corpus)."""
+    return (
+        f"regexp_extract({url_expr},"
+        " '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)"
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last two host labels ('sub.a.example.com' -> 'example.com') — the
+    toy stand-in for a public-suffix-list lookup; the GROUPING shape
+    (domain-level rollups for mixing/quota decisions) is what matters."""
+    return F.substring_index(host, ".", -2)
+
+
+def registrable_domain_duck(host_expr: str) -> str:
+    return f"regexp_extract({host_expr}, '([^.]+[.][^.]+)$', 1)"

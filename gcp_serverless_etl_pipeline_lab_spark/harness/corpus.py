@@ -582,3 +582,111 @@ def a0_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", F.col("quota_rank").cast("bigint").alias("quota_rank"))
         .orderBy("source", "quota_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL host/domain extraction — web-corpus curation rollup
+# ---------------------------------------------------------------------------
+
+from ..functions.text import (  # noqa: E402
+    registrable_domain,
+    registrable_domain_duck,
+    url_host,
+    url_host_duck,
+)
+
+# Deterministic URL synthesis (the documents table carries no URLs):
+# scheme + optional userinfo (every 11th) + source-derived sub-host +
+# one of three registrable domains + optional port (every 13th) + path +
+# optional query (every 5th).
+_URL_DUCK = """
+      'https://'
+      || CASE WHEN doc_id % 11 = 0 THEN 'u' || CAST(doc_id % 97 AS VARCHAR) || '@' ELSE '' END
+      || source || '-' || CAST(doc_id % 37 AS VARCHAR)
+      || '.example.'
+      || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+      || CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END
+      || '/' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 5 = 0 THEN '?q=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+"""
+
+
+@register(
+    "a0_url_domain_stats",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_DUCK} AS url FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, url,
+             {url_host_duck('url')} AS host,
+             regexp_matches(url, '://[^/?#]*:[0-9]+') AS has_port,
+             regexp_matches(url, '[?]') AS has_query,
+             regexp_matches(url, '://[^/?#]*@') AS has_userinfo
+      FROM u
+    )
+    SELECT {registrable_domain_duck('host')} AS domain,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT host) AS n_hosts,
+           CAST(SUM(CASE WHEN has_port THEN 1 ELSE 0 END) AS BIGINT) AS n_with_port,
+           CAST(SUM(CASE WHEN has_query THEN 1 ELSE 0 END) AS BIGINT) AS n_with_query,
+           CAST(SUM(CASE WHEN has_userinfo THEN 1 ELSE 0 END) AS BIGINT) AS n_with_userinfo
+    FROM parsed GROUP BY domain ORDER BY domain
+    """,
+)
+def a0_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup over synthesized URLs — the web-corpus
+    curation primitive behind domain mixing/quota decisions. Host comes
+    from the JVM built-in ``parse_url`` (functions.text.url_host — codegen,
+    no Python); port/query/userinfo presence from the same one scan. The
+    DuckDB twin re-derives hosts with an RE2 component grammar, so the
+    compare also pins parse_url's host semantics (userinfo and port
+    stripped) cross-engine. Map-side until the per-domain aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("u"), (F.col("doc_id") % 97).cast("string"), F.lit("@")),
+        ).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net"),
+        F.when(F.col("doc_id") % 13 == 0, ":8443").otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("?q="), (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    parsed = d.select(
+        url.alias("url"),
+        url_host(url).alias("host"),
+        F.coalesce(
+            F.parse_url(url, F.lit("AUTHORITY")).rlike(":[0-9]+$"), F.lit(False)
+        ).alias("has_port"),
+        F.parse_url(url, F.lit("QUERY")).isNotNull().alias("has_query"),
+        F.parse_url(url, F.lit("USERINFO")).isNotNull().alias("has_userinfo"),
+    )
+    return (
+        parsed.groupBy(registrable_domain(F.col("host")).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum(F.when(F.col("has_port"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_port"),
+            F.sum(F.when(F.col("has_query"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_query"),
+            F.sum(F.when(F.col("has_userinfo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_userinfo"),
+        )
+        .orderBy("domain")
+    )
