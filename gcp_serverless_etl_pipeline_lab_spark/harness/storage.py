@@ -447,3 +447,87 @@ def a0b_csv_rfc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_clean bigint, n_corrupt bigint, sum_chars bigint, tricky_hashsum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse time travel — pinned-version reads through the versioned sink
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0_warehouse_time_travel",
+    """
+    WITH v0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v0_rows,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v0_sum_cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v1_rows,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) + 12345)
+               AS BIGINT) AS v1_sum_cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT v0_rows, v0_sum_cents, v1_rows, v1_sum_cents, TRUE AS latest_is_v1
+    FROM v0, v1
+    """,
+)
+def a0_warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the versioned warehouse sink: write
+    orders as snapshot v=0, write a mutated half-size snapshot v=1
+    (every even key, price +12345 cents), then read BOTH — the pinned
+    ``version=0`` read must still see the full original table after v1
+    lands (immutable snapshots), and the unpinned read must see v1
+    (pointer semantics). Matching the oracle — which computes both
+    aggregates straight from the source table — proves pinned reads are
+    genuine time travel, not a re-read of the current state.
+    ``latest_is_v1`` is computed from the actual unpinned read. Temp
+    warehouse deleted eagerly; 1-row result returned as a literal (same
+    discipline as etl_roundtrip_sinks)."""
+    import shutil
+    import tempfile
+
+    from ..sinks import read_warehouse_versioned, write_warehouse_versioned
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("price_cents")
+    )
+    base = tempfile.mkdtemp(prefix="wh_tt_")
+    try:
+        write_warehouse_versioned(orders, base)
+        mutated = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", (F.col("price_cents") + 12345).alias("price_cents")
+        )
+        write_warehouse_versioned(mutated, base)
+        pinned = read_warehouse_versioned(spark, base, version=0).agg(
+            F.count(F.lit(1)).cast("bigint").alias("v0_rows"),
+            F.sum("price_cents").cast("bigint").alias("v0_sum_cents"),
+        )
+        latest = read_warehouse_versioned(spark, base).agg(
+            F.count(F.lit(1)).cast("bigint").alias("v1_rows"),
+            F.sum("price_cents").cast("bigint").alias("v1_sum_cents"),
+        )
+        expect_v1 = mutated.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("price_cents").alias("s")
+        )
+        joined = pinned.crossJoin(latest).crossJoin(expect_v1)
+        row = joined.select(
+            "v0_rows",
+            "v0_sum_cents",
+            "v1_rows",
+            "v1_sum_cents",
+            (
+                (F.col("v1_rows") == F.col("c"))
+                & (F.col("v1_sum_cents") == F.col("s"))
+            ).alias("latest_is_v1"),
+        ).collect()
+        out = spark.createDataFrame(
+            row,
+            "v0_rows bigint, v0_sum_cents bigint, v1_rows bigint, "
+            "v1_sum_cents bigint, latest_is_v1 boolean",
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
