@@ -690,3 +690,91 @@ def a0_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection — target-vs-raw bigram-LM log-ratio
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0_dsir_importance_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    occ AS (SELECT doc_id, lang, t, UNNEST(range(0, len(t) - 1)) AS i FROM toks),
+    pairs AS (
+      SELECT doc_id, lang, t[CAST(i AS BIGINT) + 1] AS w1,
+             t[CAST(i AS BIGINT) + 2] AS w2
+      FROM occ
+    ),
+    bg AS (
+      SELECT doc_id, lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM pairs GROUP BY doc_id, lang, w1, w2
+    ),
+    c12t AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c FROM bg
+             WHERE lang = 'en' GROUP BY w1, w2),
+    c1t AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c FROM bg
+            WHERE lang = 'en' GROUP BY w1),
+    vt AS (SELECT COUNT(DISTINCT w) AS v FROM (
+      SELECT w1 AS w FROM bg WHERE lang = 'en'
+      UNION ALL SELECT w2 FROM bg WHERE lang = 'en')),
+    c12r AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+    c1r AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c FROM bg GROUP BY w1),
+    vr AS (SELECT COUNT(DISTINCT w) AS v FROM (
+      SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+    scored AS (
+      SELECT bg.doc_id, bg.lang, bg.k,
+             CAST(FLOOR(ln(COALESCE(c12t.c, 0) + 1) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(COALESCE(c1t.c, 0) + vt.v) * 1000000) AS BIGINT)
+               - CAST(FLOOR(ln(c12r.c + 1) * 1000000) AS BIGINT)
+               + CAST(FLOOR(ln(c1r.c + vr.v) * 1000000) AS BIGINT) AS diff
+      FROM bg
+      LEFT JOIN c12t ON c12t.w1 = bg.w1 AND c12t.w2 = bg.w2
+      LEFT JOIN c1t ON c1t.w1 = bg.w1
+      JOIN c12r ON c12r.w1 = bg.w1 AND c12r.w2 = bg.w2
+      JOIN c1r ON c1r.w1 = bg.w1
+      CROSS JOIN vt CROSS JOIN vr
+    ),
+    perdoc AS (
+      SELECT doc_id, MIN(lang) AS lang,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             CAST(SUM(k * diff) AS BIGINT) AS importance_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, lang, n_bigrams, importance_micro, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY importance_micro DESC, doc_id) AS rn
+      FROM perdoc
+    ) WHERE rn <= 200
+    ORDER BY rank
+    """,
+)
+def a0_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/lmscore.dsir_importance_micro):
+    target model = the corpus's 'en' documents, raw model = the whole
+    corpus; importance = target-vs-raw bigram-LM log-ratio in exact
+    micro-nats, top-200 selected with a total tiebreak. English documents
+    should dominate the selection — the importance-resampling effect the
+    method exists for, visible in the ``lang`` column. Selection is a
+    TakeOrdered limit (no global sort materialization); the bounded
+    200-row result then gets its rank from a single-partition window."""
+    from pyspark.sql import Window
+
+    from ..operators.lmscore import dsir_importance_micro
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    imp = dsir_importance_micro(
+        docs, docs.filter(F.col("lang") == "en"), hot_threshold=1000
+    )
+    sel = (
+        imp.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.desc("importance_micro"), "doc_id")
+        .limit(200)
+    )
+    w = Window.orderBy(F.desc("importance_micro"), "doc_id")
+    return sel.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "lang", "n_bigrams", "importance_micro", "rank"
+    )

@@ -124,3 +124,100 @@ def doc_logprob_micro(
     return per_doc.withColumn(
         "neg_avg_micro", F.expr("(-score_micro) div n_bigrams").cast("bigint")
     )
+
+
+def _hybrid_left_join(
+    fact: DataFrame,
+    counts: DataFrame,
+    keys: list[str],
+    cnt_col: str,
+    hot_threshold: int,
+) -> DataFrame:
+    """LEFT-join variant of ``_hybrid_join`` for scoring against a model
+    trained on a DIFFERENT corpus (fact rows may have no counts row).
+    Hot counts are broadcast first; only rows that MISSED the hot probe
+    go through the shuffle join against the cold tail — so the fact rows
+    carrying Zipf-head keys never reach a shuffle reducer, and rows
+    missing from both legs keep a NULL ``cnt_col`` exactly once."""
+    hot = counts.filter(F.col(cnt_col) >= hot_threshold)
+    cold = counts.filter(F.col(cnt_col) < hot_threshold)
+    pre = fact.join(F.broadcast(hot), keys, "left")
+    hit = pre.filter(F.col(cnt_col).isNotNull())
+    miss = pre.filter(F.col(cnt_col).isNull()).drop(cnt_col).join(
+        cold, keys, "left"
+    )
+    return hit.unionByName(miss)
+
+
+def doc_logprob_micro_model(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """``doc_logprob_micro`` with the model/corpus split: bigram stats
+    (c12, head counts, vocabulary) come from ``train_docs``; every
+    document of ``score_docs`` is scored under that model. Bigrams or
+    heads unseen in training contribute ``ilog(1)=0`` / ``ilog(V)`` via
+    the left joins + add-one smoothing — logs stay finite, arithmetic
+    stays exact BIGINT."""
+    bg_t = _doc_bigrams(train_docs, text_col, id_col)
+    c12 = bg_t.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
+    c1 = bg_t.groupBy("w1").agg(F.sum("k").cast("bigint").alias("c1"))
+    vocab = (
+        bg_t.select(F.col("w1").alias("w"))
+        .unionByName(bg_t.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    bg_s = _doc_bigrams(score_docs, text_col, id_col)
+    scored = _hybrid_left_join(bg_s, c12, ["w1", "w2"], "c12", hot_threshold)
+    scored = _hybrid_left_join(scored, c1, ["w1"], "c1", hot_threshold)
+    scored = scored.crossJoin(F.broadcast(vocab))
+    per_doc = (
+        scored.withColumn(
+            "lp",
+            F.col("k")
+            * (
+                ilog_micro(F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                - ilog_micro(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum("lp").cast("bigint").alias("score_micro"),
+        )
+    )
+    return per_doc.withColumn(
+        "neg_avg_micro", F.expr("(-score_micro) div n_bigrams").cast("bigint")
+    )
+
+
+def dsir_importance_micro(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): per
+    document, ``importance = log p_target(doc) - log p_raw(doc)`` with
+    both sides the integer-exact add-one bigram LM. The target model is
+    trained on ``target_docs`` (the in-domain sample), the raw model on
+    the full ``docs`` corpus. High importance = looks like the target
+    distribution relative to the corpus at large — the selection signal
+    importance resampling draws against. Exact micro-nat integers, so
+    the ranking is engine-reproducible."""
+    t = doc_logprob_micro_model(
+        target_docs, docs, text_col, id_col, hot_threshold
+    ).select("doc_id", "n_bigrams", F.col("score_micro").alias("_st"))
+    r = doc_logprob_micro(docs, text_col, id_col, hot_threshold).select(
+        "doc_id", F.col("score_micro").alias("_sr")
+    )
+    return t.join(r, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("_st") - F.col("_sr")).cast("bigint").alias("importance_micro"),
+    )
