@@ -78,3 +78,69 @@ def test_ilog_micro_matches_python(spark):
     )
     for r in vals.collect():
         assert r["il"] == _ilog(r["id"])
+
+
+def test_model_scoring_unseen_bigrams(spark):
+    """doc_logprob_micro_model: stats from train, left-join smoothing on
+    score-side bigrams the model never saw."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lmscore import (
+        doc_logprob_micro_model,
+    )
+
+    # train: "a b a b" -> c12: (a,b)=2, (b,a)=1 ; c1: a=2, b=1 ; V={a,b}=2
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id bigint, text string")
+    # score doc "a b x": (a,b) seen, (b,x) unseen bigram with SEEN head b,
+    # score doc "x y":   (x,y) unseen bigram with UNSEEN head x
+    score = spark.createDataFrame(
+        [(10, "a b x"), (11, "x y")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r for r in doc_logprob_micro_model(train, score).collect()
+    }
+    s10 = (_ilog(2 + 1) - _ilog(2 + 2)) + (_ilog(0 + 1) - _ilog(1 + 2))
+    s11 = _ilog(0 + 1) - _ilog(0 + 2)
+    assert out[10]["n_bigrams"] == 2 and out[10]["score_micro"] == s10
+    assert out[11]["n_bigrams"] == 1 and out[11]["score_micro"] == s11
+
+
+def test_model_scoring_matches_same_corpus_variant(spark):
+    """Training on the scored corpus itself must reproduce
+    doc_logprob_micro exactly (the left joins all hit)."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lmscore import (
+        doc_logprob_micro_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c c a")],
+        "doc_id bigint, text string",
+    )
+    base = {r["doc_id"]: r["score_micro"] for r in doc_logprob_micro(docs).collect()}
+    model = {
+        r["doc_id"]: r["score_micro"]
+        for r in doc_logprob_micro_model(docs, docs).collect()
+    }
+    assert base == model
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lmscore import (
+        dsir_importance_micro,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog sat on the rug"),
+        (3, "en", "the cat and the dog sat"),
+        (4, "de", "der hund sitzt auf dem teppich"),
+        (5, "de", "die katze sitzt auf der matte"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    imp = {
+        r["doc_id"]: r["importance_micro"]
+        for r in dsir_importance_micro(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("lang") == "en").select("doc_id", "text"),
+        ).collect()
+    }
+    # every English doc must outrank every German doc under the en-target model
+    assert min(imp[1], imp[2], imp[3]) > max(imp[4], imp[5])
