@@ -411,6 +411,15 @@ def _ops(spark: SparkSession, path: str):
                 F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
             )
         ),
+        # DSIR importance: two bigram-LM scoring passes (target model =
+        # every 4th doc). The 30%-boilerplate skew makes the boilerplate
+        # bigrams corpus-wide heavy hitters whose counts grow linearly
+        # with N — exactly the Zipf head the hybrid hot/cold join must
+        # keep off the shuffle reducers.
+        "dsir_importance": lambda: __import__(
+            "gcp_serverless_etl_pipeline_lab_spark.operators.lmscore",
+            fromlist=["dsir_importance_micro"],
+        ).dsir_importance_micro(docs, docs.filter(F.col("doc_id") % 4 == 0)),
     }
 
 
