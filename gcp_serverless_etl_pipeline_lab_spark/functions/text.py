@@ -74,10 +74,16 @@ def word_ngrams_duck(tokens_expr: str, n: int) -> str:
 # whitespace runs. Deliberately restricted to constructs Java regex (Spark,
 # JVM-side regexp_extract_all) and RE2 (DuckDB oracle) compile IDENTICALLY:
 # no \p{L} classes, no lookarounds (RE2 has neither), leftmost-first
-# alternation in both. The real GPT-2 pattern adds \p{L}/\p{N} and a
+# alternation in both, and an EXPLICIT whitespace class — Java's \s
+# includes vertical tab \x0B, RE2's does not, so \s itself is not
+# engine-identical. The real GPT-2 pattern adds \p{L}/\p{N} and a
 # trailing-space lookahead; the *operator shape* — count BPE pre-tokens as
 # one vectorized regexp pass, zero Python — is identical.
-BPE_PRETOKEN_RE = "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+BPE_WS = " \\t\\n\\f\\r"  # engine-identical whitespace class body
+BPE_PRETOKEN_RE = (
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+"
+    f"| ?[^a-zA-Z0-9{BPE_WS}]+|[{BPE_WS}]+"
+)
 
 
 def bpe_pretokens(text: Column | str) -> Column:
@@ -100,9 +106,14 @@ def url_host(url: Column | str) -> Column:
 
 
 def url_host_duck(url_expr: str) -> str:
-    """DuckDB twin of ``url_host`` (RE2; same component grammar —
-    authority after ``scheme://`` with optional userinfo, host stops at
-    ``: / ? #``). Hive's parse_url exposes no PORT part, so port
+    """DuckDB twin of ``url_host`` (RE2 component grammar — authority
+    after ``scheme://`` with optional userinfo, host stops at
+    ``: / ? #``). Divergence caveat: Spark's parse_url validates via
+    java.net.URI and returns NULL for RFC-invalid hosts (e.g. an
+    underscore label) that this permissive extraction still returns —
+    the twins agree only on RFC-valid host characters ``[a-zA-Z0-9.-]``,
+    so sanitize inputs to that set before comparing cross-engine (the
+    harness query does). Hive's parse_url exposes no PORT part, so port
     detection goes through the authority (see harness.corpus)."""
     return (
         f"regexp_extract({url_expr},"

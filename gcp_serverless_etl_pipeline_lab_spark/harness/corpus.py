@@ -598,11 +598,14 @@ from ..functions.text import (  # noqa: E402
 # Deterministic URL synthesis (the documents table carries no URLs):
 # scheme + optional userinfo (every 11th) + source-derived sub-host +
 # one of three registrable domains + optional port (every 13th) + path +
-# optional query (every 5th).
+# optional query (every 5th). The source label is sanitized to RFC-valid
+# host characters on BOTH sides — Spark's parse_url returns NULL for
+# RFC-invalid hosts (java.net.URI validation) where the oracle's RE2
+# grammar would still extract one (functions.text.url_host_duck caveat).
 _URL_DUCK = """
       'https://'
       || CASE WHEN doc_id % 11 = 0 THEN 'u' || CAST(doc_id % 97 AS VARCHAR) || '@' ELSE '' END
-      || source || '-' || CAST(doc_id % 37 AS VARCHAR)
+      || regexp_replace(source, '[^a-zA-Z0-9-]', '-', 'g') || '-' || CAST(doc_id % 37 AS VARCHAR)
       || '.example.'
       || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
       || CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END
@@ -649,7 +652,7 @@ def a0_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 11 == 0,
             F.concat(F.lit("u"), (F.col("doc_id") % 97).cast("string"), F.lit("@")),
         ).otherwise(F.lit("")),
-        F.col("source"),
+        F.regexp_replace("source", "[^a-zA-Z0-9-]", "-"),
         F.lit("-"),
         (F.col("doc_id") % 37).cast("string"),
         F.lit(".example."),

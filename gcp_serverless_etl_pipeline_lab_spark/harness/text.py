@@ -612,7 +612,9 @@ def _bpe_cat_duck(pattern: str) -> str:
     )
 
 
-_BPE_SPACE_RUN = "\\s+"
+from ..functions.text import BPE_WS  # noqa: E402
+
+_BPE_SPACE_RUN = f"[{BPE_WS}]+"
 
 
 @register(
@@ -679,7 +681,7 @@ def text_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat(" ?[a-zA-Z]+").alias("n_letter"),
         cat(" ?[0-9]+").alias("n_digit"),
         cat("'(?:[sdmt]|ll|ve|re)").alias("n_contr"),
-        cat("\\s+").alias("n_space"),
+        cat(_BPE_SPACE_RUN).alias("n_space"),
     )
     return (
         per_doc.groupBy("lang")

@@ -79,20 +79,9 @@ def _hybrid_join(
     )
 
 
-def doc_logprob_micro(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hot_threshold: int = 1000,
-) -> DataFrame:
-    """Per-document add-one-smoothed bigram log-probability in exact
-    micro-nats: ``score_micro = Σ ilog(c12+1) - ilog(c1+V)`` over the
-    doc's bigrams, plus ``n_bigrams`` and the integer average
-    ``neg_avg_micro = -score_micro / n_bigrams`` (micro-nats per token,
-    positive = surprisal; integer division, exact)."""
-    bg = _doc_bigrams(docs, text_col, id_col)
-
-    # corpus statistics (trained on the same corpus being scored)
+def _lm_stats(bg: DataFrame):
+    """Bigram-LM sufficient statistics from a (doc, w1, w2, k) frame:
+    bigram counts, head counts, and the 1-row vocabulary size."""
     c12 = bg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
     c1 = bg.groupBy("w1").agg(F.sum("k").cast("bigint").alias("c1"))
     vocab = (
@@ -100,79 +89,58 @@ def doc_logprob_micro(
         .unionByName(bg.select(F.col("w2").alias("w")))
         .agg(F.count_distinct("w").alias("v"))
     )
-
-    scored = _hybrid_join(bg, c12, ["w1", "w2"], "c12", hot_threshold)
-    scored = _hybrid_join(scored, c1, ["w1"], "c1", hot_threshold)
-    scored = scored.crossJoin(F.broadcast(vocab))
-
-    per_doc = (
-        scored.withColumn(
-            "lp",
-            F.col("k")
-            * (
-                ilog_micro(F.col("c12") + 1)
-                - ilog_micro(F.col("c1") + F.col("v"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").cast("bigint").alias("n_bigrams"),
-            F.sum("lp").cast("bigint").alias("score_micro"),
-        )
-    )
-    # integer division (both operands positive) — exact in engine and oracle
-    return per_doc.withColumn(
-        "neg_avg_micro", F.expr("(-score_micro) div n_bigrams").cast("bigint")
-    )
+    return c12, c1, vocab
 
 
-def _hybrid_left_join(
-    fact: DataFrame,
-    counts: DataFrame,
-    keys: list[str],
-    cnt_col: str,
+def _score_bigrams(
+    bg_s: DataFrame,
+    c12: DataFrame,
+    c1: DataFrame,
+    vocab: DataFrame,
     hot_threshold: int,
+    trained: bool,
+    fact_c12: DataFrame | None = None,
+    fact_c1: DataFrame | None = None,
 ) -> DataFrame:
-    """LEFT-join variant of ``_hybrid_join`` for scoring against a model
-    trained on a DIFFERENT corpus (fact rows may have no counts row).
-    Hot counts are broadcast first; only rows that MISSED the hot probe
-    go through the shuffle join against the cold tail — so the fact rows
-    carrying Zipf-head keys never reach a shuffle reducer, and rows
-    missing from both legs keep a NULL ``cnt_col`` exactly once."""
-    hot = counts.filter(F.col(cnt_col) >= hot_threshold)
-    cold = counts.filter(F.col(cnt_col) < hot_threshold)
-    pre = fact.join(F.broadcast(hot), keys, "left")
-    hit = pre.filter(F.col(cnt_col).isNotNull())
-    miss = pre.filter(F.col(cnt_col).isNull()).drop(cnt_col).join(
-        cold, keys, "left"
-    )
-    return hit.unionByName(miss)
+    """Score a (doc, w1, w2, k) frame against LM stats; the shared core of
+    the same-corpus and trained-model variants (their equivalence on a
+    shared corpus is pinned in tests/test_lmscore.py).
 
+    ``trained=False``: stats were built from ``bg_s`` itself, so every
+    fact row has counts — the inner ``_hybrid_join`` applies, and its
+    model-count hot split IS a fact-frequency split (same frame).
 
-def doc_logprob_micro_model(
-    train_docs: DataFrame,
-    score_docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hot_threshold: int = 1000,
-) -> DataFrame:
-    """``doc_logprob_micro`` with the model/corpus split: bigram stats
-    (c12, head counts, vocabulary) come from ``train_docs``; every
-    document of ``score_docs`` is scored under that model. Bigrams or
-    heads unseen in training contribute ``ilog(1)=0`` / ``ilog(V)`` via
-    the left joins + add-one smoothing — logs stay finite, arithmetic
-    stays exact BIGINT."""
-    bg_t = _doc_bigrams(train_docs, text_col, id_col)
-    c12 = bg_t.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
-    c1 = bg_t.groupBy("w1").agg(F.sum("k").cast("bigint").alias("c1"))
-    vocab = (
-        bg_t.select(F.col("w1").alias("w"))
-        .unionByName(bg_t.select(F.col("w2").alias("w")))
-        .agg(F.count_distinct("w").alias("v"))
-    )
-    bg_s = _doc_bigrams(score_docs, text_col, id_col)
-    scored = _hybrid_left_join(bg_s, c12, ["w1", "w2"], "c12", hot_threshold)
-    scored = _hybrid_left_join(scored, c1, ["w1"], "c1", hot_threshold)
+    ``trained=True``: fact rows may be absent from the stats, and —
+    critically — the skew that melts a reducer lives on the FACT side,
+    not the model side: a corpus-wide heavy-hitter bigram missing from
+    the target model would sail past a model-count hot split straight
+    into one shuffle reducer. The hot split is therefore keyed on FACT
+    frequencies (``_hybrid_left_join``), and missing counts coalesce to
+    0 for add-one smoothing. When the caller already aggregated the fact
+    side (``fact_c12``/``fact_c1`` — e.g. DSIR's raw-model stats, built
+    from the very frame being scored), those counts serve as the
+    frequency source and no extra aggregation runs; occurrence sums
+    upper-bound row counts, so the hot set can only widen, never miss."""
+    if trained:
+        hk12 = (
+            fact_c12.filter(F.col("c12") >= hot_threshold).select("w1", "w2")
+            if fact_c12 is not None
+            else None
+        )
+        hk1 = (
+            fact_c1.filter(F.col("c1") >= hot_threshold).select("w1")
+            if fact_c1 is not None
+            else None
+        )
+        scored = _hybrid_left_join(
+            bg_s, c12, ["w1", "w2"], "c12", hot_threshold, hot_keys=hk12
+        )
+        scored = _hybrid_left_join(
+            scored, c1, ["w1"], "c1", hot_threshold, hot_keys=hk1
+        )
+    else:
+        scored = _hybrid_join(bg_s, c12, ["w1", "w2"], "c12", hot_threshold)
+        scored = _hybrid_join(scored, c1, ["w1"], "c1", hot_threshold)
     scored = scored.crossJoin(F.broadcast(vocab))
     per_doc = (
         scored.withColumn(
@@ -189,9 +157,81 @@ def doc_logprob_micro_model(
             F.sum("lp").cast("bigint").alias("score_micro"),
         )
     )
+    # integer division (both operands positive) — exact in engine and oracle
     return per_doc.withColumn(
         "neg_avg_micro", F.expr("(-score_micro) div n_bigrams").cast("bigint")
     )
+
+
+def doc_logprob_micro(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram log-probability in exact
+    micro-nats: ``score_micro = Σ ilog(c12+1) - ilog(c1+V)`` over the
+    doc's bigrams, plus ``n_bigrams`` and the integer average
+    ``neg_avg_micro = -score_micro / n_bigrams`` (micro-nats per token,
+    positive = surprisal; integer division, exact). Model trained on the
+    same corpus being scored."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    c12, c1, vocab = _lm_stats(bg)
+    return _score_bigrams(bg, c12, c1, vocab, hot_threshold, trained=False)
+
+
+def _hybrid_left_join(
+    fact: DataFrame,
+    counts: DataFrame,
+    keys: list[str],
+    cnt_col: str,
+    hot_threshold: int,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """LEFT-join variant of ``_hybrid_join`` for scoring against a model
+    trained on a DIFFERENT corpus (fact rows may have no counts row).
+
+    The hot split is keyed on FACT-side key frequency — the quantity that
+    actually decides reducer load. (Keying on model counts is wrong here:
+    a corpus-wide heavy hitter ABSENT from the model has no model count
+    at all, and would land its entire fact row set on one shuffle
+    reducer.) Hot fact keys are few by definition (≤ rows/threshold), so
+    both the key list and the counts restricted to it broadcast; cold
+    fact rows — now guaranteed skew-free — shuffle-join the full counts.
+    Every fact row survives exactly once with NULL counts where the model
+    is silent. ``hot_keys`` lets a caller that already holds fact-side
+    aggregates supply the hot key set and skip the extra aggregation."""
+    if hot_keys is None:
+        hot_keys = (
+            fact.groupBy(keys)
+            .agg(F.count(F.lit(1)).alias("_kf"))
+            .filter(F.col("_kf") >= hot_threshold)
+            .select(keys)
+        )
+    hot_counts = counts.join(F.broadcast(hot_keys), keys, "left_semi")
+    fact_hot = fact.join(F.broadcast(hot_keys), keys, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot_keys), keys, "left_anti")
+    hit = fact_hot.join(F.broadcast(hot_counts), keys, "left")
+    miss = fact_cold.join(counts, keys, "left")
+    return hit.unionByName(miss)
+
+
+def doc_logprob_micro_model(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """``doc_logprob_micro`` with the model/corpus split: bigram stats
+    (c12, head counts, vocabulary) come from ``train_docs``; every
+    document of ``score_docs`` is scored under that model. Bigrams or
+    heads unseen in training contribute ``ilog(1)=0`` / ``ilog(V)`` via
+    the left joins + add-one smoothing — logs stay finite, arithmetic
+    stays exact BIGINT."""
+    c12, c1, vocab = _lm_stats(_doc_bigrams(train_docs, text_col, id_col))
+    bg_s = _doc_bigrams(score_docs, text_col, id_col)
+    return _score_bigrams(bg_s, c12, c1, vocab, hot_threshold, trained=True)
 
 
 def dsir_importance_micro(
@@ -209,11 +249,27 @@ def dsir_importance_micro(
     the full ``docs`` corpus. High importance = looks like the target
     distribution relative to the corpus at large — the selection signal
     importance resampling draws against. Exact micro-nat integers, so
-    the ranking is engine-reproducible."""
-    t = doc_logprob_micro_model(
-        target_docs, docs, text_col, id_col, hot_threshold
+    the ranking is engine-reproducible.
+
+    Plan shape: the corpus bigram frame is built ONCE and feeds the raw
+    model's stats, the raw scoring pass, and the target scoring pass —
+    the identical aggregation subtrees let Spark's ReuseExchange collapse
+    the repeated shuffles inside the single final plan instead of
+    re-tokenizing the corpus per pass."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    tc12, tc1, tvocab = _lm_stats(_doc_bigrams(target_docs, text_col, id_col))
+    rc12, rc1, rvocab = _lm_stats(bg)
+    t = _score_bigrams(
+        bg,
+        tc12,
+        tc1,
+        tvocab,
+        hot_threshold,
+        trained=True,
+        fact_c12=rc12,
+        fact_c1=rc1,
     ).select("doc_id", "n_bigrams", F.col("score_micro").alias("_st"))
-    r = doc_logprob_micro(docs, text_col, id_col, hot_threshold).select(
+    r = _score_bigrams(bg, rc12, rc1, rvocab, hot_threshold, trained=False).select(
         "doc_id", F.col("score_micro").alias("_sr")
     )
     return t.join(r, "doc_id").select(
