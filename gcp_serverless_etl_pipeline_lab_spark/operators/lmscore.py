@@ -81,13 +81,18 @@ def _hybrid_join(
 
 def _lm_stats(bg: DataFrame):
     """Bigram-LM sufficient statistics from a (doc, w1, w2, k) frame:
-    bigram counts, head counts, and the 1-row vocabulary size."""
+    bigram counts, head counts, and the 1-row vocabulary size. The
+    vocabulary is clamped to >= 1 so a model trained on a corpus with NO
+    bigrams stays finite: every add-one-smoothed bigram then scores
+    ``ilog(0+1) - ilog(0+1) = 0`` — the uninformative model assigns 0,
+    not NULL (found by tests/test_properties_lmscore.py: an unclamped
+    empty model put ln(0) = NULL into every score)."""
     c12 = bg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
     c1 = bg.groupBy("w1").agg(F.sum("k").cast("bigint").alias("c1"))
     vocab = (
         bg.select(F.col("w1").alias("w"))
         .unionByName(bg.select(F.col("w2").alias("w")))
-        .agg(F.count_distinct("w").alias("v"))
+        .agg(F.greatest(F.count_distinct("w"), F.lit(1)).alias("v"))
     )
     return c12, c1, vocab
 
