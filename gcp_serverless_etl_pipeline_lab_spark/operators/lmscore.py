@@ -196,16 +196,28 @@ def _hybrid_left_join(
     """LEFT-join variant of ``_hybrid_join`` for scoring against a model
     trained on a DIFFERENT corpus (fact rows may have no counts row).
 
-    The hot split is keyed on FACT-side key frequency — the quantity that
+    The hot set is keyed on FACT-side frequency — the quantity that
     actually decides reducer load. (Keying on model counts is wrong here:
     a corpus-wide heavy hitter ABSENT from the model has no model count
     at all, and would land its entire fact row set on one shuffle
-    reducer.) Hot fact keys are few by definition (≤ rows/threshold), so
-    both the key list and the counts restricted to it broadcast; cold
-    fact rows — now guaranteed skew-free — shuffle-join the full counts.
-    Every fact row survives exactly once with NULL counts where the model
-    is silent. ``hot_keys`` lets a caller that already holds fact-side
-    aggregates supply the hot key set and skip the extra aggregation."""
+    reducer.) ``hot_keys`` lets a caller that already holds fact-side
+    aggregates supply that set and skip the extra aggregation.
+
+    Plan shape — deliberately SPLIT-FREE (a filter-into-two-legs union
+    re-evaluates the whole upstream subtree per leg; with two chained
+    joins that compounded to a measured 5x wall blowup):
+
+    1. mark hot-key rows via a broadcast of the hot key set;
+    2. attach hot rows' counts from a broadcast of ``counts`` restricted
+       to hot keys (tiny: one row per hot key at most);
+    3. REWRITE the marked rows' join key to a per-row sentinel before the
+       single shuffle join against the full ``counts`` — mangled keys
+       match nothing and hash uniformly, so the hot keys' row mass
+       spreads across reducers instead of stacking on one;
+    4. coalesce the broadcast-attached and shuffle-attached counts.
+
+    Every fact row survives exactly once, with NULL ``cnt_col`` where the
+    model is silent."""
     if hot_keys is None:
         hot_keys = (
             fact.groupBy(keys)
@@ -214,11 +226,34 @@ def _hybrid_left_join(
             .select(keys)
         )
     hot_counts = counts.join(F.broadcast(hot_keys), keys, "left_semi")
-    fact_hot = fact.join(F.broadcast(hot_keys), keys, "left_semi")
-    fact_cold = fact.join(F.broadcast(hot_keys), keys, "left_anti")
-    hit = fact_hot.join(F.broadcast(hot_counts), keys, "left")
-    miss = fact_cold.join(counts, keys, "left")
-    return hit.unionByName(miss)
+    marked = fact.join(
+        F.broadcast(hot_keys.withColumn("_hot", F.lit(True))), keys, "left"
+    )
+    with_hot = marked.join(
+        F.broadcast(hot_counts.withColumnRenamed(cnt_col, "_cnt_b")),
+        keys,
+        "left",
+    )
+    # sentinel join key for hot rows: "\0<doc_id>" cannot collide with a
+    # real token (corpus tokens never contain NUL) and is unique-ish per
+    # doc, so the shuffle spreads instead of stacking
+    k0 = keys[0]
+    spread = with_hot.withColumn(
+        "_jk",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.concat(F.lit("\u0000"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col(k0)),
+    )
+    counts_r = counts.withColumnRenamed(k0, "_jk").withColumnRenamed(
+        cnt_col, "_cnt_s"
+    )
+    join_keys = ["_jk"] + keys[1:]
+    out = spread.join(counts_r, join_keys, "left")
+    return (
+        out.withColumn(cnt_col, F.coalesce(F.col("_cnt_b"), F.col("_cnt_s")))
+        .drop("_hot", "_cnt_b", "_cnt_s", "_jk")
+    )
 
 
 def doc_logprob_micro_model(
