@@ -36,3 +36,17 @@ def test_q18_single_lineitem_scan_broadcast_survivors(spark):
     assert head.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in head
     assert "Python" not in tree
+
+
+def test_dsir_no_python_no_cartesian(spark):
+    tree = _plan(spark, "a0_dsir_importance_select")
+    head = tree.split("\n\n")[0]
+    # every stage is JVM-side; the only nested-loop joins are the 1-row
+    # vocabulary broadcasts (bounded), never a data-sized cross product
+    assert "Python" not in tree
+    assert "CartesianProduct" not in head
+    # hot-key routing rides broadcasts; the trained pass must not have
+    # turned the count joins into plain shuffle joins of the full counts
+    assert head.count("BroadcastHashJoin") + head.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 4
