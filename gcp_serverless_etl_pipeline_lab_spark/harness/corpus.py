@@ -781,3 +781,74 @@ def a0_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "doc_id", "lang", "n_bigrams", "importance_micro", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted (soft) sampling — operators/sampling.score_weighted_sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0_quality_weighted_sample",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_PREP_SCORE_DUCK} AS score FROM documents
+    ),
+    flagged AS (
+      SELECT *,
+             {h60_duck("CAST(doc_id AS VARCHAR)")} % 10000
+               < CAST(ROUND(LEAST(1.0, GREATEST(0.0, score)) * 10000) AS BIGINT)
+               AS kept
+      FROM scored
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(AVG(score), 4) AS avg_score_all,
+           ROUND(AVG(CASE WHEN kept THEN score END), 4) AS avg_score_kept
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+)
+def a0_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (operators/sampling.score_weighted_sample):
+    each document survives with probability equal to its quality score —
+    the continuous counterpart to the prep pipeline's hard score gate,
+    keeping quality MASS proportional instead of cliff-edged. Per-language
+    report contrasts the kept sample's average score against the full
+    corpus (the kept average must shift up). Deterministic: the per-row
+    keep decision is the engine's identity-hash contract, replayed
+    bit-for-bit by the oracle. Both aggregates are one pass each over the
+    map-side-scored corpus; no shuffle before the per-language rollup."""
+    from ..operators.sampling import score_weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("split(text, ' ', -1)")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    awl = (F.length("text") - (nt - 1)).cast("double") / nt
+    score = (
+        0.4 * F.least(F.lit(1.0), nt / 50.0)
+        + 0.4 * (nd.cast("double") / nt)
+        + 0.2 * F.least(F.lit(1.0), awl / 8.0)
+    )
+    scored = d.select("doc_id", "lang", score.alias("score"))
+    kept = score_weighted_sample(scored, "score")
+    all_agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_score_all"),
+    )
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(F.avg("score"), 4).alias("avg_score_kept"),
+    )
+    return (
+        all_agg.join(kept_agg, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "avg_score_all",
+            "avg_score_kept",
+        )
+        .orderBy("lang")
+    )

@@ -49,3 +49,29 @@ def stratified_sample(
         .filter(F.expr(h60_sql(key_sql)) % DENOM < F.col("_thresh"))
         .drop("_thresh")
     )
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    base_rate: float = 1.0,
+    key_sql: str | None = None,
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability
+    ``base_rate * clamp(score, 0, 1)`` — the continuous counterpart to a
+    hard ``score >= t`` gate (a hard gate discards a 0.59 document as
+    readily as a 0.05 one; soft sampling keeps quality mass proportional
+    to the score, the standard recipe for quality-weighted corpus
+    construction). Membership follows the engine's deterministic
+    contract: ``h60(key) % DENOM < round(rate * DENOM)`` — a pure
+    function of row identity and score, reproducible across engines,
+    reshards, and retries. The per-row threshold is computed in the same
+    integer domain as ``stratified_sample`` (resolution 1/DENOM) so the
+    DuckDB oracle replays it bit-for-bit. Pure map-side: no shuffle, no
+    sort, evaluated during the scan."""
+    key = key_sql if key_sql is not None else "CAST(doc_id AS STRING)"
+    rate = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(score_col))) * float(
+        base_rate
+    )
+    thresh = F.round(rate * DENOM).cast("bigint")
+    return df.filter(F.expr(h60_sql(key)) % DENOM < thresh)
