@@ -36,6 +36,15 @@ def run_available_now(
     new files via the checkpoint — the exactly-once version of the
     reference's daily sensor loop.
 
+    END-TO-END exactly-once, not just source-side: each micro-batch writes
+    to its own ``epoch=<id>`` directory with overwrite semantics. A plain
+    ``mode("append")`` sink is only at-least-once — a crash between the
+    append and the checkpoint commit replays the batch on restart and
+    duplicates its rows — while epoch_id is stable across replays
+    (foreachBatch contract), so re-running the same batch overwrites the
+    same directory instead of appending a second copy. Readers see the
+    epoch as an ordinary partition column via directory discovery.
+
     Streaming caveat: a per-micro-batch monotonic id stands in for global
     file order, so first-wins dedup is deterministic within a micro-batch
     (matching the reference's bundle-local semantics,
@@ -45,8 +54,12 @@ def run_available_now(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         raw = batch_df.withColumn(LINE_ID_COL, F.monotonically_increasing_id())
         annotated = annotate(raw).persist()
-        finalize_clean(annotated).write.mode("append").parquet(warehouse_path)
-        finalize_errors(annotated).write.mode("append").json(dead_letter_path)
+        finalize_clean(annotated).write.mode("overwrite").parquet(
+            f"{warehouse_path}/epoch={epoch_id}"
+        )
+        finalize_errors(annotated).write.mode("overwrite").json(
+            f"{dead_letter_path}/epoch={epoch_id}"
+        )
         annotated.unpersist()
 
     stream = spark.readStream.format("text").schema(RAW_LINE_SCHEMA).load(input_dir)

@@ -455,3 +455,25 @@ def test_stream_stream_left_outer_emits_null_on_watermark(spark, tmp_path):
     }
     assert (1, 1, 2) in rows            # matched pair
     assert (2, 3, None) in rows         # unmatched view emitted with NULL
+
+
+def test_available_now_sink_idempotent_on_replay(spark, tmp_path):
+    """Crash-replay model: a checkpoint that never committed (here: a
+    fresh checkpoint dir) replays the batch with the SAME epoch id — the
+    per-epoch overwrite sink must converge to the same rows instead of
+    appending a duplicate copy (a plain append sink would double every
+    row under this replay)."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    wh = str(tmp_path / "warehouse")
+    dl = str(tmp_path / "dead")
+
+    (inp / "f1.csv").write_text(FILE1)
+    run_available_now(spark, str(inp), wh, dl, str(tmp_path / "ck1"))
+    rows1 = sorted(r["id"] for r in spark.read.parquet(wh).collect())
+    n_err1 = spark.read.json(dl).count()
+
+    # replay from scratch: fresh checkpoint, same sinks
+    run_available_now(spark, str(inp), wh, dl, str(tmp_path / "ck2"))
+    assert sorted(r["id"] for r in spark.read.parquet(wh).collect()) == rows1
+    assert spark.read.json(dl).count() == n_err1
