@@ -60,18 +60,23 @@ def run_sales_etl(
     warehouse_path: str | None = None,
     dead_letter_path: str | None = None,
     stable_multifile: bool = False,
+    run_id: str | None = None,
 ) -> PipelineResult:
     """The full reference pipeline: scan → validate/clean/derive →
     (warehouse, dead-letter) → quality gate → summary report.
     ``stable_multifile`` pins first-wins dedup to (file name, line) order
-    when ``input_path`` is a multi-file glob (see sources.text_csv)."""
+    when ``input_path`` is a multi-file glob (see sources.text_csv).
+    ``run_id`` scopes the dead-letter write to a retry-idempotent
+    ``run=<id>`` directory (sinks.write_dead_letter) — the warehouse side
+    needs no equivalent because version-and-flip is already idempotent
+    under re-attempts (a retry writes a fresh snapshot and flips)."""
     raw = read_raw_lines(spark, input_path, stable_multifile=stable_multifile)
     annotated = annotate(raw)
     clean, errors = split_clean_errors(annotated)
     if warehouse_path:
         write_warehouse(clean, warehouse_path)
     if dead_letter_path:
-        write_dead_letter(errors, dead_letter_path)
+        write_dead_letter(errors, dead_letter_path, run_id=run_id)
     quality_gate(clean)
     return PipelineResult(
         clean=clean, errors=errors, summary=summary_report(clean), annotated=annotated
@@ -121,13 +126,20 @@ def run_sales_etl_with_policy(
     on_failure: Callable[[Exception], None] | None = None,
 ) -> PipelineResult:
     """The reference DAG's operational envelope around ``run_sales_etl``:
-    retry transient failures (Q3), alert once on terminal failure (Q4)."""
+    retry transient failures (Q3), alert once on terminal failure (Q4).
+    One ``run_id`` is minted up front and shared by every attempt, so a
+    retry after a partial dead-letter write overwrites its own ``run=``
+    directory instead of appending duplicate error rows."""
+    import uuid
+
+    run_id = uuid.uuid4().hex
     return with_retry(
         lambda: run_sales_etl(
             spark,
             input_path,
             warehouse_path=warehouse_path,
             dead_letter_path=dead_letter_path,
+            run_id=run_id,
         ),
         retries=retries,
         retry_delay_s=retry_delay_s,

@@ -92,16 +92,32 @@ def _resolve_current(path: str) -> str | None:
 
 
 def write_dead_letter(
-    errors: DataFrame, path: str, partition_by: list[str] | None = None
+    errors: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    run_id: str | None = None,
 ) -> None:
     """S3 dead-letter append. ``partition_by`` (typically a date column the
     caller derives, e.g. ``ingest_date``) makes the 100 TB error stream
     prunable at read time — triage of "yesterday's failures" reads one
-    partition instead of scanning the whole history."""
-    writer = errors.write.mode("append")
+    partition instead of scanning the whole history.
+
+    ``run_id`` makes the append RETRY-IDEMPOTENT: the run writes to its
+    own ``run=<id>`` directory with overwrite semantics, so a re-attempt
+    of the same run (the pipeline's Q3 retry policy re-executes the whole
+    job, possibly after a partial first write) replaces its own output
+    instead of appending a second copy. Without it, plain append is
+    at-least-once under retry. History still accumulates — across runs —
+    and readers see ``run`` as a partition column."""
+    if run_id is not None:
+        writer = errors.write.mode("overwrite")
+        target = f"{path}/run={run_id}"
+    else:
+        writer = errors.write.mode("append")
+        target = path
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.json(path)
+    writer.json(target)
 
 
 def read_warehouse(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:

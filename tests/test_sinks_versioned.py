@@ -103,3 +103,18 @@ def test_dead_letter_unpartitioned_unchanged(spark, tmp_path):
     write_dead_letter(errors, path)
     write_dead_letter(errors, path)  # append mode accumulates
     assert spark.read.json(path).count() == 2
+
+
+def test_dead_letter_run_scoped_write_is_retry_idempotent(spark, tmp_path):
+    """Same run_id written twice (the Q3 retry re-executing after a
+    partial first attempt) must converge, not double; a different run_id
+    accumulates as a new partition."""
+    errors = spark.createDataFrame([("1", "bad"), ("2", "worse")], "id string, error string")
+    path = str(tmp_path / "dl")
+    write_dead_letter(errors, path, run_id="r1")
+    write_dead_letter(errors, path, run_id="r1")  # retry: overwrite, not append
+    assert spark.read.json(path).count() == 2
+    write_dead_letter(errors, path, run_id="r2")  # next run accumulates
+    df = spark.read.json(path)
+    assert df.count() == 4
+    assert sorted(r["run"] for r in df.select("run").distinct().collect()) == ["r1", "r2"]
