@@ -7,24 +7,32 @@ values. Three steps, all declarative:
 
 1. bucket aggregate: groupBy(key, window(ts, bucket)) — one shuffle of
    the (already small) aggregate, the only corpus-wide work;
-2. spine: distinct keys × sequence(min_bucket, max_bucket, interval) —
-   the bounds come from ONE tiny global aggregate that broadcasts into a
-   cross join; the spine rows are generated, never scanned;
-3. LOCF: last(value, ignorenulls=True) over (partition by key order by
-   bucket rows unbounded preceding..current) — leading gaps (before a
-   key's first observation) stay NULL by design.
+2. LOCF + run bounds over the OBSERVED buckets only: last(value,
+   ignorenulls=True) and lead(bucket) over (partition by key order by
+   bucket) — the window sorts observed buckets, never the full grid;
+3. gap generation by run-length explode: each observed bucket owns the
+   half-open run [bucket, next_bucket) and emits
+   sequence(bucket, next-1, interval) rows carrying its filled value —
+   grid rows are GENERATED in the window task, never shuffled. Leading
+   gaps (before a key's first observation) come from one tiny per-key
+   min-bucket aggregate crossed with the broadcast global bounds, and
+   stay NULL by design.
 
 Scale notes (100 TB):
-- The window in step 3 partitions by key over the SPINE (keys × buckets),
-  not the raw events — for a year of hourly buckets that's 8.7k rows per
-  key regardless of event volume, so the sort inside each partition is
-  trivial; the heavy data only ever passes through the step-1 hash
-  aggregate (map-side partial).
-- A key whose full spine is still too long to sort in one task (decades
-  of seconds-granularity buckets) would segment the spine by coarse epoch
-  first and carry the last value across segment boundaries with a second,
-  tiny join — not needed at any tested scale; noted for parity with the
-  segment trick in operators/packing.py.
+- Shuffle volume is proportional to OBSERVED (key, bucket) cells, not to
+  keys × buckets. A sparse grid (the common case — sf0.1 events are ~9%
+  dense at hourly granularity) never materializes, joins, or sorts its
+  empty cells; they are exploded into existence after the window and
+  flow straight to the consumer. An earlier revision built the full
+  spine first and shuffled it through a left join plus a window — that
+  measured 12.8× wall at 10× data (SCALE_STRESS.json round 6) purely
+  from moving empty cells; this formulation is the fix.
+- The per-key window sort is bounded by the key's observed buckets; a
+  pathological key observed every second for decades would segment by
+  coarse epoch first (the trick in operators/packing.py) — not needed at
+  any tested scale.
+- Null-ts events are ignored (they bucket to a null window); a key with
+  zero non-null timestamps contributes no output rows.
 """
 
 from __future__ import annotations
@@ -91,21 +99,64 @@ def gapfill_locf(
         F.min("bucket_start").alias("lo"),
         F.max("bucket_start").alias("hi"),
     )
-    keys = events.select(F.col(key_col).alias("key")).distinct()
-    spine = keys.crossJoin(F.broadcast(bounds)).select(
+    v_type = dict(hourly.dtypes)["v"]
+    ordered = Window.partitionBy("key").orderBy("bucket_start")
+    carry = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Each observed bucket owns the run [bucket_start, next_bs) and emits
+    # one output row per grid cell in it, all carrying its LOCF value; the
+    # last run per key extends to the global hi bound.
+    runs = (
+        hourly.select(
+            "key",
+            F.col("bucket_start").alias("obs_bs"),
+            "n_events",
+            "v",
+            F.last("v", ignorenulls=True).over(carry).alias("v_filled"),
+            F.lead("bucket_start").over(ordered).alias("next_bs"),
+        )
+        .crossJoin(F.broadcast(bounds))
+    )
+    out_obs = runs.select(
         "key",
         F.explode(
-            F.expr(f"sequence(lo, hi, interval {bucket})")
+            F.expr(
+                f"sequence(obs_bs,"
+                f" coalesce(next_bs - interval {bucket}, hi),"
+                f" interval {bucket})"
+            )
         ).alias("bucket_start"),
-    )
-    joined = spine.join(hourly, ["key", "bucket_start"], "left")
-    carry = Window.partitionBy("key").orderBy("bucket_start").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return joined.select(
+        "obs_bs",
+        "n_events",
+        "v",
+        "v_filled",
+    ).select(
         "key",
         "bucket_start",
-        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
-        F.last("v", ignorenulls=True).over(carry).alias("v_filled"),
-        F.col("v").isNull().alias("was_gap"),
+        F.when(F.col("bucket_start") == F.col("obs_bs"), F.col("n_events"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+        F.col("v_filled").alias("v_filled"),
+        F.when(F.col("bucket_start") == F.col("obs_bs"), F.col("v").isNull())
+        .otherwise(F.lit(True))
+        .alias("was_gap"),
     )
+    # Leading gaps: grid cells from the global lo up to (excluding) each
+    # key's first observed bucket — a tiny per-key aggregate, broadcast
+    # bounds, generated rows.
+    leading = (
+        hourly.groupBy("key")
+        .agg(F.min("bucket_start").alias("first_bs"))
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("first_bs") > F.col("lo"))
+        .select(
+            "key",
+            F.explode(
+                F.expr(f"sequence(lo, first_bs - interval {bucket}, interval {bucket})")
+            ).alias("bucket_start"),
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(None).cast(v_type).alias("v_filled"),
+            F.lit(True).alias("was_gap"),
+        )
+    )
+    return out_obs.unionByName(leading)
