@@ -75,18 +75,39 @@ def compact_execute(
     so the group structure is inspectable; read back with
     ``read_compacted``). Returns
     ``{"files_before", "files_after", "groups"}``."""
+    import pathlib
+
     files = list_part_files(src_path)
     if not files:
         raise FileNotFoundError(f"no parquet part files under {src_path}")
     plan = plan_groups(files, target_bytes)
     n_groups = max(plan.values()) + 1
-    # input_file_name() yields a file: URI; normalize the map to match.
-    map_rows = [(f"file://{p}", b) for p, b in plan.items()]
+    # input_file_name() yields a PERCENT-ENCODED file: URI (a path with a
+    # space reads back as %20); Path.as_uri() applies the identical
+    # RFC-3986 encoding, so the map keys match byte-for-byte. A plain
+    # f"file://{p}" concat does NOT — it joined to nothing for any path
+    # with an encodable character, and the old inner join then silently
+    # dropped every row of those files (regression pinned in
+    # tests/test_compaction.py::test_compact_execute_space_in_path).
+    map_rows = [(pathlib.Path(p).as_uri(), b) for p, b in plan.items()]
     fmap = spark.createDataFrame(map_rows, f"_f string, {GROUP_COL} int")
     df = spark.read.parquet(src_path).withColumn("_f", F.input_file_name())
+    joined = df.join(F.broadcast(fmap), "_f", "left")
+    # Belt-and-braces: compaction must move EVERY row, so an input file
+    # the plan somehow doesn't cover is a hard error, never a silent drop.
+    guarded = joined.withColumn(
+        GROUP_COL,
+        F.when(F.col(GROUP_COL).isNotNull(), F.col(GROUP_COL)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("compact_execute: input file missing from plan: "),
+                    F.col("_f"),
+                )
+            ).cast("int")
+        ),
+    )
     (
-        df.join(F.broadcast(fmap), "_f")
-        .drop("_f")
+        guarded.drop("_f")
         .repartition(n_groups, F.col(GROUP_COL))
         .write.mode("overwrite")
         .partitionBy(GROUP_COL)

@@ -70,6 +70,20 @@ def test_compact_one_file_per_group(spark, tmp_path):
     assert stats["files_after"] == stats["groups"]
 
 
+def test_compact_execute_space_in_path(spark, tmp_path):
+    """Regression: input_file_name() percent-encodes the file URI
+    (space -> %20), so the plan's file->group map must use the identical
+    encoding. Before the as_uri() fix the inner join matched nothing for
+    any encodable path and compaction silently emitted ZERO rows."""
+    src = str(tmp_path / "dir with space" / "small")
+    dst = str(tmp_path / "out")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.repartition(8).write.parquet(src)
+    stats = compact_execute(spark, src, dst, target_bytes=1 << 20)
+    assert stats["files_before"] == 8
+    assert read_compacted(spark, dst).count() == docs.count()
+
+
 def test_compact_empty_source_raises(spark, tmp_path):
     import pytest
 
