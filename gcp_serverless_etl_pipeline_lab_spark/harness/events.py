@@ -87,7 +87,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gapfill_locf",
     """
     WITH f AS (
-      SELECT event_type, ts, value FROM events WHERE event_id % 7 = 0
+      SELECT event_type, ts, value FROM events
+      WHERE event_id % 7 = 0 AND ts IS NOT NULL AND event_type IS NOT NULL
     ),
     hourly AS (
       SELECT event_type AS key, date_trunc('hour', ts) AS h,

@@ -31,8 +31,13 @@ Scale notes (100 TB):
   pathological key observed every second for decades would segment by
   coarse epoch first (the trick in operators/packing.py) — not needed at
   any tested scale.
-- Null-ts events are ignored (they bucket to a null window); a key with
-  zero non-null timestamps contributes no output rows.
+- Null handling is an explicit CONTRACT, enforced by an up-front filter
+  (not an accident of window/join null semantics): rows with a NULL
+  timestamp OR a NULL key are ignored, so a key whose every event has a
+  NULL ts — and the NULL key itself — contributes no output rows. The
+  DuckDB oracle (harness/events.py) applies the identical WHERE clause,
+  so the contract holds on both sides of the correctness gate
+  (tests/test_timeseries_nulls.py pins it on real null-bearing input).
 """
 
 from __future__ import annotations
@@ -72,6 +77,15 @@ def gapfill_locf(
     PRINTS as one. Same family of tricks as the integer-cents running
     sum in window_running_analytics.
     """
+    # Contract: null-ts and null-key rows carry no information for a
+    # regular grid — drop them BEFORE aggregating. Without this filter a
+    # NULL key would become a real LOCF-filled group (the oracle's join
+    # on key never matches NULL, so it would emit all-gap rows instead)
+    # and null-ts rows would form a null-window group silently excluded
+    # from key discovery — both latent hash divergences (ADVICE round 7).
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    )
     if cents_avg:
         avg_expr = F.round(
             F.sum(F.round(F.col(value_col) * 100).cast("long"))
