@@ -315,10 +315,18 @@ def kmeans_centroids(
 
     c = corpus.select("vec_id", F.col("embedding").alias("e"))
     if sample_rate < 1.0:
-        c = c.filter(
+        sampled = c.filter(
             F.pmod(h60(F.col("vec_id").cast("string")), F.lit(10000))
             < int(sample_rate * 10000)
         )
+        # A tiny corpus can hash-sample to ZERO rows, which used to
+        # surface as the misleading "empty centroid model (empty
+        # corpus?)" error; Lloyd needs at least one vector, so fall back
+        # to the full corpus (one 1-row existence gate — the corpus this
+        # fires on is by definition small enough to train on whole).
+        if sampled.limit(1).count() == 0:
+            sampled = c
+        c = sampled
     first = c.groupBy((F.col("vec_id") % k).alias("cell")).agg(
         F.min("vec_id").alias("vec_id")
     )

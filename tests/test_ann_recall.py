@@ -176,6 +176,31 @@ def test_ivf_trained_empty_corpus_raises(spark):
         similarity.ivf_trained_topk(empty, empty, EMB_DIM)
 
 
+def test_kmeans_empty_hash_sample_falls_back_to_full_corpus(spark):
+    """A corpus so small the deterministic hash-Bernoulli sample selects
+    nothing must still train (fallback to the full corpus) instead of
+    raising the misleading 'empty corpus' error (ADVICE round 6)."""
+    from pyspark.sql import functions as F
+    from gcp_serverless_etl_pipeline_lab_spark.functions.hashing import h60
+
+    # ids the 10% sampler REJECTS (pmod(h60, 10000) >= 1000), found with
+    # the very predicate the sampler uses
+    ids = [
+        r.id
+        for r in spark.range(200)
+        .filter(F.pmod(h60(F.col("id").cast("string")), F.lit(10000)) >= 1000)
+        .limit(6)
+        .collect()
+    ]
+    assert len(ids) == 6
+    corpus = spark.createDataFrame(
+        [(i, 0, [float(i % 3), float(i % 5), 1.0]) for i in ids],
+        "vec_id long, label int, embedding array<float>",
+    )
+    model = similarity.kmeans_centroids(corpus, 3, k=2, iters=1, sample_rate=0.1)
+    assert model and all(len(c) == 3 for _, c in model)
+
+
 def test_knn_graph_lsh_recall_vs_exact(spark):
     """knn_graph_lsh's contract: TRUE near-duplicates are always found;
     weakly-similar exact-top-3 on random vectors are not preserved (the
