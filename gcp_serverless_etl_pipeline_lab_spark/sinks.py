@@ -38,6 +38,15 @@ def write_warehouse(
     snapshots survive each commit (keep >= 2 so readers mid-scan of the
     prior version don't lose their files).
 
+    CONCURRENT WRITERS are safe: each writer CLAIMS its version number
+    via an exclusive-create marker file (atomic on POSIX and on object
+    stores with if-none-match puts), so two racing writers land in
+    DISTINCT ``v=N`` directories instead of clobbering one; the pointer
+    flip is last-writer-wins but only ever FORWARD (a writer whose claim
+    is older than the committed pointer skips its flip), so ``_CURRENT``
+    always names one complete snapshot (tests/test_sinks_atomic.py pins
+    the interleavings).
+
     ``atomic=False`` restores the plain in-place overwrite (flat layout,
     delete-then-write window) for sinks whose consumers require the bare
     directory contract."""
@@ -49,32 +58,101 @@ def write_warehouse(
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
         return
-    versions = _list_versions(path)
-    new_v = (versions[-1] + 1) if versions else 0
+    new_v = _claim_version(path)
     writer = df.write.mode("overwrite").format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(os.path.join(path, f"v={new_v}"))
     _flip_pointer(path, new_v)
-    import shutil
-
-    for old in _list_versions(path)[:-keep_versions]:
-        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+    _prune_versions(path, keep_versions)
 
 
 _POINTER = "_CURRENT"
+_CLAIM_PREFIX = "_claim.v="
+
+
+def _list_claims(path: str) -> list[int]:
+    """Version numbers claimed (marker present) but possibly not yet
+    written — a racing or crashed writer holds these."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(name[len(_CLAIM_PREFIX):])
+        for name in os.listdir(path)
+        if name.startswith(_CLAIM_PREFIX)
+        and name[len(_CLAIM_PREFIX):].isdigit()
+    )
+
+
+def _claim_version(path: str) -> int:
+    """Reserve the next version number with an EXCLUSIVE-create marker
+    file (``open(..., 'x')`` — atomic on POSIX; the object-store analogue
+    is a conditional if-none-match PUT). Two concurrent writers cannot
+    claim the same N: the loser's create fails and it retries one higher.
+    Crashed writers leave a stale marker, which only costs a skipped
+    number — claims never block progress."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    while True:
+        taken = set(_list_versions(path)) | set(_list_claims(path))
+        cand = (max(taken) + 1) if taken else 0
+        try:
+            with open(os.path.join(path, f"{_CLAIM_PREFIX}{cand}"), "x"):
+                pass
+            return cand
+        except FileExistsError:
+            continue
+
+
+def _pointer_version(path: str) -> int | None:
+    import os
+    import re
+
+    try:
+        with open(os.path.join(path, _POINTER)) as fh:
+            m = re.fullmatch(r"v=(\d+)", fh.read().strip())
+    except OSError:
+        return None
+    return int(m.group(1)) if m else None
 
 
 def _flip_pointer(path: str, version: int) -> None:
     """Atomically point ``path/_CURRENT`` at ``v=<version>`` — write a
     temp file then ``os.replace`` (atomic on POSIX; the object-store
-    analogue is one PUT of the pointer object)."""
+    analogue is one PUT of the pointer object). MONOTONIC: if a racing
+    writer already committed a NEWER version, skip the flip — our
+    (older-claimed) snapshot stays on disk for time travel but never
+    rolls the table back."""
     import os
 
+    cur = _pointer_version(path)
+    if cur is not None and cur > version:
+        return
     tmp = os.path.join(path, f".{_POINTER}.tmp.{version}")
     with open(tmp, "w") as fh:
         fh.write(f"v={version}")
     os.replace(tmp, os.path.join(path, _POINTER))
+
+
+def _prune_versions(path: str, keep_versions: int) -> None:
+    """Remove all but the newest ``keep_versions`` snapshots (and their
+    claim markers) — but NEVER the snapshot ``_CURRENT`` references, even
+    if a racing writer's commits pushed it outside the newest-N window."""
+    import os
+    import shutil
+
+    cur = _pointer_version(path)
+    for old in _list_versions(path)[:-keep_versions]:
+        if old == cur:
+            continue
+        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, f"{_CLAIM_PREFIX}{old}"))
+        except OSError:
+            pass
 
 
 def _resolve_current(path: str) -> str | None:
@@ -170,14 +248,17 @@ def write_warehouse_versioned(
     import os
     import shutil
 
-    versions = _list_versions(path)
-    new_v = (versions[-1] + 1) if versions else 0
+    new_v = _claim_version(path)  # exclusive claim: racing writers get distinct N
     write_warehouse(
         df, os.path.join(path, f"v={new_v}"), partition_by, fmt, atomic=False
     )
     if keep_versions is not None:
         for old in _list_versions(path)[:-keep_versions]:
             shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+            try:
+                os.remove(os.path.join(path, f"{_CLAIM_PREFIX}{old}"))
+            except OSError:
+                pass
     return new_v
 
 

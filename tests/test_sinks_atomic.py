@@ -77,6 +77,71 @@ def test_legacy_flat_layout_still_reads(spark, tmp_path):
     assert sorted(r["id"] for r in read_warehouse(spark, path).collect()) == [5, 6]
 
 
+def test_racing_writers_distinct_versions_forward_pointer(spark, tmp_path):
+    """Two interleaved writers: claims are exclusive (distinct v=N dirs),
+    and a writer whose claim is OLDER than the committed pointer skips
+    its flip — the table never rolls back, and _CURRENT always names one
+    complete snapshot."""
+    from gcp_serverless_etl_pipeline_lab_spark import sinks
+
+    path = str(tmp_path / "wh")
+    va = sinks._claim_version(path)  # writer A claims first...
+    vb = sinks._claim_version(path)
+    assert va != vb and vb > va
+    # ...but B writes and commits first
+    _df(spark, [2], "b").write.parquet(os.path.join(path, f"v={vb}"))
+    sinks._flip_pointer(path, vb)
+    # A finishes later: its snapshot lands, but the flip must be a no-op
+    _df(spark, [1], "a").write.parquet(os.path.join(path, f"v={va}"))
+    sinks._flip_pointer(path, va)
+    assert sinks._pointer_version(path) == vb
+    got = read_warehouse(spark, path).collect()
+    assert [r["id"] for r in got] == [2] and got[0]["tag"] == "b"
+
+
+def test_concurrent_write_warehouse_threads(spark, tmp_path):
+    """Full-call race: N threads overwrite the same warehouse at once.
+    Whatever the interleaving, the surviving _CURRENT names exactly one
+    COMPLETE snapshot — a reader sees one writer's whole dataset, never a
+    mix, never a partial."""
+    import threading
+
+    path = str(tmp_path / "wh")
+    errs: list = []
+
+    def work(tag: int) -> None:
+        try:
+            write_warehouse(_df(spark, [tag * 10 + i for i in range(3)], f"t{tag}"), path)
+        except Exception as exc:  # surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = read_warehouse(spark, path).collect()
+    tags = {r["tag"] for r in got}
+    assert len(tags) == 1, f"mixed snapshot visible: {tags}"
+    tag = int(tags.pop()[1:])
+    assert sorted(r["id"] for r in got) == [tag * 10 + i for i in range(3)]
+
+
+def test_prune_never_removes_pointer_target(spark, tmp_path):
+    """Crashed pre-flip writers can leave NEWER v=N dirs than the
+    committed pointer; pruning by newest-N must still keep the snapshot
+    _CURRENT references."""
+    from gcp_serverless_etl_pipeline_lab_spark import sinks
+
+    path = str(tmp_path / "wh")
+    write_warehouse(_df(spark, [1], "a"), path)  # commits v=0
+    for crashed in (1, 2):  # complete snapshots, never flipped
+        _df(spark, [9], "x").write.parquet(os.path.join(path, f"v={crashed}"))
+    sinks._prune_versions(path, keep_versions=1)
+    assert [r["id"] for r in read_warehouse(spark, path).collect()] == [1]
+
+
 def test_pointer_flip_is_commit_point(spark, tmp_path):
     """Readers that resolved the pointer before a new commit keep a
     complete snapshot (keep_versions >= 2 retains their files)."""
