@@ -292,9 +292,10 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3-grams with the base: genuinely new).
 
 
-@register(
-    "dedup_incremental_batch",
-    f"""
+# shared by dedup_incremental_batch (full recompute) and
+# a0d_incremental_index (persisted-index probe): both must match the same
+# oracle — the index is a pure materialization of the recompute plan.
+_INCREMENTAL_ORACLE = f"""
     WITH batch AS (
       SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
       UNION ALL
@@ -342,10 +343,10 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY category
     ORDER BY category
-    """,
-)
-def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.incremental import classify_batch
+    """
+
+
+def _incremental_batch(spark: SparkSession, sf_dir: str):
     from ..sources.tables import load_table
 
     base = load_table(spark, sf_dir, "documents", parallelize=True).select(
@@ -362,8 +363,10 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 5_000_000).alias("doc_id"),
         F.array_join(F.reverse(F.split(F.col("text"), " ", -1)), " ").alias("text"),
     )
-    batch = resub.unionAll(near).unionAll(fresh)
-    out = classify_batch(batch, base, threshold=0.8, max_df=100_000)
+    return base, resub.unionAll(near).unionAll(fresh)
+
+
+def _category_summary(out: DataFrame) -> DataFrame:
     return (
         out.groupBy("category")
         .agg(
@@ -373,6 +376,44 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@register("dedup_incremental_batch", _INCREMENTAL_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import classify_batch
+
+    base, batch = _incremental_batch(spark, sf_dir)
+    return _category_summary(classify_batch(batch, base, threshold=0.8, max_df=100_000))
+
+
+@register("a0d_incremental_index", _INCREMENTAL_ORACLE)
+def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB operating mode of incremental dedup: the base corpus is
+    shingled/signed ONCE into a persisted index
+    (operators/incremental.py:build_base_index — md5 hashes, df-capped
+    gram postings partitioned by gram-hash bucket, full shingle sizes)
+    and the batch probes the STORED artifacts instead of re-shingling the
+    base. Must match the identical oracle as dedup_incremental_batch —
+    the index is a pure materialization of the recompute plan, so any
+    build/probe asymmetry (capping rule, shingler, union sizes) breaks
+    the hash. Temp-dir fixture, eager collect, same discipline as
+    compact_execute_verify."""
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import build_base_index, classify_batch_vs_index
+
+    base, batch = _incremental_batch(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="incr_idx_")
+    try:
+        build_base_index(base, idx, max_df=100_000)
+        agg = _category_summary(
+            classify_batch_vs_index(spark, batch, idx, threshold=0.8)
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 # ---------------------------------------------------------------------------
 # Semantic dedup end-to-end: cosine pairs -> clusters -> survivors

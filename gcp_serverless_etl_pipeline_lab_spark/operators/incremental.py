@@ -18,6 +18,30 @@ duplicates OF THE BASE" without re-running corpus×corpus detection.
 At 100 TB the base gram table is the big side: bucket/partition it by
 gram at ingest and the increment's join co-locates; the batch side is
 small enough that AQE usually broadcasts it.
+
+PERSISTED BASE INDEX (the actual 100 TB operating mode): the functions
+above re-shingle the ENTIRE base corpus on every increment — correct,
+but the per-batch cost is proportional to base size, which at warehouse
+scale means every nightly increment rescans 100 TB of text.
+``build_base_index`` pays that cost ONCE: it persists the base's md5
+hashes, its (df-capped) gram postings partitioned by a gram-hash bucket,
+and its full shingle-set sizes; ``*_vs_index`` then probe the stored
+artifacts — the increment never touches base TEXT again, only the
+compact index:
+
+- the exact probe scans one narrow hash column;
+- the near probe reads ONLY the gram-bucket partitions the batch's own
+  grams hash into (static partition pruning from a <=64-value driver
+  list), so a small nightly batch reads a small slice of the postings —
+  per-batch cost tracks BATCH size, not base size;
+- output is bit-identical to the recompute path by construction (same
+  shingler, same df-cap rule, sizes from the same full shingle sets) —
+  pinned by the ``a0d_incremental_index`` oracle query and
+  tests/test_incremental_index.py.
+
+The index is immutable per base snapshot; after merging an increment
+into the base, extend it by appending the increment's postings (the
+bucket partitioning makes that an append into existing ``gb=`` dirs).
 """
 
 from __future__ import annotations
@@ -79,6 +103,173 @@ def near_dups_vs_base(
         )
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_id").alias("doc_id"), "base_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted base index
+# ---------------------------------------------------------------------------
+
+INDEX_GRAM_BUCKETS = 64
+_MANIFEST = "_MANIFEST.json"
+
+
+def build_base_index(
+    base: DataFrame,
+    path: str,
+    max_df: int | None = 10_000,
+    n: int = 3,
+) -> None:
+    """Shingle and sign ``base`` ONCE; persist the three probe artifacts
+    under ``path``:
+
+    - ``hashes/``  — md5(text) of every base doc (exact-dup probe);
+    - ``grams/``   — (base_id, g) postings, df-capped at build time with
+      the same rule as ``near_dups_vs_base`` and hive-partitioned by
+      ``gb = pmod(xxhash64(g), INDEX_GRAM_BUCKETS)`` so probes prune to
+      the buckets their own grams occupy;
+    - ``sizes/``   — full (uncapped) shingle-set size per base doc, the
+      union-size denominator.
+
+    ``max_df``/``n`` land in ``_MANIFEST.json`` so probes replay the
+    exact build contract; at 100 TB raise INDEX_GRAM_BUCKETS and let each
+    bucket hold many files — the partition count, not the file count, is
+    the pruning unit."""
+    import json
+    import os
+
+    sh = _with_shingles(base, n)
+    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+    if max_df is not None:
+        grams = cap_document_frequency(grams, max_df)
+    grams = grams.select(
+        F.col("doc_id").alias("base_id"),
+        "g",
+        F.pmod(F.xxhash64("g"), F.lit(INDEX_GRAM_BUCKETS)).cast("int").alias("gb"),
+    )
+    base.select(F.md5("text").alias("k")).write.mode("overwrite").parquet(
+        os.path.join(path, "hashes")
+    )
+    (
+        grams.repartition(INDEX_GRAM_BUCKETS, F.col("gb"))
+        .write.mode("overwrite")
+        .partitionBy("gb")
+        .parquet(os.path.join(path, "grams"))
+    )
+    sh.select(
+        F.col("doc_id").alias("base_id"), F.size("shingles").alias("sz_b")
+    ).write.mode("overwrite").parquet(os.path.join(path, "sizes"))
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(
+            {"max_df": max_df, "ngram": n, "gram_buckets": INDEX_GRAM_BUCKETS},
+            fh,
+        )
+
+
+def _load_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def exact_dups_vs_index(spark, batch: DataFrame, path: str) -> DataFrame:
+    """``exact_dups_vs_base`` against the stored hash column — the base's
+    md5s were materialized at build time; the probe shuffles only the
+    batch and scans one narrow parquet column."""
+    import os
+
+    b = batch.select("doc_id", F.md5("text").alias("k"))
+    base_k = spark.read.parquet(os.path.join(path, "hashes"))
+    return b.join(base_k, "k", "left_semi").select("doc_id")
+
+
+def near_dups_vs_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """``near_dups_vs_base`` against the stored postings: the batch is
+    shingled fresh; the base side is READ, never recomputed, and only the
+    gram-bucket partitions the batch's grams hash into are scanned (the
+    <=``gram_buckets``-value bucket list is collected driver-side — a
+    bounded gate, same class as the 1-row gates). The df-cap was applied
+    at build time, so results match ``near_dups_vs_base(batch, base,
+    threshold, max_df)`` for the build's ``max_df`` exactly."""
+    import os
+
+    man = _load_manifest(path)
+    nb = int(man["gram_buckets"])
+    sh_new = _with_shingles(batch, int(man["ngram"]))
+    g_new = sh_new.select(
+        F.col("doc_id").alias("new_id"), F.explode("shingles").alias("g")
+    )
+    gbs = [
+        r["gb"]
+        for r in g_new.select(
+            F.pmod(F.xxhash64("g"), F.lit(nb)).cast("int").alias("gb")
+        )
+        .distinct()
+        .collect()
+    ]
+    g_base = spark.read.parquet(os.path.join(path, "grams"))
+    if len(gbs) < nb:
+        g_base = g_base.filter(F.col("gb").isin(gbs))
+    inter = (
+        g_new.join(g_base.select("base_id", "g"), "g")
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz_new = sh_new.select(
+        F.col("doc_id").alias("new_id"), F.size("shingles").alias("sz_n")
+    )
+    sz_base = spark.read.parquet(os.path.join(path, "sizes"))
+    return (
+        inter.join(sz_new, "new_id")
+        .join(sz_base, "base_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("sz_n") + F.col("sz_b") - F.col("i")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias("doc_id"), "base_id", "jaccard")
+    )
+
+
+def classify_batch_vs_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """``classify_batch`` probing the persisted index instead of
+    re-shingling the base — identical output for the index's build-time
+    ``max_df`` (parity pinned in tests/test_incremental_index.py and the
+    ``a0d_incremental_index`` oracle query)."""
+    exact = exact_dups_vs_index(spark, batch, path).withColumn("_e", F.lit(1))
+    near = (
+        near_dups_vs_index(spark, batch, path, threshold)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("category"),
+        )
     )
 
 

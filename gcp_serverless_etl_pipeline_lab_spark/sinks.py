@@ -107,34 +107,75 @@ def _claim_version(path: str) -> int:
             continue
 
 
-def _pointer_version(path: str) -> int | None:
+def _pointer_info(path: str) -> tuple[int | None, int | None]:
+    """(snapshot version, compacted-through epoch) from ``_CURRENT``.
+    Both live in the ONE pointer file (first line ``v=N``, optional
+    second line ``through=K``) so a single atomic replace commits the
+    snapshot AND the epoch watermark together — a crash can never leave
+    a snapshot visible while the epochs it absorbed still count as
+    live (that would double-read them)."""
     import os
     import re
 
     try:
         with open(os.path.join(path, _POINTER)) as fh:
-            m = re.fullmatch(r"v=(\d+)", fh.read().strip())
+            lines = fh.read().strip().splitlines()
     except OSError:
-        return None
-    return int(m.group(1)) if m else None
+        return None, None
+    m = re.fullmatch(r"v=(\d+)", lines[0].strip()) if lines else None
+    if not m:
+        return None, None
+    through = None
+    for ln in lines[1:]:
+        t = re.fullmatch(r"through=(\d+)", ln.strip())
+        if t:
+            through = int(t.group(1))
+    return int(m.group(1)), through
 
 
-def _flip_pointer(path: str, version: int) -> None:
+def _pointer_version(path: str) -> int | None:
+    return _pointer_info(path)[0]
+
+
+def _flip_pointer(path: str, version: int, through: int | None = None) -> None:
     """Atomically point ``path/_CURRENT`` at ``v=<version>`` — write a
     temp file then ``os.replace`` (atomic on POSIX; the object-store
     analogue is one PUT of the pointer object). MONOTONIC: if a racing
     writer already committed a NEWER version, skip the flip — our
     (older-claimed) snapshot stays on disk for time travel but never
-    rolls the table back."""
+    rolls the table back. ``through`` records the highest streamed epoch
+    folded into this snapshot (epoch compaction); it rides the same
+    atomic replace and is carried forward when a later plain write
+    omits it."""
     import os
 
-    cur = _pointer_version(path)
+    cur, cur_through = _pointer_info(path)
     if cur is not None and cur > version:
         return
+    if through is None:
+        through = cur_through  # never forget absorbed epochs
     tmp = os.path.join(path, f".{_POINTER}.tmp.{version}")
     with open(tmp, "w") as fh:
         fh.write(f"v={version}")
+        if through is not None:
+            fh.write(f"\nthrough={through}")
     os.replace(tmp, os.path.join(path, _POINTER))
+
+
+def _list_epochs(path: str) -> list[tuple[int, str]]:
+    """(epoch id, directory) for every ``epoch=K`` micro-batch dir the
+    streaming sink wrote under ``path``, ascending."""
+    import os
+    import re
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = re.fullmatch(r"epoch=(\d+)", name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append((int(m.group(1)), os.path.join(path, name)))
+    return sorted(out)
 
 
 def _prune_versions(path: str, keep_versions: int) -> None:
@@ -160,12 +201,10 @@ def _resolve_current(path: str) -> str | None:
     path uses the legacy flat layout (no pointer)."""
     import os
 
-    try:
-        with open(os.path.join(path, _POINTER)) as fh:
-            v = fh.read().strip()
-    except OSError:
+    v, _ = _pointer_info(path)
+    if v is None:
         return None
-    sub = os.path.join(path, v)
+    sub = os.path.join(path, f"v={v}")
     return sub if os.path.isdir(sub) else None
 
 
@@ -198,12 +237,71 @@ def write_dead_letter(
     writer.json(target)
 
 
+_LAYOUT_COLS = ("_compact_group",)  # compaction.GROUP_COL (no import cycle)
+
+
 def read_warehouse(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Read the warehouse table: resolve the ``_CURRENT`` pointer to the
-    committed snapshot when present (atomic layout), else read the path
-    flat (legacy layout / ``atomic=False`` writes)."""
-    target = _resolve_current(path)
-    return spark.read.format(fmt).load(target if target else path)
+    """ONE reader over every warehouse layout this package writes —
+    callers never need to know whether a table was batch-written,
+    streamed, or compacted:
+
+    - atomic batch layout (``_CURRENT`` + ``v=N``): resolve the pointer,
+      read the committed snapshot;
+    - streamed layout (``epoch=K`` micro-batch dirs from
+      streaming/file_stream.py): union the epoch dirs (the epoch id is a
+      commit artifact like ``v=``, so it is NOT a data column here; read
+      the path directly with Spark partition discovery if you want it);
+    - compacted-streaming layout (pointer + ``through=K`` + live
+      epochs): the snapshot unioned with epochs NEWER than the
+      compacted-through watermark — epochs at or below it were folded
+      into the snapshot, and a crash-replayed micro-batch that re-creates
+      such a dir is correctly ignored (exactly-once survives
+      compaction);
+    - flat legacy layout: plain directory read.
+
+    A pointerless directory that DOES contain ``v=N`` snapshots is
+    REFUSED: a flat read would union every retained snapshot and
+    silently return duplicated/stale rows (the round-7 ADVICE hazard).
+    Use ``read_warehouse_versioned`` for explicit time travel there.
+
+    Internal layout columns (compaction's ``_compact_group``) are
+    dropped; user partition columns pass through."""
+    import functools
+    import os
+
+    ver, through = _pointer_info(path)
+    epochs = _list_epochs(path)
+
+    def _read_dir(d: str) -> DataFrame:
+        df = spark.read.format(fmt).load(d)
+        return df.drop(*[c for c in _LAYOUT_COLS if c in df.columns])
+
+    if ver is not None:
+        target = _resolve_current(path)
+        if target is None:
+            raise FileNotFoundError(
+                f"_CURRENT points at v={ver} under {path}, but that "
+                "snapshot directory is missing"
+            )
+        snap = _read_dir(target)
+        live = [d for k, d in epochs if through is None or k > through]
+        if not live:
+            return snap
+        return functools.reduce(
+            lambda a, b: a.unionByName(b), [snap] + [_read_dir(d) for d in live]
+        )
+    if epochs:
+        return functools.reduce(
+            lambda a, b: a.unionByName(b), [_read_dir(d) for _, d in epochs]
+        )
+    if _list_versions(path):
+        raise ValueError(
+            f"{path} holds v=N snapshot dirs but no _CURRENT pointer — a "
+            "flat read would union every retained snapshot and return "
+            "duplicated/stale rows. Use read_warehouse_versioned(spark, "
+            "path[, version]) to pick a snapshot explicitly."
+        )
+    return spark.read.format(fmt).load(path)
 
 
 # ---------------------------------------------------------------------------
