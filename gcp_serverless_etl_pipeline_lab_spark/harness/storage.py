@@ -264,6 +264,64 @@ def compact_execute_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Epoch compaction (streamed micro-batch dirs -> one committed snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0d_epoch_compaction",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    """,
+)
+def a0d_epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end epoch-compaction parity: the events table arrives as
+    four ``epoch=K`` micro-batch dirs (the availableNow sink's layout,
+    streaming/file_stream.py), epochs 0-2 are folded into a committed
+    ``v=N`` snapshot by operators.compaction.compact_epochs, epoch 3
+    lands AFTER the compaction, and an absorbed epoch is crash-REPLAYED
+    (its dir re-created) before the read. The unified read_warehouse must
+    return exactly the original table — snapshot ∪ live epoch, replayed
+    epoch ignored — so any double-read, dropped group, or watermark slip
+    breaks the hash against the plain-table oracle."""
+    import shutil
+    import tempfile
+
+    from ..operators.compaction import compact_epochs
+    from ..sinks import read_warehouse
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    base = tempfile.mkdtemp(prefix="epoch_wh_")
+    try:
+        for k in range(4):
+            ev.filter(F.col("event_id") % 4 == k).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/epoch={k}")
+        shutil.rmtree(f"{base}/epoch=3")
+        compact_epochs(spark, base, target_bytes=1 << 20)
+        # post-compaction micro-batch + crash-replay of an absorbed epoch
+        ev.filter(F.col("event_id") % 4 == 3).write.parquet(f"{base}/epoch=3")
+        ev.filter(F.col("event_id") % 4 == 1).write.parquet(f"{base}/epoch=1")
+        agg = read_warehouse(spark, base).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Partition-pruned warehouse read — sinks.write_warehouse(partition_by)
 # ---------------------------------------------------------------------------
 

@@ -68,7 +68,10 @@ def write_warehouse(
 
 
 _POINTER = "_CURRENT"
-_CLAIM_PREFIX = "_claim.v="
+# dot-prefixed and "="-free: Spark hides ".foo" always, but "_foo" files
+# CONTAINING "=" survive its hidden-file filter (partition-dir rule) and
+# would break direct flat reads of the warehouse root
+_CLAIM_PREFIX = ".claim-v"
 
 
 def _list_claims(path: str) -> list[int]:
