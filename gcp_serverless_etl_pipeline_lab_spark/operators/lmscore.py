@@ -88,10 +88,15 @@ def _lm_stats(bg: DataFrame):
     not NULL (found by tests/test_properties_lmscore.py: an unclamped
     empty model put ln(0) = NULL into every score)."""
     c12 = bg.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.sum("k").cast("bigint").alias("c1"))
+    # head counts and vocabulary are DERIVED from the bigram aggregate —
+    # algebraically identical (c1(w) = Σ_w2 c12(w, w2); the distinct-word
+    # set of bg equals that of c12) but re-aggregates the compact count
+    # table instead of making two more passes over the full (doc, w1, w2)
+    # frame: bg is consumed ONCE per stats build.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     vocab = (
-        bg.select(F.col("w1").alias("w"))
-        .unionByName(bg.select(F.col("w2").alias("w")))
+        c12.select(F.col("w1").alias("w"))
+        .unionByName(c12.select(F.col("w2").alias("w")))
         .agg(F.greatest(F.count_distinct("w"), F.lit(1)).alias("v"))
     )
     return c12, c1, vocab
@@ -280,6 +285,7 @@ def dsir_importance_micro(
     text_col: str = "text",
     id_col: str = "doc_id",
     hot_threshold: int = 1000,
+    stage: bool = True,
 ) -> DataFrame:
     """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" — public method): per
@@ -291,29 +297,121 @@ def dsir_importance_micro(
     importance resampling draws against. Exact micro-nat integers, so
     the ranking is engine-reproducible.
 
-    Plan shape: the corpus bigram frame is built ONCE and feeds the raw
-    model's stats, the raw scoring pass, and the target scoring pass —
-    the identical aggregation subtrees let Spark's ReuseExchange collapse
-    the repeated shuffles inside the single final plan instead of
-    re-tokenizing the corpus per pass."""
+    Plan shape (rebuilt in round 8 — the earlier two-pass composition
+    leaned on a ReuseExchange bet that Catalyst canonically does NOT
+    honor: the consumers aggregate differently above the shared bigram
+    subtree, so their exchanges never canonicalize equal; measured 0
+    ReusedExchange nodes). Three levers make the plan scale instead:
+
+    1. FUSED scoring: the corpus bigram frame is joined against all four
+       count tables (target c12/c1 via hybrid LEFT joins, raw c12/c1 via
+       hybrid inner joins) and aggregated per doc ONCE — target score,
+       raw score, and their difference come out of the same pass, so the
+       fact side is consumed once, not twice, and the final
+       score-vs-score join disappears.
+    2. Head counts / vocabulary derived from the c12 aggregate
+       (``_lm_stats``), so each bigram frame feeds exactly ONE corpus-
+       wide aggregation.
+    3. ``stage=True`` (default) persists the two SMALL c12 count tables
+       (not the full bigram frame) — every hot-key set, derived stat,
+       and join side reads the compact aggregate instead of re-running
+       tokenize→explode→groupBy per consumer. At 100 TB write these
+       aggregates to parquet instead; persist is the single-job spelling
+       of the same staging.
+
+    Net: the corpus text is tokenized twice (raw-stats build + fact
+    pass), the target text once — independent of how many stats consume
+    them. Plan pinned in tests/test_plans_round6.py; x10 stress 18.7 s →
+    ~8 s, hash-identical."""
     bg = _doc_bigrams(docs, text_col, id_col)
-    tc12, tc1, tvocab = _lm_stats(_doc_bigrams(target_docs, text_col, id_col))
+    tgt_bg = _doc_bigrams(target_docs, text_col, id_col)
+    tc12, tc1, tvocab = _lm_stats(tgt_bg)
     rc12, rc1, rvocab = _lm_stats(bg)
-    t = _score_bigrams(
+    if stage:
+        from pyspark import StorageLevel
+
+        tc12 = tc12.persist(StorageLevel.MEMORY_AND_DISK)
+        rc12 = rc12.persist(StorageLevel.MEMORY_AND_DISK)
+        # re-derive the dependent stats from the STAGED aggregates
+        c1_of = lambda c12: c12.groupBy("w1").agg(  # noqa: E731
+            F.sum("c12").cast("bigint").alias("c1")
+        )
+        v_of = lambda c12: (  # noqa: E731
+            c12.select(F.col("w1").alias("w"))
+            .unionByName(c12.select(F.col("w2").alias("w")))
+            .agg(F.greatest(F.count_distinct("w"), F.lit(1)).alias("v"))
+        )
+        tc1, tvocab = c1_of(tc12), v_of(tc12)
+        rc1, rvocab = c1_of(rc12), v_of(rc12)
+
+    # hot-key sets from FACT-side frequencies (rc12/rc1 ARE the fact
+    # aggregates — occurrence sums upper-bound row counts, so the hot set
+    # can only widen, never miss; same contract as _hybrid_left_join)
+    hk12 = rc12.filter(F.col("c12") >= hot_threshold).select("w1", "w2")
+    hk1 = rc1.filter(F.col("c1") >= hot_threshold).select("w1")
+    scored = _hybrid_left_join(
         bg,
-        tc12,
-        tc1,
-        tvocab,
+        tc12.withColumnRenamed("c12", "c12t"),
+        ["w1", "w2"],
+        "c12t",
         hot_threshold,
-        trained=True,
-        fact_c12=rc12,
-        fact_c1=rc1,
-    ).select("doc_id", "n_bigrams", F.col("score_micro").alias("_st"))
-    r = _score_bigrams(bg, rc12, rc1, rvocab, hot_threshold, trained=False).select(
-        "doc_id", F.col("score_micro").alias("_sr")
+        hot_keys=hk12,
     )
-    return t.join(r, "doc_id").select(
-        "doc_id",
-        "n_bigrams",
-        (F.col("_st") - F.col("_sr")).cast("bigint").alias("importance_micro"),
+    scored = _hybrid_left_join(
+        scored,
+        tc1.withColumnRenamed("c1", "c1t"),
+        ["w1"],
+        "c1t",
+        hot_threshold,
+        hot_keys=hk1,
     )
+    # raw counts come from the same corpus as the fact frame, so every
+    # row matches and LEFT ≡ inner — but the split-free left-hybrid is
+    # the one that does NOT re-evaluate the (already twice-joined)
+    # upstream subtree per hot/cold leg the way _hybrid_join's two-leg
+    # union would.
+    scored = _hybrid_left_join(
+        scored,
+        rc12.withColumnRenamed("c12", "c12r"),
+        ["w1", "w2"],
+        "c12r",
+        hot_threshold,
+        hot_keys=hk12,
+    )
+    scored = _hybrid_left_join(
+        scored,
+        rc1.withColumnRenamed("c1", "c1r"),
+        ["w1"],
+        "c1r",
+        hot_threshold,
+        hot_keys=hk1,
+    )
+    scored = scored.crossJoin(
+        F.broadcast(tvocab.withColumnRenamed("v", "vt"))
+    ).crossJoin(F.broadcast(rvocab.withColumnRenamed("v", "vr")))
+    per_doc = (
+        scored.withColumn(
+            "lp_t",
+            F.col("k")
+            * (
+                ilog_micro(F.coalesce(F.col("c12t"), F.lit(0)) + 1)
+                - ilog_micro(F.coalesce(F.col("c1t"), F.lit(0)) + F.col("vt"))
+            ),
+        )
+        .withColumn(
+            "lp_r",
+            F.col("k")
+            * (
+                ilog_micro(F.coalesce(F.col("c12r"), F.lit(0)) + 1)
+                - ilog_micro(F.coalesce(F.col("c1r"), F.lit(0)) + F.col("vr"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("lp_t") - F.col("lp_r")).cast("bigint").alias(
+                "importance_micro"
+            ),
+        )
+    )
+    return per_doc

@@ -50,3 +50,23 @@ def test_dsir_no_python_no_cartesian(spark):
     assert head.count("BroadcastHashJoin") + head.count(
         "BroadcastNestedLoopJoin"
     ) >= 4
+
+
+def test_dsir_staged_aggregates_bound_corpus_scans(spark):
+    """Round-8 plan contract for DSIR. The round-6/7 docstring bet that
+    ReuseExchange would collapse the repeated bigram subtrees — it never
+    fires (the consumers aggregate differently, so the exchanges don't
+    canonicalize equal; this test pins that stays true so the comment
+    can't rot silently). The actual levers are fused single-pass scoring
+    + persisted c12 aggregates; what they must buy is a BOUNDED number
+    of distinct document scans — the unstaged two-pass plan had 24."""
+    import re
+
+    tree = _plan(spark, "a0_dsir_importance_select")
+    # the staged c12 tables appear as cached scans
+    assert "InMemoryTableScan" in tree
+    # distinct physical scan NODES (the formatted plan repeats a node id
+    # at every reference; count ids, not occurrences)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", tree))
+    assert len(scan_ids) <= 6, f"document re-scans crept back: {len(scan_ids)}"
+    assert "ReusedExchange" not in tree  # the bet that never fired
