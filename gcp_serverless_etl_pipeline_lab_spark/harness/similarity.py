@@ -327,7 +327,7 @@ from ..operators import similarity as _sim  # noqa: E402
              list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) AS s
       FROM vb a JOIN vb b
         ON a.label = b.label AND a.vec_id <> b.vec_id
-       AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b.bkt AS BIGINT))) <= 1
+       AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b.bkt AS BIGINT))) <= 3
     )
     SELECT query_id, rn AS rank, neighbor_id, ROUND(s, 4) AS score FROM (
       SELECT query_id, neighbor_id, s,

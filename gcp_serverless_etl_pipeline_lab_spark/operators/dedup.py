@@ -413,17 +413,23 @@ def cosine_candidate_pairs(
     - ``probe_hamming`` extends the multiprobe radius (masks with up to
       that many bits; radius 1 = the classic adjacent-bucket probe).
 
-    Escalated configs dedup candidate pairs across tables/masks
-    (``.distinct()``); the default single-table radius-1 path keeps its
-    dedup-free plan (each pair matches exactly one XOR mask).
+    Multi-table configs dedup candidate pairs across tables
+    (``.distinct()``); the single-table path keeps its dedup-free plan at
+    EVERY probe radius (each pair matches exactly one XOR mask — m =
+    b_a XOR b_b is unique — so widening the radius only widens the mask
+    list, never duplicates a pair) and keeps the oracle-reproducible
+    ``lsh`` plane family, so the DuckDB twin of any single-table radius
+    is just ``bit_count(xor(bkt_a, bkt_b)) <= h``. Only ``tables > 1``
+    or a non-default table width switches to the independent ``mlsh``
+    family.
 
     The bucket is the deterministic 8-plane sign projection shared with
     similarity.lsh_topk (hashlib-seeded hyperplanes, reproducible in the
     DuckDB oracle). Multiprobe: the probe side explodes each row to its
-    bucket XOR {0, 1, 2, 4, ..., 128} — 9 slim (id, label, bucket) rows —
-    so the join finds exactly the pairs with hamming(bucket_a, bucket_b)
-    <= 1. A pair matches at most one mask (m = b_a XOR b_b is unique), so
-    no dedup shuffle is needed. Embeddings never ride through the explode.
+    bucket XOR {masks with <= probe_hamming bits} — 9 slim (id, label,
+    bucket) rows at the default radius 1, 93 at radius 3 — so the join
+    finds exactly the pairs with hamming(bucket_a, bucket_b) <=
+    probe_hamming. Embeddings never ride through the explode.
 
     Exposed separately so tests can assert the candidate count stays far
     below |block|² on a skewed block: unrelated vectors collide with
@@ -433,7 +439,7 @@ def cosine_candidate_pairs(
 
     if planes_per_table is None:
         planes_per_table = NUM_PLANES
-    if tables != 1 or planes_per_table != NUM_PLANES or probe_hamming != 1:
+    if tables != 1 or planes_per_table != NUM_PLANES:
         return _multitable_candidate_pairs(
             vectors, dim, tables, planes_per_table, probe_hamming
         )
@@ -454,7 +460,12 @@ def cosine_candidate_pairs(
         "label",
         F.coalesce("bkt_raw", F.lit(-1)).alias("bkt"),
     )
-    masks = [0] + [1 << h for h in range(NUM_PLANES)]
+    import itertools
+
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(NUM_PLANES), h):
+            masks.append(sum(1 << b for b in bits))
     probe = cells.select(
         F.col("vec_id").alias("id_b"),
         "label",

@@ -658,7 +658,7 @@ def knn_graph_lsh(
     k: int = 3,
     tables: int = 1,
     planes_per_table: int | None = None,
-    probe_hamming: int = 1,
+    probe_hamming: int = 3,
 ) -> DataFrame:
     """Approximate k-NN graph: same output shape as ``knn_graph_blocked``
     but candidates come from the label block AND the sign-LSH multiprobe
@@ -685,17 +685,21 @@ def knn_graph_lsh(
 
     | config                          | recall@3 | candidates | wall  |
     |---------------------------------|----------|------------|-------|
-    | default (1 table × 8 planes)    |  0.13    |  3.9%      | 1.0x  |
-    | probe_hamming=3                 |  0.61    | 37%        | 1.1x  |
+    | probe_hamming=1 (8 planes)      |  0.13    |  3.9%      | 1.0x  |
+    | probe_hamming=3 (DEFAULT)       |  0.61    | 37%        | 1.1x  |
     | tables=4, planes_per_table=3    |  0.99    | 93%        | 2.0x  |
     | exact (knn_graph_blocked)       |  1.00    | 100%       | 2.3x  |
 
     (recall floors asserted in tests/test_ann_recall.py). The escalation
     trades pruning for recall smoothly — ``probe_hamming=3`` is the
-    recommended retrieval setting (recall 0.61 at ~1.1x cost); at 100 TB
-    prefer trained-IVF blocks (``knn_graph_blocked`` over k-means cells)
-    when you need exact-within-cell, and escalated LSH when the corpus
-    can't afford cell-exhaustive pairs."""
+    DEFAULT because a graph operator's callers want retrieval-quality
+    neighbors (recall 0.61 at ~1.1x wall); pass ``probe_hamming=1`` to
+    reclaim the maximum-pruning near-dup config (which remains the
+    default of the underlying ``cosine_candidate_pairs``, whose callers
+    want near-dups). At 100 TB prefer trained-IVF blocks
+    (``knn_graph_blocked`` over k-means cells) when you need
+    exact-within-cell, and escalated LSH when the corpus can't afford
+    cell-exhaustive pairs."""
     from .dedup import cosine_candidate_pairs
 
     v = corpus.select("vec_id", "label", "embedding")

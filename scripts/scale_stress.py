@@ -389,8 +389,20 @@ def _ops(spark: SparkSession, path: str):
         "knn_graph_blocked": lambda: similarity.knn_graph_blocked(
             embs, EMB_DIM, k=3
         ),
-        # LSH-candidate kNN: hamming<=1 multiprobe bounds the hot block.
+        # LSH-candidate kNN at the shipped default (probe_hamming=3,
+        # retrieval recall >= 0.5): candidate mass is ~37% of within-
+        # block pairs, so with the corpus's FIXED 10-label x 256-bucket
+        # blocking the growth curve is block-quadratic with a recall-
+        # proportional constant. The scale answer for big corpora is
+        # trained-IVF cells (knn_graph_ivf_cells: cell count grows with
+        # n, growth ~1.1x above), not a wider LSH probe.
         "knn_graph_lsh": lambda: similarity.knn_graph_lsh(embs, EMB_DIM, k=3),
+        # ...and the maximum-pruning near-dup config (probe_hamming=1,
+        # ~3.9% candidate mass) tracked separately so both ends of the
+        # documented recall-vs-cost trade keep a measured growth row.
+        "knn_graph_lsh_p1": lambda: similarity.knn_graph_lsh(
+            embs, EMB_DIM, k=3, probe_hamming=1
+        ),
         # Incremental dedup: every 5th doc of the grown corpus arrives as
         # a re-submission batch against the corpus itself — batch size
         # grows linearly with scale, base-side df-cap active.

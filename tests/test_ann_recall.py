@@ -203,12 +203,13 @@ def test_kmeans_empty_hash_sample_falls_back_to_full_corpus(spark):
 
 def test_knn_graph_lsh_recall_vs_exact(spark):
     """knn_graph_lsh's contract: TRUE near-duplicates are always found;
-    weakly-similar exact-top-3 on random vectors are not preserved (the
-    hamming<=1 probe keeps pairs with small angle — measured recall@3 on
-    the raw random embeddings is ~0.12, and that is the designed
-    trade-off, documented in the operator docstring). Assert the part
-    the operator promises: every perturbed twin (cos ~ 0.999) in the
-    dup-bearing corpus appears in the approximate graph."""
+    weakly-similar exact-top-3 on random vectors are only partially
+    preserved (the default hamming<=3 probe keeps pairs with moderate
+    angle — measured recall@3 on the raw random embeddings is ~0.61, and
+    that is the designed trade-off, documented in the operator
+    docstring). Assert the part the operator promises at EVERY probe
+    radius: every perturbed twin (cos ~ 0.999) in the dup-bearing corpus
+    appears in the approximate graph."""
     from gcp_serverless_etl_pipeline_lab_spark.harness._corpora import _vec_corpus
     from gcp_serverless_etl_pipeline_lab_spark.operators.similarity import (
         knn_graph_lsh,
@@ -231,9 +232,11 @@ def test_knn_graph_lsh_recall_vs_exact(spark):
 def test_knn_graph_variant_recall_ordering(spark):
     """Against the GLOBAL exact top-3 graph on random vectors, the three
     blocking strategies must rank as theory predicts: trained-IVF cells
-    (geometric) > label blocks (arbitrary) > sign-LSH buckets (angle-
-    sensitive, collapses at weak similarity). Absolute values measured at
-    sf0.001: ~0.31 / ~0.09 / ~0.015."""
+    (geometric) > label blocks (arbitrary) > sign-LSH buckets at the
+    MINIMAL probe (probe_hamming=1, passed explicitly — angle-sensitive,
+    collapses at weak similarity; the shipped knn_graph_lsh default is
+    probe_hamming=3, floor-tested separately). Absolute values measured
+    at sf0.001: ~0.31 / ~0.09 / ~0.015."""
     from gcp_serverless_etl_pipeline_lab_spark.operators import similarity
     from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -252,7 +255,7 @@ def test_knn_graph_variant_recall_ordering(spark):
     for name, graph in (
         ("ivf", similarity.knn_graph_blocked(assigned, 64, k=3, block_col="cell")),
         ("label", similarity.knn_graph_blocked(emb, 64, k=3)),
-        ("lsh", similarity.knn_graph_lsh(emb, 64, k=3)),
+        ("lsh", similarity.knn_graph_lsh(emb, 64, k=3, probe_hamming=1)),
     ):
         got = {(r.query_id, r.neighbor_id) for r in graph.collect()}
         rec[name] = len(exact & got) / len(exact)
@@ -346,10 +349,11 @@ def test_knn_graph_blocked_lsh_policy(spark):
 
 def test_knn_graph_lsh_multiprobe_recall_escalation(spark):
     """The recall-vs-cost escalation table in knn_graph_lsh's docstring,
-    asserted with slack: probe_hamming=3 lifts weak-similarity recall@3
-    from ~0.13 to >=0.5 while scoring ~37% of pairs; tables=4 x planes=3
-    reaches ~0.99. Candidate-fraction bounds pin the cost side (wall
-    clock is machine-dependent; candidates are the work)."""
+    asserted with slack: the shipped default (probe_hamming=3) lifts
+    weak-similarity recall@3 from ~0.13 (probe_hamming=1) to >=0.5 while
+    scoring ~37% of pairs; tables=4 x planes=3 reaches ~0.99.
+    Candidate-fraction bounds pin the cost side (wall clock is
+    machine-dependent; candidates are the work)."""
     from pyspark.sql import functions as F
 
     from gcp_serverless_etl_pipeline_lab_spark.operators.dedup import (
@@ -372,14 +376,16 @@ def test_knn_graph_lsh_multiprobe_recall_escalation(spark):
         return sum(vals) / len(vals)
 
     v = one.select("vec_id", "label", "embedding")
-    # default: heavy pruning, weak recall (the documented near-dup trade)
+    # minimal probe: heavy pruning, weak recall (the near-dup trade —
+    # still the cosine_candidate_pairs default; knn_graph_lsh opts out)
     assert cosine_candidate_pairs(v, 64).count() <= 0.10 * total_pairs
-    assert rec() <= 0.35
-    # escalated multiprobe: recall >= 0.5 at bounded extra work
+    assert rec(probe_hamming=1) <= 0.35
+    # knn_graph_lsh DEFAULT (probe_hamming=3): recall >= 0.5 at bounded
+    # extra work — the shipped-knob floor
     cand_h3 = cosine_candidate_pairs(v, 64, probe_hamming=3).count()
     assert cand_h3 <= 0.50 * total_pairs, cand_h3 / total_pairs
-    r3 = rec(probe_hamming=3)
-    assert r3 >= 0.5, f"probe_hamming=3 recall@3 {r3:.3f} < 0.5"
+    r3 = rec()
+    assert r3 >= 0.5, f"default-knob recall@3 {r3:.3f} < 0.5"
     # narrow multi-table: near-exact recall (cost approaches exhaustive)
     r43 = rec(tables=4, planes_per_table=3)
     assert r43 >= 0.9, f"tables=4/planes=3 recall@3 {r43:.3f} < 0.9"
