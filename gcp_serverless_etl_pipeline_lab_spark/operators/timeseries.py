@@ -27,10 +27,14 @@ Scale notes (100 TB):
   spine first and shuffled it through a left join plus a window — that
   measured 12.8× wall at 10× data (SCALE_STRESS.json round 6) purely
   from moving empty cells; this formulation is the fix.
-- The per-key window sort is bounded by the key's observed buckets; a
-  pathological key observed every second for decades would segment by
-  coarse epoch first (the trick in operators/packing.py) — not needed at
-  any tested scale.
+- The per-key window sort is bounded by the key's observed buckets, and
+  no single generated row ever materializes more than
+  ``max_run_buckets`` grid cells: a run longer than that is first split
+  into bounded segments (explode over segment ordinals, then the
+  per-segment sequence) — same chunking trick as operators/packing.py —
+  so one sparse key with two observations decades apart at fine
+  granularity concentrates nothing (and stays clear of Spark's 2^31
+  sequence-length cap).
 - Null handling is an explicit CONTRACT, enforced by an up-front filter
   (not an accident of window/join null semantics): rows with a NULL
   timestamp OR a NULL key are ignored, so a key whose every event has a
@@ -53,6 +57,7 @@ def gapfill_locf(
     value_col: str = "value",
     bucket: str = "1 hour",
     cents_avg: bool = False,
+    max_run_buckets: int = 32768,
 ) -> DataFrame:
     """Regular per-key bucket grid with gap rows and LOCF-filled values.
 
@@ -119,7 +124,7 @@ def gapfill_locf(
     # Each observed bucket owns the run [bucket_start, next_bs) and emits
     # one output row per grid cell in it, all carrying its LOCF value; the
     # last run per key extends to the global hi bound.
-    runs = (
+    runs_obs = (
         hourly.select(
             "key",
             F.col("bucket_start").alias("obs_bs"),
@@ -129,15 +134,92 @@ def gapfill_locf(
             F.lead("bucket_start").over(ordered).alias("next_bs"),
         )
         .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.col("obs_bs").alias("run_lo"),
+            F.expr(f"coalesce(next_bs - interval {bucket}, hi)").alias("run_hi"),
+            "obs_bs",
+            "n_events",
+            "v",
+            "v_filled",
+        )
     )
-    out_obs = runs.select(
+    # Leading gaps: grid cells from the global lo up to (excluding) each
+    # key's first observed bucket — a tiny per-key aggregate, broadcast
+    # bounds, generated rows. obs_bs is NULL, so the shared projection's
+    # bucket_start == obs_bs test is never true: n_events=0, was_gap=true,
+    # v_filled NULL — by construction, not by a separate literal branch.
+    runs_lead = (
+        hourly.groupBy("key")
+        .agg(F.min("bucket_start").alias("first_bs"))
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("first_bs") > F.col("lo"))
+        .select(
+            "key",
+            F.col("lo").alias("run_lo"),
+            F.expr(f"first_bs - interval {bucket}").alias("run_hi"),
+            F.lit(None).cast("timestamp").alias("obs_bs"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast(v_type).alias("v"),
+            F.lit(None).cast(v_type).alias("v_filled"),
+        )
+    )
+    # Bounded-run segmentation: a run spanning more than max_run_buckets
+    # grid cells is split into ceil(len/max) segments BEFORE the sequence
+    # explode, so no generated array exceeds max_run_buckets elements —
+    # one sparse key with a decades-long gap at fine granularity becomes
+    # many bounded rows instead of one giant one (and Spark's ~2^31
+    # sequence cap is unreachable). Both explodes run in the same task —
+    # segment ordinals are generated, never shuffled. The bucket width in
+    # microseconds is a constant-folded literal (window() accepts only
+    # fixed day-time widths, down to sub-second — hence micros, not
+    # seconds; epoch + interval IS the width); run bounds are
+    # window()-aligned, so the division is exact.
+    width_us = F.unix_micros(
+        F.expr(f"timestamp'1970-01-01 00:00:00' + interval {bucket}")
+    )
+    seg = max_run_buckets
+    n_seg = (
+        F.floor(
+            (F.unix_micros("run_hi") - F.unix_micros("run_lo"))
+            / (width_us * F.lit(seg))
+        )
+        + 1
+    )
+    segmented = (
+        runs_obs.unionByName(runs_lead)
+        .select(
+            "key",
+            "run_lo",
+            "run_hi",
+            "obs_bs",
+            "n_events",
+            "v",
+            "v_filled",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("seg_i"),
+        )
+        .select(
+            "key",
+            "obs_bs",
+            "n_events",
+            "v",
+            "v_filled",
+            F.timestamp_micros(
+                F.unix_micros("run_lo") + F.col("seg_i") * seg * width_us
+            ).alias("seg_lo"),
+            F.least(
+                F.col("run_hi"),
+                F.timestamp_micros(
+                    F.unix_micros("run_lo")
+                    + ((F.col("seg_i") + 1) * seg - 1) * width_us
+                ),
+            ).alias("seg_hi"),
+        )
+    )
+    return segmented.select(
         "key",
         F.explode(
-            F.expr(
-                f"sequence(obs_bs,"
-                f" coalesce(next_bs - interval {bucket}, hi),"
-                f" interval {bucket})"
-            )
+            F.expr(f"sequence(seg_lo, seg_hi, interval {bucket})")
         ).alias("bucket_start"),
         "obs_bs",
         "n_events",
@@ -155,22 +237,3 @@ def gapfill_locf(
         .otherwise(F.lit(True))
         .alias("was_gap"),
     )
-    # Leading gaps: grid cells from the global lo up to (excluding) each
-    # key's first observed bucket — a tiny per-key aggregate, broadcast
-    # bounds, generated rows.
-    leading = (
-        hourly.groupBy("key")
-        .agg(F.min("bucket_start").alias("first_bs"))
-        .crossJoin(F.broadcast(bounds))
-        .where(F.col("first_bs") > F.col("lo"))
-        .select(
-            "key",
-            F.explode(
-                F.expr(f"sequence(lo, first_bs - interval {bucket}, interval {bucket})")
-            ).alias("bucket_start"),
-            F.lit(0).cast("long").alias("n_events"),
-            F.lit(None).cast(v_type).alias("v_filled"),
-            F.lit(True).alias("was_gap"),
-        )
-    )
-    return out_obs.unionByName(leading)

@@ -71,3 +71,24 @@ def test_bounds_unaffected_by_null_rows(spark):
     with_nulls = gapfill_locf(_events(spark)).collect()
     without = gapfill_locf(clean).collect()
     assert sorted(map(tuple, with_nulls)) == sorted(map(tuple, without))
+
+
+def test_long_runs_segment_identically(spark):
+    """Bounded-run segmentation (ADVICE round 7): a run far longer than
+    max_run_buckets — here a 2-observation key with a ~500-bucket gap at
+    '1 minute' granularity, split every 7 buckets — must produce the
+    EXACT same grid as the unsegmented default, including the leading-gap
+    run of a late-starting key (segmented through the same path)."""
+    ev = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0, 0, 30), 10.0),
+            ("a", dt.datetime(2024, 1, 1, 8, 20, 15), 20.0),
+            ("b", dt.datetime(2024, 1, 1, 6, 1, 0), 5.0),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    default = gapfill_locf(ev, bucket="1 minute").collect()
+    tiny_seg = gapfill_locf(ev, bucket="1 minute", max_run_buckets=7).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, tiny_seg))
+    # grid spans 00:00..08:20 for both keys = 501 cells each
+    assert len(default) == 2 * 501
