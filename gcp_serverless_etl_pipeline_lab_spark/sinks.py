@@ -33,8 +33,10 @@ def write_warehouse(
     pointer flip is a single-object PUT, equally atomic). Readers resolve
     the pointer (``read_warehouse``), so a writer that dies mid-write
     leaves the pointer — and every concurrent reader — on the previous
-    complete snapshot; the orphaned partial ``v=N`` directory is swept by
-    a later write's pruning. ``keep_versions`` bounds disk: the newest N
+    complete snapshot; the orphaned partial ``v=N`` directory is ignored
+    by routine pruning (which must not touch incomplete dirs — they may
+    be a LIVE concurrent writer's) and swept by ``vacuum_versions`` once
+    demonstrably stale. ``keep_versions`` bounds disk: the newest N
     snapshots survive each commit (keep >= 2 so readers mid-scan of the
     prior version don't lose their files).
 
@@ -149,20 +151,33 @@ def _flip_pointer(path: str, version: int, through: int | None = None) -> None:
     rolls the table back. ``through`` records the highest streamed epoch
     folded into this snapshot (epoch compaction); it rides the same
     atomic replace and is carried forward when a later plain write
-    omits it."""
+    omits it.
+
+    The read-check-replace runs under an exclusive flock on a sidecar
+    lock file: without it two racing flips can interleave as
+    A-reads(none), B-reads(none), B-replaces(v=3), A-replaces(v=2) —
+    a rollback through the unguarded TOCTOU window. The object-store
+    analogue is a conditional PUT (if-match on the pointer's etag),
+    retried on precondition failure."""
+    import fcntl
     import os
 
-    cur, cur_through = _pointer_info(path)
-    if cur is not None and cur > version:
-        return
-    if through is None:
-        through = cur_through  # never forget absorbed epochs
-    tmp = os.path.join(path, f".{_POINTER}.tmp.{version}")
-    with open(tmp, "w") as fh:
-        fh.write(f"v={version}")
-        if through is not None:
-            fh.write(f"\nthrough={through}")
-    os.replace(tmp, os.path.join(path, _POINTER))
+    with open(os.path.join(path, f".{_POINTER}.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            cur, cur_through = _pointer_info(path)
+            if cur is not None and cur > version:
+                return
+            if through is None:
+                through = cur_through  # never forget absorbed epochs
+            tmp = os.path.join(path, f".{_POINTER}.tmp.{version}")
+            with open(tmp, "w") as fh:
+                fh.write(f"v={version}")
+                if through is not None:
+                    fh.write(f"\nthrough={through}")
+            os.replace(tmp, os.path.join(path, _POINTER))
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def _list_epochs(path: str) -> list[tuple[int, str]]:
@@ -184,7 +199,13 @@ def _list_epochs(path: str) -> list[tuple[int, str]]:
 def _prune_versions(path: str, keep_versions: int) -> None:
     """Remove all but the newest ``keep_versions`` snapshots (and their
     claim markers) — but NEVER the snapshot ``_CURRENT`` references, even
-    if a racing writer's commits pushed it outside the newest-N window."""
+    if a racing writer's commits pushed it outside the newest-N window,
+    and NEVER an INCOMPLETE snapshot (no ``_SUCCESS`` marker yet): that
+    directory may belong to a concurrent writer mid-write, and deleting
+    it fails the writer's tasks out from under it (observed as a flaky
+    FileFormatWriter crash in the 4-thread race test before this guard).
+    A crashed writer's partial dir therefore survives routine pruning —
+    it is swept by ``vacuum_versions`` once it is demonstrably stale."""
     import os
     import shutil
 
@@ -192,11 +213,52 @@ def _prune_versions(path: str, keep_versions: int) -> None:
     for old in _list_versions(path)[:-keep_versions]:
         if old == cur:
             continue
-        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+        d = os.path.join(path, f"v={old}")
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            continue
+        shutil.rmtree(d, ignore_errors=True)
         try:
             os.remove(os.path.join(path, f"{_CLAIM_PREFIX}{old}"))
         except OSError:
             pass
+
+
+def vacuum_versions(path: str, min_age_seconds: float = 86400.0) -> list[int]:
+    """Sweep CRASHED writers' debris: claimed-but-incomplete ``v=N`` dirs
+    (and orphaned claim markers) whose last modification is older than
+    ``min_age_seconds``. Routine pruning deliberately spares incomplete
+    dirs — it cannot tell a concurrent writer mid-write from a crash —
+    so the age bound is what disambiguates: nothing legitimately writes
+    a snapshot for longer than the vacuum horizon. Never touches the
+    committed pointer target or any complete snapshot (those are
+    ``_prune_versions``'s business). Returns the version numbers swept."""
+    import os
+    import shutil
+    import time
+
+    cur = _pointer_version(path)
+    now = time.time()
+    swept: list[int] = []
+    claimed = set(_list_claims(path)) | set(_list_versions(path))
+    for v in sorted(claimed):
+        if v == cur:
+            continue
+        d = os.path.join(path, f"v={v}")
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            continue  # complete snapshot: time-travel asset, not debris
+        marker = os.path.join(path, f"{_CLAIM_PREFIX}{v}")
+        stamps = [
+            os.path.getmtime(p) for p in (d, marker) if os.path.exists(p)
+        ]
+        if not stamps or now - max(stamps) < min_age_seconds:
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        swept.append(v)
+    return swept
 
 
 def _resolve_current(path: str) -> str | None:

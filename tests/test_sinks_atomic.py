@@ -152,3 +152,51 @@ def test_pointer_flip_is_commit_point(spark, tmp_path):
     # the pre-commit reader still scans its complete snapshot
     assert [r["id"] for r in old.collect()] == [1]
     assert [r["id"] for r in read_warehouse(spark, path).collect()] == [2]
+
+
+def test_prune_spares_incomplete_inflight_snapshot(spark, tmp_path):
+    """Regression for the flaky 4-thread race: routine pruning must NOT
+    delete a claimed-but-incomplete v=N dir — it may belong to a LIVE
+    concurrent writer whose tasks are still materializing files (the
+    pre-fix behavior failed that writer's Spark job mid-write)."""
+    from gcp_serverless_etl_pipeline_lab_spark import sinks
+
+    path = str(tmp_path / "wh")
+    write_warehouse(_df(spark, [1], "a"), path)  # v=0 committed
+    write_warehouse(_df(spark, [2], "b"), path)  # v=1 committed
+    # a slower writer mid-write: claim marker + partial dir, no _SUCCESS
+    inflight = os.path.join(path, "v=2")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-00000.parquet.inprogress"), "w") as fh:
+        fh.write("partial")
+    with open(os.path.join(path, ".claim-v2"), "w"):
+        pass
+    sinks._prune_versions(path, keep_versions=1)
+    assert os.path.isdir(inflight), "in-flight snapshot was pruned"
+    # ...but a COMPLETE old snapshot outside the window is pruned
+    assert not os.path.isdir(os.path.join(path, "v=0"))
+
+
+def test_vacuum_sweeps_only_stale_incomplete_claims(spark, tmp_path):
+    """vacuum_versions removes crashed writers' debris (incomplete dir +
+    claim marker) once older than the age bound, and never touches the
+    committed snapshot, complete snapshots, or FRESH incomplete dirs."""
+    from gcp_serverless_etl_pipeline_lab_spark import sinks
+
+    path = str(tmp_path / "wh")
+    write_warehouse(_df(spark, [1], "a"), path)  # v=0 committed
+    stale = os.path.join(path, "v=7")
+    os.makedirs(stale)
+    with open(os.path.join(path, ".claim-v7"), "w"):
+        pass
+    fresh = os.path.join(path, "v=8")
+    os.makedirs(fresh)
+    # age the stale pair well past the horizon
+    for p in (stale, os.path.join(path, ".claim-v7")):
+        os.utime(p, (1, 1))
+    swept = sinks.vacuum_versions(path, min_age_seconds=3600)
+    assert swept == [7]
+    assert not os.path.isdir(stale)
+    assert not os.path.exists(os.path.join(path, ".claim-v7"))
+    assert os.path.isdir(fresh), "fresh in-flight dir must survive vacuum"
+    assert [r["id"] for r in read_warehouse(spark, path).collect()] == [1]
