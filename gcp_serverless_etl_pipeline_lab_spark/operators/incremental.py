@@ -134,36 +134,49 @@ def build_base_index(
     ``max_df``/``n`` land in ``_MANIFEST.json`` so probes replay the
     exact build contract; at 100 TB raise INDEX_GRAM_BUCKETS and let each
     bucket hold many files — the partition count, not the file count, is
-    the pruning unit."""
+    the pruning unit.
+
+    The shingle frame is persisted (MEMORY_AND_DISK) across its two
+    consumers — the postings write and the sizes write — so the build
+    tokenizes and n-grams the corpus ONCE, not once per artifact. For a
+    one-off build job that is the right trade even at warehouse scale
+    (the spill is bounded by the shingle frame, comparable to the text
+    itself); a build that cannot afford the spill can drop the persist
+    and pay the second pass."""
     import json
     import os
 
-    sh = _with_shingles(base, n)
-    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
-    if max_df is not None:
-        grams = cap_document_frequency(grams, max_df)
-    grams = grams.select(
-        F.col("doc_id").alias("base_id"),
-        "g",
-        F.pmod(F.xxhash64("g"), F.lit(INDEX_GRAM_BUCKETS)).cast("int").alias("gb"),
-    )
-    base.select(F.md5("text").alias("k")).write.mode("overwrite").parquet(
-        os.path.join(path, "hashes")
-    )
-    (
-        grams.repartition(INDEX_GRAM_BUCKETS, F.col("gb"))
-        .write.mode("overwrite")
-        .partitionBy("gb")
-        .parquet(os.path.join(path, "grams"))
-    )
-    sh.select(
-        F.col("doc_id").alias("base_id"), F.size("shingles").alias("sz_b")
-    ).write.mode("overwrite").parquet(os.path.join(path, "sizes"))
-    with open(os.path.join(path, _MANIFEST), "w") as fh:
-        json.dump(
-            {"max_df": max_df, "ngram": n, "gram_buckets": INDEX_GRAM_BUCKETS},
-            fh,
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _with_shingles(base, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+        if max_df is not None:
+            grams = cap_document_frequency(grams, max_df)
+        grams = grams.select(
+            F.col("doc_id").alias("base_id"),
+            "g",
+            F.pmod(F.xxhash64("g"), F.lit(INDEX_GRAM_BUCKETS)).cast("int").alias("gb"),
         )
+        base.select(F.md5("text").alias("k")).write.mode("overwrite").parquet(
+            os.path.join(path, "hashes")
+        )
+        (
+            grams.repartition(INDEX_GRAM_BUCKETS, F.col("gb"))
+            .write.mode("overwrite")
+            .partitionBy("gb")
+            .parquet(os.path.join(path, "grams"))
+        )
+        sh.select(
+            F.col("doc_id").alias("base_id"), F.size("shingles").alias("sz_b")
+        ).write.mode("overwrite").parquet(os.path.join(path, "sizes"))
+        with open(os.path.join(path, _MANIFEST), "w") as fh:
+            json.dump(
+                {"max_df": max_df, "ngram": n, "gram_buckets": INDEX_GRAM_BUCKETS},
+                fh,
+            )
+    finally:
+        sh.unpersist()
 
 
 def _load_manifest(path: str) -> dict:
