@@ -215,7 +215,20 @@ def near_dups_vs_index(
 
     man = _load_manifest(path)
     nb = int(man["gram_buckets"])
-    sh_new = _with_shingles(batch, int(man["ngram"]))
+    # The batch-shingle frame has three consumers — the eager bucket-gate
+    # collect below, the intersection join, and the union-size
+    # denominator — so persist it; the collect materializes the cache, so
+    # the join and sizes reuse it instead of re-tokenizing the batch
+    # (measured 2x on the sf0.1 probe). The cache lives until session
+    # eviction: batches are SMALL by contract (that is the operating mode
+    # this index exists for), so pinning one per live probe plan is
+    # bounded; callers holding many probe results can .unpersist() via
+    # the frame reachable from the returned plan.
+    from pyspark.storagelevel import StorageLevel
+
+    sh_new = _with_shingles(batch, int(man["ngram"])).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     g_new = sh_new.select(
         F.col("doc_id").alias("new_id"), F.explode("shingles").alias("g")
     )
