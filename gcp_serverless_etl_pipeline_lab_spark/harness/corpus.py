@@ -852,3 +852,52 @@ def a0_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (partition, not sample)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0d_train_split_report",
+    f"""
+    WITH b AS (
+      SELECT lang, n_chars,
+             {h60_duck("'split' || '#' || (CAST(doc_id AS VARCHAR))")} % 10000 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 8000 THEN 'train'
+                WHEN bkt < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def a0d_train_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sampling.assign_splits: every document deterministically
+    assigned to exactly one of train(80%)/val(10%)/test(10%) by where
+    h60('split' || '#' || doc_id) lands among the cumulative thresholds —
+    a PARTITION of the corpus (the sampling family above draws subsets).
+    Membership is a pure function of row identity: the same doc lands in
+    the same split on every engine, every reshard, every retry, so a
+    test document can never migrate into train on re-processing (the
+    decontamination property df.randomSplit does not have). Map-side
+    CASE during the scan; the report aggregates per (split, lang)."""
+    from ..operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tagged = assign_splits(
+        docs,
+        "CAST(doc_id AS STRING)",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        tagged.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -432,6 +432,61 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, agg.schema)
 
 # ---------------------------------------------------------------------------
+# Gram-level novelty scoring (curriculum / quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a0d_gram_novelty",
+    f"""
+    WITH {_DOC_CORPUS_DUCK},
+    toks AS (SELECT doc_id, {_TOKS_DUCK} AS t FROM corpus),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM toks),
+    sizes AS (
+      SELECT doc_id, len(shingles) AS n_grams FROM sh WHERE len(shingles) > 0
+    ),
+    first AS (
+      SELECT g, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+      GROUP BY g
+    ),
+    novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM first GROUP BY 1)
+    SELECT ROUND(FLOOR(novelty * 10) / 10, 1) AS novelty_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT s.doc_id, s.n_grams,
+             ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / s.n_grams, 4) AS novelty
+      FROM sizes s LEFT JOIN novel n ON n.doc_id = s.doc_id
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def a0d_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc gram novelty (operators/dedup.gram_novelty — fraction of a
+    doc's distinct 3-grams first seen AT that doc), summarized as a
+    decile histogram: the dup-bearing corpus puts its exact/near clones
+    at novelty ~0 and the organic docs near 1, so the histogram pins both
+    the scoring and the corpus construction. One gram shuffle (map-side
+    MIN per gram, no pair fan-out, no df-cap needed), then doc-level
+    joins — the scale shape a 100 TB curriculum scorer needs."""
+    nov = _dedup.gram_novelty(_doc_corpus(spark, sf_dir))
+    return (
+        nov.groupBy(
+            F.round(F.floor(F.col("novelty") * 10) / 10, 1).alias("novelty_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("sum_grams"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("novelty_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup end-to-end: cosine pairs -> clusters -> survivors
 # ---------------------------------------------------------------------------
 

@@ -591,3 +591,49 @@ def embedding_cosine_pairs(
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
     )
+
+
+def gram_novelty(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams whose FIRST occurrence in corpus order (minimum doc_id
+    over the whole corpus) is the doc itself. 1.0 = every gram is new to
+    the corpus at this doc; 0.0 = pure recombination of earlier text.
+    The gram-level counterpart of near-dup detection — boilerplate and
+    template families score near 0 without any pairwise comparison — and
+    a standard curriculum/quality signal for training-data selection
+    (prefer high-novelty docs when deduplicating by cluster, downweight
+    low-novelty tails).
+
+    Returns (doc_id, n_grams, n_novel, novelty) for every doc with at
+    least one gram (docs shorter than ``n`` tokens have no grams and no
+    row — they carry no signal either way).
+
+    Shape chosen for scale: ONE corpus-wide shuffle — groupBy(gram) with
+    map-side partial MIN (no per-pair fan-out, so no df-cap is needed;
+    a gram shared by 1M docs still reduces to one row) — then the novel
+    counts are a tiny aggregate over the one-row-per-gram frame, joined
+    back to per-doc sizes on doc_id. No gram-level join-back: novelty
+    never touches the exploded frame twice."""
+    sh = _with_shingles(corpus, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_grams")).filter(
+        F.col("n_grams") > 0
+    )
+    first = (
+        sh.select("doc_id", F.explode("shingles").alias("g"))
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        sizes.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_grams"), 4
+            ).alias("novelty"),
+        )
+    )

@@ -75,3 +75,43 @@ def score_weighted_sample(
     )
     thresh = F.round(rate * DENOM).cast("bigint")
     return df.filter(F.expr(h60_sql(key)) % DENOM < thresh)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_sql: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test partitioning: EVERY row lands in
+    exactly one split, chosen by where ``h60(salt || '#' || key) % DENOM``
+    falls among the cumulative fraction thresholds (insertion order of
+    ``fractions``; they must sum to 1 within 1/DENOM).
+
+    This is the complement of the sampling family above — a partition of
+    the corpus, not a subset — and shares its reproducibility contract:
+    membership is a pure function of row identity, so the same document
+    lands in the same split on every engine, every reshard, every retry,
+    and (critically for decontamination) a doc can never migrate from
+    test into train when the corpus is re-processed. ``salt`` decorrelates
+    this assignment from every other hash-keyed decision (sampling,
+    sharding) made on the same key. Pure map-side: the CASE evaluates
+    during the scan — no shuffle, no sort, no join.
+
+    At 100 TB this replaces the common anti-pattern of
+    ``df.randomSplit`` — whose membership depends on partition layout and
+    seed plumbing — with a column expression any engine can replay."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1.0 / DENOM:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.expr(h60_sql(f"'{salt}' || '#' || ({key_sql})")) % DENOM
+    expr = None
+    cum = 0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += int(round(frac * DENOM))
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
