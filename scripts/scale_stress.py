@@ -355,6 +355,11 @@ def _ops(spark: SparkSession, path: str):
         ),
     } | {
         "dedup_exact": lambda: dedup.exact_dup_pairs(docs),
+        # Gram novelty: one gram shuffle with map-side MIN — the 30%
+        # boilerplate makes its grams corpus-wide hot, exactly the Zipf
+        # head partial aggregation must absorb before the exchange; the
+        # per-doc join side grows linearly.
+        "gram_novelty": lambda: dedup.gram_novelty(docs),
         "dedup_ngram_jaccard_capped": lambda: dedup.ngram_jaccard_pairs(
             docs, threshold=0.8, max_df=NGRAM_MAX_DF
         ),
