@@ -431,6 +431,102 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = agg.collect()
     return spark.createDataFrame(rows, agg.schema)
 
+@register(
+    "a0d_novelty_survivors",
+    f"""
+    WITH RECURSIVE {_DOC_CORPUS_DUCK},
+    keyed AS (SELECT doc_id, md5(text) AS k FROM corpus),
+    kept AS (SELECT k, MIN(doc_id) AS kept_id FROM keyed GROUP BY k),
+    epairs AS (
+      SELECT kept_id AS doc_a, doc_id AS doc_b
+      FROM keyed JOIN kept USING (k) WHERE doc_id <> kept_id
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (SELECT doc_id, {word_ngrams_duck("t", 3)} AS shingles FROM toks),
+    grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sa ON sa.doc_id = doc_a
+        JOIN (SELECT doc_id, len(shingles) AS sz FROM sh) sb ON sb.doc_id = doc_b
+      ) WHERE jaccard >= 0.8
+    ),
+    allp AS (SELECT * FROM epairs UNION SELECT * FROM jpairs),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM allp
+      UNION
+      SELECT doc_b, doc_a FROM allp
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    cc AS (
+      SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    csizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id),
+    gsizes AS (SELECT doc_id, len(shingles) AS n_grams FROM sh WHERE len(shingles) > 0),
+    firstg AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    novelc AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM firstg GROUP BY 1),
+    nov AS (
+      SELECT s.doc_id,
+             ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / s.n_grams, 4) AS novelty
+      FROM gsizes s LEFT JOIN novelc n ON n.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT cc.cluster_id, cc.doc_id, csizes.n_members,
+             COALESCE(nov.novelty, -1.0) AS sc,
+             ROW_NUMBER() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY COALESCE(nov.novelty, -1.0) DESC, cc.doc_id
+             ) AS rn
+      FROM cc
+      JOIN csizes USING (cluster_id)
+      LEFT JOIN nov ON nov.doc_id = cc.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_id, n_members,
+           ROUND(sc, 4) AS survivor_score
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def a0d_novelty_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (operators/cluster.
+    select_survivors): resolve exact+near duplicate clusters as in
+    dedup_cluster_resolve, then keep per cluster the member with the
+    HIGHEST gram novelty (ties to min doc_id) instead of the min-id
+    default — the corpus keeps the most-original exemplar of every
+    template family. Gram-less members rank -1 (an exact dup can be too
+    short to shingle); an all-unscored cluster falls back to min-id.
+    Per-cluster window sort is bounded by cluster size; novelty is the
+    one-gram-shuffle scorer — no pair-level work beyond the edge
+    detection itself."""
+    corpus = _doc_corpus(spark, sf_dir)
+    edges = exact_dup_pairs(corpus, ordered=False).select(
+        F.col("kept_id").alias("doc_a"), F.col("dropped_id").alias("doc_b")
+    ).unionAll(
+        ngram_jaccard_pairs(
+            corpus, threshold=0.8, max_df=100_000, ordered=False
+        ).select("doc_a", "doc_b")
+    )
+    members = cluster.resolve_clusters(edges)
+    nov = dedup.gram_novelty(corpus)
+    return cluster.select_survivors(members, nov, score_col="novelty").select(
+        "cluster_id",
+        "survivor_id",
+        "n_members",
+        "survivor_score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gram-level novelty scoring (curriculum / quality signal)
 # ---------------------------------------------------------------------------

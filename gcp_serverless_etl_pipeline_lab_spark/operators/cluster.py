@@ -146,3 +146,49 @@ def resolve_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Da
         .select("cluster_id", "doc_id", "n_members")
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def select_survivors(
+    members: DataFrame,
+    scores: DataFrame,
+    score_col: str = "novelty",
+) -> DataFrame:
+    """Quality-aware survivor selection: keep, per duplicate cluster, the
+    member with the HIGHEST score (ties to the smallest doc_id). The
+    min-id policy resolve_clusters consumers default to keeps whichever
+    clone happened to be ingested first; joining a quality signal (gram
+    novelty, LM score, length) keeps the best exemplar instead — the
+    standard refinement for training-corpus dedup.
+
+    ``members`` is (cluster_id, doc_id, ...) from ``resolve_clusters``;
+    ``scores`` is (doc_id, <score_col>, ...). Members with no score row
+    (e.g. a doc too short to produce a single n-gram can still be an
+    exact dup) rank as -1 — any scored member beats them, and an all-
+    unscored cluster falls back to min-id.
+
+    One window over members enriched with the (doc-granularity,
+    broadcast-or-shuffle-on-id) score join: the per-cluster sort is
+    bounded by cluster size, which dedup keeps small by construction —
+    no corpus-wide sort, no pair-level work."""
+    from pyspark.sql import Window
+
+    ranked = (
+        members.join(
+            scores.select("doc_id", F.col(score_col).alias("_score")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("_s", F.coalesce("_score", F.lit(-1.0)))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
+            F.round("_s", 4).alias("survivor_score"),
+        )
+        .orderBy("cluster_id")
+    )

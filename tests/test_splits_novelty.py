@@ -72,3 +72,28 @@ def test_gram_novelty_hand_computed(spark):
         2: (5, 3, 0.6),
     }
     assert 3 not in got
+
+
+def test_select_survivors_policies(spark):
+    """Highest score wins; ties to min doc_id; unscored members rank -1;
+    an all-unscored cluster falls back to min-id."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.cluster import (
+        select_survivors,
+    )
+
+    members = spark.createDataFrame(
+        [
+            (1, 10, 3), (1, 11, 3), (1, 12, 3),   # scored cluster
+            (2, 20, 2), (2, 21, 2),               # tie on score
+            (3, 30, 2), (3, 31, 2),               # 31 scored, 30 not
+            (4, 40, 2), (4, 41, 2),               # nobody scored
+        ],
+        "cluster_id long, doc_id long, n_members long",
+    )
+    scores = spark.createDataFrame(
+        [(10, 0.2), (11, 0.9), (12, 0.5), (20, 0.7), (21, 0.7), (31, 0.1)],
+        "doc_id long, novelty double",
+    )
+    got = {r.cluster_id: (r.survivor_id, r.survivor_score)
+           for r in select_survivors(members, scores).collect()}
+    assert got == {1: (11, 0.9), 2: (20, 0.7), 3: (31, 0.1), 4: (40, -1.0)}
