@@ -398,37 +398,61 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     build/probe asymmetry (capping rule, shingler, union sizes) breaks
     the hash.
 
-    The index is built ONCE per sf_dir into a deterministic temp
+    The index is built ONCE per base corpus into a deterministic temp
     location and reused across invocations — that IS the operator's
     contract (immutable per base snapshot; build amortized over every
     probe), so a benchmark that rebuilt it per call would measure a cost
-    the operating mode never pays. Concurrent first-callers coordinate
-    with build-to-unique-dir + atomic rename (the loser discards its
-    build; a crashed partial build can never be renamed in, so the
-    cached dir is complete by construction). Eager collect, same
-    discipline as compact_execute_verify."""
+    the operating mode never pays. The cache key is a CONTENT fingerprint
+    of the source parquet files (path + size + mtime_ns), not the fixture
+    dir's basename (ADVICE r8): regenerated fixture data changes the
+    fingerprint, so a stale index from the previous corpus can never be
+    silently probed. Concurrent first-callers coordinate with
+    build-to-unique-dir + atomic rename; on a failed rename the winner's
+    dir is trusted only if its manifest EXISTS — otherwise (foreign or
+    incomplete same-named dir) this caller probes its own staged build.
+    Eager collect, same discipline as compact_execute_verify; the probe's
+    pinned batch-shingle cache is scope-released after the collect."""
+    import hashlib
     import os
     import shutil
     import tempfile
 
-    from ..operators.incremental import build_base_index, classify_batch_vs_index
+    from ..operators.incremental import (
+        build_base_index,
+        classify_batch_vs_index,
+        probe_cache_scope,
+    )
 
     base, batch = _incremental_batch(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        [os.path.join(src, f) for f in sorted(os.listdir(src))]
+        if os.path.isdir(src)
+        else [src]
+    )
+    st = [(p, os.stat(p).st_size, os.stat(p).st_mtime_ns) for p in paths]
+    fp = hashlib.md5(repr(st).encode()).hexdigest()[:16]
     idx = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_incr_index_{tag}_df100k"
+        tempfile.gettempdir(), f"spark_graft_incr_index_{fp}_df100k"
     )
     if not os.path.exists(os.path.join(idx, "_MANIFEST.json")):
         stage = tempfile.mkdtemp(prefix="incr_idx_build_")
         build_base_index(base, stage, max_df=100_000)
         try:
             os.rename(stage, idx)
-        except OSError:  # a racing builder won; use theirs
-            shutil.rmtree(stage, ignore_errors=True)
-    agg = _category_summary(
-        classify_batch_vs_index(spark, batch, idx, threshold=0.8)
-    )
-    rows = agg.collect()
+        except OSError:
+            if os.path.exists(os.path.join(idx, "_MANIFEST.json")):
+                # a racing builder won with a COMPLETE build; use theirs
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                # same-named dir without a manifest (foreign owner or
+                # debris): probe our own complete staged build instead
+                idx = stage
+    with probe_cache_scope():
+        agg = _category_summary(
+            classify_batch_vs_index(spark, batch, idx, threshold=0.8)
+        )
+        rows = agg.collect()
     return spark.createDataFrame(rows, agg.schema)
 
 @register(

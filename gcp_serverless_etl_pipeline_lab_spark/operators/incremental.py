@@ -113,6 +113,61 @@ def near_dups_vs_base(
 INDEX_GRAM_BUCKETS = 64
 _MANIFEST = "_MANIFEST.json"
 
+# Active probe-cache registry (see probe_cache_scope). A contextvar, not a
+# module global, so concurrent probe scopes (e.g. two streaming queries in
+# one driver) each release exactly their own frames.
+import contextvars as _contextvars
+
+_PROBE_CACHES: _contextvars.ContextVar[list | None] = _contextvars.ContextVar(
+    "incremental_probe_caches", default=None
+)
+
+
+def probe_cache_scope():
+    """Context manager bounding the lifetime of probe-side caches.
+
+    ``near_dups_vs_index`` persists the batch-shingle frame (it has three
+    consumers — the bucket gate, the intersection join, the size
+    denominator). Without a scope that cache lives until session eviction
+    — fine for a one-shot probe, but a long-lived driver running hundreds
+    of probes (the nightly stream: one probe per micro-batch) accumulates
+    one pinned MEMORY_AND_DISK entry per epoch, and disk-backed blocks
+    are never evicted. Wrap each probe in this scope and every frame the
+    probe pinned is unpersisted on exit::
+
+        with probe_cache_scope():
+            out = classify_batch_vs_index(spark, batch, idx)
+            out.write.parquet(...)   # materialize INSIDE the scope
+
+    Materialize inside the scope (the caches exist to be reused across
+    the probe's consumers); a plan executed after exit stays CORRECT —
+    unpersist only drops the cache, Spark recomputes — it just re-shingles
+    the batch. Scopes nest; each releases only its own frames.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        reg: list = []
+        token = _PROBE_CACHES.set(reg)
+        try:
+            yield reg
+        finally:
+            _PROBE_CACHES.reset(token)
+            for frame in reg:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass  # session already stopped: nothing left to release
+
+    return _scope()
+
+
+def _register_probe_cache(frame: DataFrame) -> None:
+    reg = _PROBE_CACHES.get()
+    if reg is not None:
+        reg.append(frame)
+
 
 def build_base_index(
     base: DataFrame,
@@ -219,16 +274,18 @@ def near_dups_vs_index(
     # collect below, the intersection join, and the union-size
     # denominator — so persist it; the collect materializes the cache, so
     # the join and sizes reuse it instead of re-tokenizing the batch
-    # (measured 2x on the sf0.1 probe). The cache lives until session
-    # eviction: batches are SMALL by contract (that is the operating mode
-    # this index exists for), so pinning one per live probe plan is
-    # bounded; callers holding many probe results can .unpersist() via
-    # the frame reachable from the returned plan.
+    # (measured 2x on the sf0.1 probe). Lifetime: registered with the
+    # active probe_cache_scope() when one is open (the nightly stream
+    # wraps each micro-batch probe, so per-epoch caches are released);
+    # without a scope the cache lives until session eviction — bounded
+    # for a one-shot probe, but long-lived drivers running many probes
+    # should use the scope.
     from pyspark.storagelevel import StorageLevel
 
     sh_new = _with_shingles(batch, int(man["ngram"])).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _register_probe_cache(sh_new)
     g_new = sh_new.select(
         F.col("doc_id").alias("new_id"), F.explode("shingles").alias("g")
     )

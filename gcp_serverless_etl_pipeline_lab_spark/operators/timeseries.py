@@ -173,10 +173,16 @@ def gapfill_locf(
     # segment ordinals are generated, never shuffled. The bucket width in
     # microseconds is a constant-folded literal (window() accepts only
     # fixed day-time widths, down to sub-second — hence micros, not
-    # seconds; epoch + interval IS the width); run bounds are
-    # window()-aligned, so the division is exact.
-    width_us = F.unix_micros(
-        F.expr(f"timestamp'1970-01-01 00:00:00' + interval {bucket}")
+    # seconds); run bounds are window()-aligned, so the division is
+    # exact. Computed as a DIFFERENCE of two micros so the width is
+    # timezone-independent: day-time interval addition is absolute-time,
+    # so the session zone's parse offset cancels — a bare
+    # unix_micros(epoch_literal + interval) is only the width when the
+    # session zone is UTC, and gapfill_locf is public API usable from
+    # any session.
+    _t0 = "timestamp'1970-01-02 00:00:00'"
+    width_us = F.expr(
+        f"unix_micros({_t0} + interval {bucket}) - unix_micros({_t0})"
     )
     seg = max_run_buckets
     n_seg = (

@@ -205,17 +205,27 @@ def _prune_versions(path: str, keep_versions: int) -> None:
     it fails the writer's tasks out from under it (observed as a flaky
     FileFormatWriter crash in the 4-thread race test before this guard).
     A crashed writer's partial dir therefore survives routine pruning —
-    it is swept by ``vacuum_versions`` once it is demonstrably stale."""
+    it is swept by ``vacuum_versions`` once it is demonstrably stale.
+
+    The newest-N window is computed over COMPLETE snapshots only: an
+    incomplete dir (crashed or in-flight writer) occupying a newest-N
+    slot must not push an extra complete snapshot out of the window —
+    with ``keep_versions=2`` that would leave ONE readable snapshot, and
+    a reader mid-scan of the prior complete version could lose its files
+    before ``vacuum_versions`` ever ran."""
     import os
     import shutil
 
     cur = _pointer_version(path)
-    for old in _list_versions(path)[:-keep_versions]:
+    complete = [
+        v
+        for v in _list_versions(path)
+        if os.path.exists(os.path.join(path, f"v={v}", "_SUCCESS"))
+    ]
+    for old in complete[:-keep_versions]:
         if old == cur:
             continue
         d = os.path.join(path, f"v={old}")
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
-            continue
         shutil.rmtree(d, ignore_errors=True)
         try:
             os.remove(os.path.join(path, f"{_CLAIM_PREFIX}{old}"))
@@ -416,7 +426,15 @@ def write_warehouse_versioned(
         df, os.path.join(path, f"v={new_v}"), partition_by, fmt, atomic=False
     )
     if keep_versions is not None:
-        for old in _list_versions(path)[:-keep_versions]:
+        # keep window over COMPLETE snapshots only (same rule as
+        # _prune_versions): a racing writer's in-flight v=M must neither
+        # be deleted out from under it nor occupy a newest-N slot.
+        complete = [
+            v
+            for v in _list_versions(path)
+            if os.path.exists(os.path.join(path, f"v={v}", "_SUCCESS"))
+        ]
+        for old in complete[:-keep_versions]:
             shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
             try:
                 os.remove(os.path.join(path, f"{_CLAIM_PREFIX}{old}"))

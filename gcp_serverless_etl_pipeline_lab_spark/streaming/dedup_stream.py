@@ -106,7 +106,7 @@ def run_incremental_classify(
     """
     from pyspark.sql import types as T
 
-    from ..operators.incremental import classify_batch_vs_index
+    from ..operators.incremental import classify_batch_vs_index, probe_cache_scope
 
     schema = T.StructType(
         [
@@ -116,8 +116,13 @@ def run_incremental_classify(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        out = classify_batch_vs_index(spark, batch_df, index_path, threshold)
-        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        # probe_cache_scope bounds the probe's pinned batch-shingle cache
+        # to THIS epoch — without it a long-running stream leaks one
+        # MEMORY_AND_DISK entry per micro-batch (disk-backed blocks are
+        # never evicted). The epoch write materializes inside the scope.
+        with probe_cache_scope():
+            out = classify_batch_vs_index(spark, batch_df, index_path, threshold)
+            out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
     (

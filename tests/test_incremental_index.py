@@ -115,3 +115,47 @@ def test_probe_prunes_gram_buckets_for_small_batch(spark, tmp_path):
     # jaccard-1.0 near match of its source
     rows = df.collect()
     assert any(r.jaccard == 1.0 for r in rows)
+
+
+def test_probe_cache_scope_releases_pinned_frames(spark, tmp_path):
+    """ADVICE r8: near_dups_vs_index pins the batch-shingle frame; a
+    long-lived driver probing once per micro-batch leaked one
+    MEMORY_AND_DISK entry per epoch. probe_cache_scope must release
+    exactly the frames the probe pinned — and the released plan must
+    still be correct if re-executed (unpersist drops the cache, not the
+    lineage)."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = _base(spark)
+    batch = _batch(spark, base)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    with incremental.probe_cache_scope() as pinned:
+        out = incremental.classify_batch_vs_index(spark, batch, idx)
+        rows = out.collect()
+        assert len(rows) == batch.count()
+        assert pinned, "probe pinned nothing"
+        assert all(
+            f.storageLevel != StorageLevel.NONE for f in pinned
+        ), "frames not pinned during the scope"
+    assert all(
+        f.storageLevel == StorageLevel.NONE for f in pinned
+    ), "scope leaked a cache"
+    # plan re-executed AFTER release: recomputed, identical
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rows))
+
+
+def test_probe_without_scope_keeps_legacy_pinning(spark, tmp_path):
+    """Without a scope the one-shot contract is unchanged: the cache is
+    pinned (reused across the probe's three consumers) until session
+    eviction. Explicitly unpersist here to keep the test session clean."""
+    base = _base(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = incremental.near_dups_vs_index(spark, _batch(spark, base), idx)
+    assert out.count() > 0
+    assert jsc.getPersistentRDDs().size() > before
+    spark.catalog.clearCache()

@@ -200,3 +200,28 @@ def test_vacuum_sweeps_only_stale_incomplete_claims(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, ".claim-v7"))
     assert os.path.isdir(fresh), "fresh in-flight dir must survive vacuum"
     assert [r["id"] for r in read_warehouse(spark, path).collect()] == [1]
+
+
+def test_incomplete_dir_does_not_shrink_keep_window(spark, tmp_path):
+    """ADVICE r8: an incomplete v=N occupying a newest-N slot must not
+    push an extra COMPLETE snapshot out of the retention window — with
+    keep_versions=2 the window must hold the two newest COMPLETE
+    snapshots, or a reader mid-scan of the prior version loses files."""
+    from gcp_serverless_etl_pipeline_lab_spark import sinks
+
+    path = str(tmp_path / "wh")
+    write_warehouse(_df(spark, [1], "a"), path)  # v=0 committed
+    write_warehouse(_df(spark, [2], "b"), path)  # v=1 committed
+    # crashed writer's debris: claimed v=2, no _SUCCESS
+    debris = os.path.join(path, "v=2")
+    os.makedirs(debris)
+    with open(os.path.join(path, ".claim-v2"), "w"):
+        pass
+    write_warehouse(_df(spark, [3], "c"), path)  # v=3 committed, prunes
+    # window counts complete snapshots only: v=1 and v=3 kept, v=0 gone
+    assert not os.path.isdir(os.path.join(path, "v=0"))
+    assert os.path.isdir(os.path.join(path, "v=1")), (
+        "incomplete v=2 consumed a keep slot: prior complete snapshot lost"
+    )
+    assert os.path.isdir(os.path.join(path, "v=3"))
+    assert os.path.isdir(debris)  # vacuum's business, not prune's

@@ -92,3 +92,36 @@ def test_long_runs_segment_identically(spark):
     assert sorted(map(tuple, default)) == sorted(map(tuple, tiny_seg))
     # grid spans 00:00..08:20 for both keys = 501 cells each
     assert len(default) == 2 * 501
+
+
+def test_gapfill_grid_is_timezone_independent(spark):
+    """ADVICE r8: the bucket width was derived from unix_micros(epoch +
+    interval), whose epoch LITERAL parses in session-local time — in a
+    non-UTC session the width picked up the zone offset and the segment
+    grid misaligned. The width is now a difference of two micros (the
+    parse offset cancels), so the grid must be identical under any
+    session timezone."""
+    # max_run_buckets=2 forces the 3-cell gap run into MULTIPLE segments
+    # — the path where a wrong width misplaces seg_lo/seg_hi (a short run
+    # fits one segment for any width and hides the bug).
+    def run():
+        return sorted(
+            map(
+                tuple,
+                gapfill_locf(
+                    _events(spark), bucket="1 hour", max_run_buckets=2
+                ).collect(),
+            )
+        )
+
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    utc_rows = run()
+    try:
+        spark.conf.set(tz_key, "Asia/Tokyo")
+        est_rows = run()
+    finally:
+        spark.conf.set(tz_key, prev)
+    assert est_rows == utc_rows
+    # and the segmented grid itself is the full 4-cell-per-key grid
+    assert len(utc_rows) == 8
