@@ -412,11 +412,6 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     incomplete same-named dir) this caller probes its own staged build.
     Eager collect, same discipline as compact_execute_verify; the probe's
     pinned batch-shingle cache is scope-released after the collect."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from ..operators.incremental import (
         build_base_index,
         classify_batch_vs_index,
@@ -424,6 +419,30 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base, batch = _incremental_batch(spark, sf_dir)
+    idx = _ensure_cached_index(
+        sf_dir, "df100k", lambda stage: build_base_index(base, stage, max_df=100_000)
+    )
+    with probe_cache_scope():
+        agg = _category_summary(
+            classify_batch_vs_index(spark, batch, idx, threshold=0.8)
+        )
+        rows = agg.collect()
+    return spark.createDataFrame(rows, agg.schema)
+
+
+def _ensure_cached_index(sf_dir: str, tag: str, build) -> str:
+    """Build-once cache for persisted incremental-dedup indexes, keyed by
+    a CONTENT fingerprint of the source parquet (path + size + mtime_ns —
+    regenerated fixture data changes the key, so a stale index is never
+    silently probed) plus a build-variant ``tag``. Concurrent
+    first-callers coordinate with build-to-unique-dir + atomic rename; a
+    failed rename trusts the winner's dir only if its manifest EXISTS,
+    else probes this caller's own complete staged build."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
     src = os.path.join(sf_dir, "documents.parquet")
     paths = (
         [os.path.join(src, f) for f in sorted(os.listdir(src))]
@@ -433,11 +452,11 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = [(p, os.stat(p).st_size, os.stat(p).st_mtime_ns) for p in paths]
     fp = hashlib.md5(repr(st).encode()).hexdigest()[:16]
     idx = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_incr_index_{fp}_df100k"
+        tempfile.gettempdir(), f"spark_graft_incr_index_{fp}_{tag}"
     )
     if not os.path.exists(os.path.join(idx, "_MANIFEST.json")):
         stage = tempfile.mkdtemp(prefix="incr_idx_build_")
-        build_base_index(base, stage, max_df=100_000)
+        build(stage)
         try:
             os.rename(stage, idx)
         except OSError:
@@ -448,6 +467,46 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # same-named dir without a manifest (foreign owner or
                 # debris): probe our own complete staged build instead
                 idx = stage
+    return idx
+
+
+@register("a0e_index_append", _INCREMENTAL_ORACLE)
+def a0e_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index LIFECYCLE query (round-9 flagship): the base index is
+    built on HALF the corpus (even doc_ids), the other half arrives later
+    and is appended via operators/incremental.append_to_index — new
+    immutable generation dirs, one atomic manifest commit, df-cap
+    re-enforced across old+new — and the standard probe batch then
+    classifies against the APPENDED index. The oracle is the identical
+    full-corpus classify SQL as dedup_incremental_batch /
+    a0d_incremental_index: if append semantics diverged from a rebuild in
+    ANY way (missing postings, uncapped crossings, double-counted sizes),
+    the category counts would hash-mismatch.
+
+    Build+append are cached once per base corpus (same fingerprint
+    discipline as a0d_incremental_index — the nightly operating mode pays
+    the append once per merged increment, then probes many batches)."""
+    from ..operators.incremental import (
+        append_to_index,
+        build_base_index,
+        classify_batch_vs_index,
+        probe_cache_scope,
+    )
+
+    base, batch = _incremental_batch(spark, sf_dir)
+
+    def _build(stage: str) -> None:
+        build_base_index(
+            base.filter(F.col("doc_id") % 2 == 0), stage, max_df=100_000
+        )
+        append_to_index(
+            spark,
+            base.filter(F.col("doc_id") % 2 == 1),
+            stage,
+            increment_id="odd-half",
+        )
+
+    idx = _ensure_cached_index(sf_dir, "split100k", _build)
     with probe_cache_scope():
         agg = _category_summary(
             classify_batch_vs_index(spark, batch, idx, threshold=0.8)

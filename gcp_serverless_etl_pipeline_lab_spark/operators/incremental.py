@@ -39,9 +39,16 @@ compact index:
   pinned by the ``a0d_incremental_index`` oracle query and
   tests/test_incremental_index.py.
 
-The index is immutable per base snapshot; after merging an increment
-into the base, extend it by appending the increment's postings (the
-bucket partitioning makes that an append into existing ``gb=`` dirs).
+The index is extended, not rebuilt, after an increment is merged into
+the base: ``append_to_index`` writes the increment's hashes / postings /
+sizes as a new immutable GENERATION directory per artifact and commits
+it with one atomic manifest replace — append cost tracks INCREMENT
+size, never base size, and the df-cap contract is re-enforced across
+old+new (a gram whose cumulative document frequency crosses the cap at
+append time is added to a capped-grams ledger the probes anti-join, so
+probe-after-append is bit-identical to probe-against-rebuilt-index —
+pinned by tests/test_incremental_index.py and the ``a0e_index_append``
+oracle query).
 """
 
 from __future__ import annotations
@@ -169,69 +176,149 @@ def _register_probe_cache(frame: DataFrame) -> None:
         reg.append(frame)
 
 
+_HASHES_SCHEMA = "k string"
+_GRAMS_SCHEMA = "base_id bigint, g string, gb int"
+_SIZES_SCHEMA = "base_id bigint, sz_b int"
+_GRAMDF_SCHEMA = "g string, df bigint, gb int"
+_CAPPED_SCHEMA = "g string"
+
+
+def _gb(col: str):
+    return F.pmod(F.xxhash64(col), F.lit(INDEX_GRAM_BUCKETS)).cast("int")
+
+
 def build_base_index(
     base: DataFrame,
     path: str,
     max_df: int | None = 10_000,
     n: int = 3,
 ) -> None:
-    """Shingle and sign ``base`` ONCE; persist the three probe artifacts
-    under ``path``:
+    """Shingle and sign ``base`` ONCE; persist the probe artifacts under
+    ``path`` as GENERATION 0 of an appendable index (v2 layout —
+    ``append_to_index`` adds later generations without touching these):
 
-    - ``hashes/``  — md5(text) of every base doc (exact-dup probe);
-    - ``grams/``   — (base_id, g) postings, df-capped at build time with
-      the same rule as ``near_dups_vs_base`` and hive-partitioned by
+    - ``hashes/gen=0``  — md5(text) of every base doc (exact-dup probe);
+    - ``grams/gen=0``   — (base_id, g) postings, df-capped at build time
+      with the same rule as ``near_dups_vs_base`` and hive-partitioned by
       ``gb = pmod(xxhash64(g), INDEX_GRAM_BUCKETS)`` so probes prune to
       the buckets their own grams occupy;
-    - ``sizes/``   — full (uncapped) shingle-set size per base doc, the
-      union-size denominator.
+    - ``sizes/gen=0``   — full (uncapped) shingle-set size per base doc,
+      the union-size denominator;
+    - ``gramdf/gen=0``  — TRUE document frequency of every gram,
+      including over-cap grams (gb-partitioned) — what lets an append
+      decide whether old+new df crosses the cap without rescanning base
+      text;
+    - ``capped/gen=0``  — grams whose cumulative df exceeds ``max_df``
+      (small by construction: at most total_occurrences/max_df entries,
+      the same bound as cap_document_frequency's hot list). Probes
+      anti-join it; at build time it is redundant (those postings were
+      never written) but appends extend it when a gram CROSSES the cap,
+      excluding the physically-present older postings.
 
-    ``max_df``/``n`` land in ``_MANIFEST.json`` so probes replay the
-    exact build contract; at 100 TB raise INDEX_GRAM_BUCKETS and let each
-    bucket hold many files — the partition count, not the file count, is
-    the pruning unit.
+    ``max_df``/``n`` land in ``_MANIFEST.json`` so probes and appends
+    replay the exact build contract; at 100 TB raise INDEX_GRAM_BUCKETS
+    and let each bucket hold many files — the partition count, not the
+    file count, is the pruning unit.
 
-    The shingle frame is persisted (MEMORY_AND_DISK) across its two
-    consumers — the postings write and the sizes write — so the build
-    tokenizes and n-grams the corpus ONCE, not once per artifact. For a
-    one-off build job that is the right trade even at warehouse scale
-    (the spill is bounded by the shingle frame, comparable to the text
-    itself); a build that cannot afford the spill can drop the persist
-    and pay the second pass."""
-    import json
-    import os
-
+    The shingle frame is persisted (MEMORY_AND_DISK) across its
+    consumers — the postings/gramdf writes and the sizes write — so the
+    build tokenizes and n-grams the corpus ONCE, not once per artifact.
+    For a one-off build job that is the right trade even at warehouse
+    scale (the spill is bounded by the shingle frame, comparable to the
+    text itself); a build that cannot afford the spill can drop the
+    persist and pay the second pass."""
     from pyspark.storagelevel import StorageLevel
 
     sh = _with_shingles(base, n).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+        grams = sh.select(
+            F.col("doc_id").cast("long").alias("base_id"),
+            F.explode("shingles").alias("g"),
+        )
+        df_tab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         if max_df is not None:
-            grams = cap_document_frequency(grams, max_df)
-        grams = grams.select(
-            F.col("doc_id").alias("base_id"),
-            "g",
-            F.pmod(F.xxhash64("g"), F.lit(INDEX_GRAM_BUCKETS)).cast("int").alias("gb"),
+            hot = df_tab.filter(F.col("df") > max_df).select("g")
+            grams = grams.join(F.broadcast(hot), "g", "left_anti")
+        else:
+            hot = df_tab.filter(F.lit(False)).select("g")
+        _write_generation(
+            path,
+            0,
+            hashes=base.select(F.md5("text").alias("k")),
+            grams=grams.select("base_id", "g", _gb("g").alias("gb")),
+            sizes=sh.select(
+                F.col("doc_id").cast("long").alias("base_id"),
+                F.size("shingles").alias("sz_b"),
+            ),
+            gramdf=df_tab.select("g", "df", _gb("g").alias("gb")),
+            capped=hot,
         )
-        base.select(F.md5("text").alias("k")).write.mode("overwrite").parquet(
-            os.path.join(path, "hashes")
+        _write_manifest(
+            path,
+            {
+                "version": 2,
+                "max_df": max_df,
+                "ngram": n,
+                "gram_buckets": INDEX_GRAM_BUCKETS,
+                "generations": [{"gen": 0, "increment_id": None}],
+            },
         )
-        (
-            grams.repartition(INDEX_GRAM_BUCKETS, F.col("gb"))
-            .write.mode("overwrite")
-            .partitionBy("gb")
-            .parquet(os.path.join(path, "grams"))
-        )
-        sh.select(
-            F.col("doc_id").alias("base_id"), F.size("shingles").alias("sz_b")
-        ).write.mode("overwrite").parquet(os.path.join(path, "sizes"))
-        with open(os.path.join(path, _MANIFEST), "w") as fh:
-            json.dump(
-                {"max_df": max_df, "ngram": n, "gram_buckets": INDEX_GRAM_BUCKETS},
-                fh,
-            )
+        # manifest replace is the commit point (see _write_manifest); a
+        # crash before it leaves no manifest, and the builder retries
+        # into the same path cleanly (gen-0 overwrite).
     finally:
         sh.unpersist()
+
+
+def _write_generation(
+    path: str,
+    gen: int,
+    hashes: DataFrame,
+    grams: DataFrame,
+    sizes: DataFrame,
+    gramdf: DataFrame,
+    capped: DataFrame,
+) -> None:
+    """Write one immutable generation of every artifact. mode=overwrite
+    so a CRASHED prior attempt at the same generation number is replaced
+    wholesale on retry (generations become visible only via the manifest
+    commit, so a half-written gen dir is never read)."""
+    import os
+
+    hashes.write.mode("overwrite").parquet(
+        os.path.join(path, "hashes", f"gen={gen}")
+    )
+    (
+        grams.repartition(INDEX_GRAM_BUCKETS, F.col("gb"))
+        .write.mode("overwrite")
+        .partitionBy("gb")
+        .parquet(os.path.join(path, "grams", f"gen={gen}"))
+    )
+    sizes.write.mode("overwrite").parquet(
+        os.path.join(path, "sizes", f"gen={gen}")
+    )
+    (
+        gramdf.repartition(INDEX_GRAM_BUCKETS, F.col("gb"))
+        .write.mode("overwrite")
+        .partitionBy("gb")
+        .parquet(os.path.join(path, "gramdf", f"gen={gen}"))
+    )
+    capped.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "capped", f"gen={gen}")
+    )
+
+
+def _write_manifest(path: str, man: dict) -> None:
+    """Atomic manifest replace — THE commit point for builds and appends
+    (write temp + os.replace; the object-store analogue is one PUT)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
 def _load_manifest(path: str) -> dict:
@@ -242,14 +329,37 @@ def _load_manifest(path: str) -> dict:
         return json.load(fh)
 
 
-def exact_dups_vs_index(spark, batch: DataFrame, path: str) -> DataFrame:
-    """``exact_dups_vs_base`` against the stored hash column — the base's
-    md5s were materialized at build time; the probe shuffles only the
-    batch and scans one narrow parquet column."""
+def _read_artifact(spark, path: str, name: str, man: dict, schema: str) -> DataFrame:
+    """Union of the artifact's COMMITTED generations (manifest-listed
+    only — an orphaned gen dir from a crashed append is never read).
+    v1 indexes (round-8 flat layout, no ``version`` key) read the bare
+    artifact dir. The explicit schema makes an EMPTY generation (e.g. an
+    all-capped increment's postings) read as zero rows instead of
+    failing schema inference; partition columns (gb) resolve from dir
+    names as usual."""
     import os
 
+    if man.get("version", 1) < 2:
+        dirs = [os.path.join(path, name)]
+    else:
+        dirs = [
+            os.path.join(path, name, f"gen={g['gen']}")
+            for g in man["generations"]
+        ]
+    out = None
+    for d in dirs:
+        part = spark.read.schema(schema).option("basePath", d).parquet(d)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def exact_dups_vs_index(spark, batch: DataFrame, path: str) -> DataFrame:
+    """``exact_dups_vs_base`` against the stored hash column — the base's
+    md5s were materialized at build/append time; the probe shuffles only
+    the batch and scans one narrow parquet column."""
+    man = _load_manifest(path)
     b = batch.select("doc_id", F.md5("text").alias("k"))
-    base_k = spark.read.parquet(os.path.join(path, "hashes"))
+    base_k = _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA)
     return b.join(base_k, "k", "left_semi").select("doc_id")
 
 
@@ -263,11 +373,12 @@ def near_dups_vs_index(
     shingled fresh; the base side is READ, never recomputed, and only the
     gram-bucket partitions the batch's grams hash into are scanned (the
     <=``gram_buckets``-value bucket list is collected driver-side — a
-    bounded gate, same class as the 1-row gates). The df-cap was applied
-    at build time, so results match ``near_dups_vs_base(batch, base,
-    threshold, max_df)`` for the build's ``max_df`` exactly."""
-    import os
-
+    bounded gate, same class as the 1-row gates). The df-cap is enforced
+    physically at build/append time plus the capped-grams anti-join (a
+    gram that CROSSED the cap in a later generation still has its older
+    postings on disk — the ledger excludes them), so results match
+    ``near_dups_vs_base(batch, merged_base, threshold, max_df)`` for the
+    build's ``max_df`` exactly, however many appends have landed."""
     man = _load_manifest(path)
     nb = int(man["gram_buckets"])
     # The batch-shingle frame has three consumers — the eager bucket-gate
@@ -297,9 +408,16 @@ def near_dups_vs_index(
         .distinct()
         .collect()
     ]
-    g_base = spark.read.parquet(os.path.join(path, "grams"))
+    g_base = _read_artifact(spark, path, "grams", man, _GRAMS_SCHEMA)
     if len(gbs) < nb:
         g_base = g_base.filter(F.col("gb").isin(gbs))
+    if man.get("version", 1) >= 2:
+        # exclude grams that crossed the df-cap in a later generation
+        # (their pre-crossing postings are physically present). The
+        # ledger is small by construction — broadcast anti-join, no
+        # extra shuffle of the postings.
+        capped = _read_artifact(spark, path, "capped", man, _CAPPED_SCHEMA)
+        g_base = g_base.join(F.broadcast(capped), "g", "left_anti")
     inter = (
         g_new.join(g_base.select("base_id", "g"), "g")
         .groupBy("new_id", "base_id")
@@ -308,7 +426,7 @@ def near_dups_vs_index(
     sz_new = sh_new.select(
         F.col("doc_id").alias("new_id"), F.size("shingles").alias("sz_n")
     )
-    sz_base = spark.read.parquet(os.path.join(path, "sizes"))
+    sz_base = _read_artifact(spark, path, "sizes", man, _SIZES_SCHEMA)
     return (
         inter.join(sz_new, "new_id")
         .join(sz_base, "base_id")
@@ -323,6 +441,134 @@ def near_dups_vs_index(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("new_id").alias("doc_id"), "base_id", "jaccard")
     )
+
+
+def append_to_index(
+    spark,
+    increment: DataFrame,
+    path: str,
+    increment_id: str | None = None,
+) -> bool:
+    """Extend a persisted base index with an increment that has been
+    MERGED into the base — the nightly-loop step that keeps the index in
+    lockstep with the warehouse without ever rebuilding it. Probing the
+    appended index is bit-identical to probing an index rebuilt from the
+    merged corpus (same ``max_df``); cost tracks INCREMENT size:
+
+    - the increment is shingled once (its text; base text untouched);
+    - its per-gram document frequencies join against the stored
+      ``gramdf`` slices PRUNED to the increment's own gram buckets, so
+      the old-df lookup reads a bounded fraction of the gram table;
+    - postings/hashes/sizes/gramdf land as a new immutable generation
+      directory per artifact; nothing existing is rewritten;
+    - the df-cap contract is re-enforced across old+new: a gram whose
+      CUMULATIVE df crosses ``max_df`` at this append gets no new
+      postings and is added to the ``capped`` ledger, which probes
+      anti-join — excluding its physically-present older postings
+      exactly as a rebuild would have dropped them. (The dead postings
+      stay on disk until a rebuild; they are never read past the
+      anti-join. Grams already over the cap stay capped — df only
+      grows.)
+
+    CRASH SAFETY / IDEMPOTENCE: the atomic manifest replace is the one
+    commit point. A crash mid-append leaves orphaned ``gen=K`` dirs no
+    reader ever sees; the replay overwrites them and commits. Pass
+    ``increment_id`` (e.g. the stream's epoch id) and a replay of an
+    ALREADY-COMMITTED append is detected and skipped — returns False;
+    a performed append returns True. Without an id, callers own
+    exactly-once delivery.
+
+    Requires a v2 (generational) index; round-8 flat-layout indexes must
+    be rebuilt once with ``build_base_index``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    man = _load_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"index at {path} uses the pre-append flat layout; rebuild it "
+            "with build_base_index to enable appends"
+        )
+    if increment_id is not None and any(
+        g.get("increment_id") == increment_id for g in man["generations"]
+    ):
+        return False
+    max_df = man["max_df"]
+    gen = max(g["gen"] for g in man["generations"]) + 1
+
+    sh = _with_shingles(increment, int(man["ngram"])).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inc_grams = sh.select(
+        F.col("doc_id").cast("long").alias("base_id"),
+        F.explode("shingles").alias("g"),
+    )
+    # per-gram df of the increment, joined with the CUMULATIVE stored df
+    # (pruned to the increment's buckets — the same static-pruning lever
+    # as the probe; an increment with few distinct grams touches few
+    # partitions of the gram table). Persisted: it feeds the capped
+    # ledger, the postings filter, and the gramdf write.
+    inc_df = (
+        inc_grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("gb", _gb("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        nb = int(man["gram_buckets"])
+        gbs = [r["gb"] for r in inc_df.select("gb").distinct().collect()]
+        old_df = _read_artifact(spark, path, "gramdf", man, _GRAMDF_SCHEMA)
+        if len(gbs) < nb:
+            old_df = old_df.filter(F.col("gb").isin(gbs))
+        old_sum = old_df.groupBy("g").agg(F.sum("df").alias("old_df"))
+        merged = (
+            inc_df.join(old_sum, "g", "left")
+            .select(
+                "g",
+                "gb",
+                "df",
+                F.coalesce(F.col("old_df"), F.lit(0)).alias("old_df"),
+                (F.col("df") + F.coalesce(F.col("old_df"), F.lit(0))).alias(
+                    "total_df"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            if max_df is not None:
+                # grams over the cap AFTER this increment: no new postings
+                over = merged.filter(F.col("total_df") > max_df)
+                # ...and the ones CROSSING it now enter the ledger (the
+                # already-capped ones are in an earlier generation's)
+                newly_capped = over.filter(F.col("old_df") <= max_df).select("g")
+                post_inc = inc_grams.join(
+                    F.broadcast(over.select("g")), "g", "left_anti"
+                )
+            else:
+                newly_capped = merged.filter(F.lit(False)).select("g")
+                post_inc = inc_grams
+            _write_generation(
+                path,
+                gen,
+                hashes=increment.select(F.md5("text").alias("k")),
+                grams=post_inc.select("base_id", "g", _gb("g").alias("gb")),
+                sizes=sh.select(
+                    F.col("doc_id").cast("long").alias("base_id"),
+                    F.size("shingles").alias("sz_b"),
+                ),
+                gramdf=inc_df.select("g", "df", "gb"),
+                capped=newly_capped,
+            )
+            man["generations"].append(
+                {"gen": gen, "increment_id": increment_id}
+            )
+            _write_manifest(path, man)
+            return True
+        finally:
+            merged.unpersist()
+    finally:
+        inc_df.unpersist()
+        sh.unpersist()
 
 
 def classify_batch_vs_index(

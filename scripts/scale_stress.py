@@ -450,6 +450,29 @@ def _ops(spark: SparkSession, path: str):
                 F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
             )
         ),
+        # Quality-aware survivor selection (a0d_novelty_survivors, the
+        # round-8 suite's heaviest query) at the REAL df-cap: exact+ngram
+        # edge detection (cap firing on the injected boilerplate) + CC +
+        # the one-gram-shuffle novelty scorer + one cluster-bounded
+        # window. The added cost over dedup_cluster_resolve is the
+        # novelty join + window — both keyed work that must grow with
+        # the edge set, not quadratically.
+        "novelty_survivors": lambda: cluster.select_survivors(
+            cluster.resolve_clusters(
+                dedup.exact_dup_pairs(docs, ordered=False)
+                .select(
+                    F.col("kept_id").alias("doc_a"),
+                    F.col("dropped_id").alias("doc_b"),
+                )
+                .unionAll(
+                    dedup.ngram_jaccard_pairs(
+                        docs, threshold=0.8, max_df=NGRAM_MAX_DF, ordered=False
+                    ).select("doc_a", "doc_b")
+                )
+            ),
+            dedup.gram_novelty(docs),
+            score_col="novelty",
+        ),
         # DSIR importance: two bigram-LM scoring passes (target model =
         # every 4th doc). The 30%-boilerplate skew makes the boilerplate
         # bigrams corpus-wide heavy hitters whose counts grow linearly
@@ -479,6 +502,54 @@ def _ensure_incr_index(spark: SparkSession, scale_path: str, docs: DataFrame) ->
             file=sys.stderr,
         )
     return idx
+
+
+def _stress_index_append(
+    spark: SparkSession, path: str, n: int
+) -> tuple[float, int]:
+    """Append cost must track INCREMENT size, not base size: the base is
+    FIXED at every scale (replica-0 docs, ~same corpus x1..x10) while the
+    increment is half the scaled corpus (grows linearly with N). Each
+    timed run appends into a fresh copy of the prebuilt base index (the
+    copy is outside the timing; append mutates the index, so runs can't
+    share one). Sub-linear growth vs N here means the nightly loop's
+    append step scales with what arrived, not with what's accumulated."""
+    import shutil
+    import tempfile
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.incremental import (
+        append_to_index,
+        build_base_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    base = docs.filter(F.col("doc_id") < 10_000_000)
+    base_idx = os.path.join(path, "incr_base_fixed")
+    if not os.path.exists(os.path.join(base_idx, "_MANIFEST.json")):
+        t0 = time.time()
+        build_base_index(base, base_idx, max_df=NGRAM_MAX_DF)
+        print(
+            f"-- built fixed base index at {base_idx} in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    increment = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    )
+    out_rows = increment.count()
+    elapsed = None
+    for _ in range(2):
+        work = tempfile.mkdtemp(prefix="incr_append_stress_")
+        shutil.rmtree(work)
+        shutil.copytree(base_idx, work)
+        start = time.perf_counter()
+        append_to_index(spark, increment, work, increment_id=f"x{n}")
+        e = round(time.perf_counter() - start, 2)
+        elapsed = e if elapsed is None else min(elapsed, e)
+        shutil.rmtree(work, ignore_errors=True)
+    return elapsed, out_rows
+
+
+SIDE_OPS = {"index_append": _stress_index_append}
 
 
 def main() -> None:
@@ -532,6 +603,16 @@ def main() -> None:
                 build().write.format("noop").mode("overwrite").save()
                 e = round(time.perf_counter() - start, 2)
                 elapsed = e if elapsed is None else min(elapsed, e)
+            results.setdefault(name, {})[f"x{n}"] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+            }
+            print(f"x{n} {name}: {elapsed}s, {out_rows} rows", file=sys.stderr)
+        # side-effecting ops (index mutation): timed by their own harness
+        for name, side in SIDE_OPS.items():
+            if op_filter and not any(s in name for s in op_filter):
+                continue
+            elapsed, out_rows = side(spark, path, n)
             results.setdefault(name, {})[f"x{n}"] = {
                 "sec": elapsed,
                 "out_rows": out_rows,

@@ -1,0 +1,165 @@
+"""append_to_index (operators/incremental.py): extending the persisted
+base index after an increment is merged into the base.
+
+The contract under test is the round-8 verdict's completion criterion:
+probe-after-append must be BIT-IDENTICAL to probe-against-an-index-
+rebuilt-from-the-merged-corpus, including when the append makes gram
+document frequencies CROSS the df-cap (the appended index keeps the old
+postings on disk but excludes them via the capped ledger, exactly as a
+rebuild would have dropped them)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_serverless_etl_pipeline_lab_spark.operators import incremental
+from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+# small cap so that merging the increment pushes a real set of grams
+# over it — the crossing path is the one a lazy append would get wrong
+MAX_DF = 8
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+
+def _split(spark):
+    """Disjoint base/increment halves of the fixture corpus plus a probe
+    batch drawn from BOTH halves (resubmissions, near-dups, fresh)."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"),
+                F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.array_join(
+                    F.reverse(F.split(F.col("text"), " ", -1)), " "
+                ).alias("text"),
+            )
+        )
+    )
+    return base, inc, batch
+
+
+def _probe_all(spark, batch, idx):
+    near = sorted(
+        map(tuple, incremental.near_dups_vs_index(spark, batch, idx).collect())
+    )
+    cls = sorted(
+        map(
+            tuple,
+            incremental.classify_batch_vs_index(spark, batch, idx).collect(),
+        )
+    )
+    return near, cls
+
+
+def test_probe_after_append_equals_rebuilt_index(spark, tmp_path):
+    base, inc, batch = _split(spark)
+    appended = str(tmp_path / "appended")
+    incremental.build_base_index(base, appended, max_df=MAX_DF)
+    assert incremental.append_to_index(spark, inc, appended, "inc-1") is True
+
+    rebuilt = str(tmp_path / "rebuilt")
+    incremental.build_base_index(base.unionAll(inc), rebuilt, max_df=MAX_DF)
+
+    assert _probe_all(spark, batch, appended) == _probe_all(
+        spark, batch, rebuilt
+    )
+    # the test is only meaningful if the append actually crossed the cap
+    # for some grams (capped ledger gained entries in generation 1)
+    crossed = spark.read.parquet(os.path.join(appended, "capped", "gen=1"))
+    assert crossed.count() > 0, "fixture produced no cap crossings"
+    # and the probe found all three categories across the merged corpus
+    _, cls = _probe_all(spark, batch, appended)
+    assert {c for _, c in cls} == {"exact_dup", "near_dup", "new"}
+
+
+def test_append_is_idempotent_by_increment_id(spark, tmp_path):
+    base, inc, batch = _split(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    assert incremental.append_to_index(spark, inc, idx, "epoch-7") is True
+    before = _probe_all(spark, batch, idx)
+    man_before = incremental._load_manifest(idx)
+    # exactly-once replay: same increment_id is a committed no-op
+    assert incremental.append_to_index(spark, inc, idx, "epoch-7") is False
+    assert incremental._load_manifest(idx) == man_before
+    assert _probe_all(spark, batch, idx) == before
+
+
+def test_crash_orphaned_generation_is_invisible_then_replayed(spark, tmp_path):
+    """A crash between the generation writes and the manifest commit
+    leaves orphaned gen dirs; probes must not read them, and the replayed
+    append must overwrite and commit them."""
+    base, inc, batch = _split(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    base_only = _probe_all(spark, batch, idx)
+
+    # simulate the crashed attempt: generation files on disk, NO commit
+    man = incremental._load_manifest(idx)
+    incremental._write_generation(
+        idx,
+        1,
+        hashes=inc.select(F.md5("text").alias("k")),
+        grams=spark.createDataFrame([], incremental._GRAMS_SCHEMA),
+        sizes=inc.select(
+            F.col("doc_id").cast("long").alias("base_id"),
+            F.lit(1).cast("int").alias("sz_b"),
+        ),
+        gramdf=spark.createDataFrame([], incremental._GRAMDF_SCHEMA),
+        capped=spark.createDataFrame([], incremental._CAPPED_SCHEMA),
+    )
+    assert incremental._load_manifest(idx) == man  # nothing committed
+    # orphaned generation is invisible: probe == pre-crash probe (the
+    # orphan's hashes would have flipped fresh docs to exact_dup)
+    assert _probe_all(spark, batch, idx) == base_only
+
+    # replay overwrites the orphan and commits
+    assert incremental.append_to_index(spark, inc, idx, "epoch-1") is True
+    rebuilt = str(tmp_path / "rebuilt")
+    incremental.build_base_index(base.unionAll(inc), rebuilt, max_df=MAX_DF)
+    assert _probe_all(spark, batch, idx) == _probe_all(spark, batch, rebuilt)
+
+
+def test_append_rejects_v1_flat_layout(spark, tmp_path):
+    import json
+
+    idx = str(tmp_path / "v1")
+    os.makedirs(idx)
+    with open(os.path.join(idx, "_MANIFEST.json"), "w") as fh:
+        json.dump({"max_df": 100, "ngram": 3, "gram_buckets": 64}, fh)
+    with pytest.raises(ValueError, match="flat layout"):
+        incremental.append_to_index(spark, _docs(spark), idx)
+
+
+def test_appended_probe_still_prunes_gram_buckets(spark, tmp_path):
+    """Static bucket pruning must survive the multi-generation union —
+    each generation's scan carries the partition filter."""
+    base, inc, _ = _split(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    incremental.append_to_index(spark, inc, idx, "inc-1")
+    one = _docs(spark).orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    df = incremental.near_dups_vs_index(spark, one, idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [") >= 2  # both generations
+    assert "gb" in plan

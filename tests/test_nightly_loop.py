@@ -1,0 +1,157 @@
+"""End-to-end nightly loop (round-9 verdict task 6): streamed classify
+against the persisted index -> merge the batch's genuinely-new docs into
+the warehouse -> append_to_index -> the NEXT night's batch probes the
+EXTENDED index. Crash mid-loop (between the generation writes and the
+manifest commit) and replay: convergence, no reclassification drift.
+
+This is the composition the 100 TB operating mode runs forever: per-batch
+cost tracks batch size (probe prunes to the batch's gram buckets; append
+cost tracks increment size), and every step is exactly-once (epoch dirs
+for the stream, increment_id ledger for the append)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_etl_pipeline_lab_spark.operators import incremental
+from gcp_serverless_etl_pipeline_lab_spark.sinks import read_warehouse
+from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+from gcp_serverless_etl_pipeline_lab_spark.streaming.dedup_stream import (
+    run_incremental_classify,
+)
+
+from conftest import SF_SMOKE
+
+MAX_DF = 1000
+THRESH = 0.8
+
+
+def _pools(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    pool1 = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    pool2 = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    return base, pool1, pool2
+
+
+def _merge_new(spark, epoch_out, batch, idx, corpus_dir, increment_id):
+    """The loop's merge step: docs the stream classified 'new' join back
+    to their text, land in the merged-corpus warehouse, and extend the
+    index — the append keyed by the epoch so a crashed replay is a
+    no-op."""
+    new_ids = read_warehouse(spark, epoch_out).filter(
+        F.col("category") == "new"
+    ).select("doc_id")
+    new_docs = batch.join(new_ids, "doc_id")
+    new_docs.write.mode("append").parquet(corpus_dir)
+    return incremental.append_to_index(
+        spark, new_docs, idx, increment_id=increment_id
+    )
+
+
+def test_nightly_loop_converges_across_crash(spark, tmp_path):
+    base, pool1, pool2 = _pools(spark)
+    idx = str(tmp_path / "idx")
+    corpus_dir = str(tmp_path / "corpus")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    base.write.mode("overwrite").parquet(corpus_dir)
+
+    # --- night 1: new content plus resubmissions of the base -----------
+    night1 = pool1.unionAll(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+        )
+    )
+    night1.coalesce(1).write.mode("append").parquet(inbox)
+    out1 = str(tmp_path / "out1")
+    run_incremental_classify(spark, inbox, idx, out1, ckpt, threshold=THRESH)
+
+    # CRASH mid-merge: a generation was written but never committed
+    # (manifest untouched) — the orphan must stay invisible...
+    man_before = incremental._load_manifest(idx)
+    incremental._write_generation(
+        idx,
+        1,
+        hashes=night1.select(F.md5("text").alias("k")),
+        grams=spark.createDataFrame([], incremental._GRAMS_SCHEMA),
+        sizes=spark.createDataFrame([], incremental._SIZES_SCHEMA),
+        gramdf=spark.createDataFrame([], incremental._GRAMDF_SCHEMA),
+        capped=spark.createDataFrame([], incremental._CAPPED_SCHEMA),
+    )
+    assert incremental._load_manifest(idx) == man_before
+
+    # ...and the replayed merge commits exactly once
+    assert _merge_new(spark, out1, night1, idx, corpus_dir, "epoch-0") is True
+    # a second replay of the same epoch (crash AFTER commit, before the
+    # loop recorded success) is a committed no-op
+    n_corpus = spark.read.parquet(corpus_dir).count()
+    assert (
+        incremental.append_to_index(
+            spark,
+            night1,
+            idx,
+            increment_id="epoch-0",
+        )
+        is False
+    )
+    assert spark.read.parquet(corpus_dir).count() == n_corpus
+
+    # --- night 2: re-keyed copies of night-1's merged docs + fresh ------
+    merged1 = spark.read.parquet(corpus_dir).filter(
+        F.col("doc_id") >= 10_000_000
+    )
+    assert merged1.count() > 0, "night 1 merged nothing new"
+    resub2 = merged1.select((F.col("doc_id") + 40_000_000).alias("doc_id"), "text")
+    night2 = resub2.unionAll(pool2)
+    night2.coalesce(1).write.mode("append").parquet(inbox)
+    out2 = str(tmp_path / "out2")
+    run_incremental_classify(spark, inbox, idx, out2, ckpt, threshold=THRESH)
+    got2 = read_warehouse(spark, out2)
+
+    # every re-keyed copy of a night-1-merged doc is caught by the
+    # EXTENDED index as an exact dup — the proof the append took effect
+    resub_cats = {
+        r.category
+        for r in got2.join(
+            resub2.select("doc_id"), "doc_id", "left_semi"
+        ).collect()
+    }
+    assert resub_cats == {"exact_dup"}, resub_cats
+
+    # zero drift: streamed classify against the appended index ==
+    # full recompute against the merged corpus at the same cap
+    want = incremental.classify_batch(
+        night2, spark.read.parquet(corpus_dir), threshold=THRESH, max_df=MAX_DF
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # loop invariant for the next iteration: merging night 2 keeps the
+    # index == rebuild(merged corpus)
+    assert _merge_new(spark, out2, night2, idx, corpus_dir, "epoch-1") is True
+    rebuilt = str(tmp_path / "rebuilt")
+    incremental.build_base_index(
+        spark.read.parquet(corpus_dir), rebuilt, max_df=MAX_DF
+    )
+    probe = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    )
+    via_appended = incremental.classify_batch_vs_index(spark, probe, idx)
+    via_rebuilt = incremental.classify_batch_vs_index(spark, probe, rebuilt)
+    assert sorted(map(tuple, via_appended.collect())) == sorted(
+        map(tuple, via_rebuilt.collect())
+    )
+    # two committed generations beyond gen 0
+    gens = incremental._load_manifest(idx)["generations"]
+    assert [g["increment_id"] for g in gens] == [None, "epoch-0", "epoch-1"]
+    assert os.path.isdir(os.path.join(idx, "grams", "gen=2"))
