@@ -8,10 +8,14 @@ Spark-side (schemas, batch shapes, 1→N frame fan-out, partitioning) is
 real and oracle-tested; the codec itself is a deterministic fake because
 image/audio libraries are not available in this environment.
 
-REAL-DECODE STUB: `decode_image_real` is the marked integration point — it
-import-tries Pillow and raises NotImplementedError otherwise. The harness
-queries use `payload_features` / `sample_frames`, whose byte-level
-arithmetic a SQL oracle can reproduce exactly.
+REAL DECODE: `payload_features_real` runs an actual decoder inside the
+mapInPandas stage, selected via a pluggable codec — Pillow where
+installed (import-gated with an actionable message), the stdlib netpbm
+(P5/P6) decoder everywhere (so the real-decode path is TESTED in this
+container despite its no-install policy: tests/test_multimodal_real.py),
+or any user callable. The harness queries use `payload_features` /
+`sample_frames`, whose byte-level arithmetic a SQL oracle can reproduce
+exactly.
 
 Scale notes: mapInPandas streams Arrow record batches (no row-at-a-time
 pickling); payload bytes never hit the driver; a decode stage is
@@ -165,41 +169,136 @@ REAL_FEATURES_SCHEMA = StructType(
 )
 
 
-def payload_features_real(media: DataFrame) -> DataFrame:
-    """Real-codec twin of ``payload_features``: Arrow-batched mapInPandas
-    stage that DECODES each binary payload with Pillow and emits typed
-    image features (dimensions, mode, mean 8-bit luminance). Exactly the
-    fake codec's shape — binary in, fixed-schema features out, one row
-    per image — so swapping codecs changes no Spark plumbing.
+def decode_netpbm(payload: bytes) -> dict:
+    """Stdlib binary netpbm decoder — PGM (``P5``, 8-bit gray) and PPM
+    (``P6``, 8-bit RGB). Returns the codec contract of
+    ``payload_features_real``: ``{"width", "height", "mode",
+    "mean_luma"}`` with mode ``L``/``RGB`` and mean luminance per
+    ITU-R 601-2 (L = 0.299 R + 0.587 G + 0.114 B).
 
-    Import-gated at BUILD time (fail fast on the driver with a clear
-    message rather than per-task executor errors). Executors decode
-    inside the Arrow batch loop; payload bytes never touch the driver.
-    Tested in tests/test_multimodal_real.py, which skips without Pillow.
-    """
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without Pillow
-        raise ImportError(
-            "payload_features_real requires Pillow on driver and "
-            "executors; use payload_features for the codec-free pipeline."
-        ) from exc
+    Exists so the REAL-decode Spark path is executable in environments
+    without imaging libraries (this container): netpbm is parseable in
+    ~40 lines of stdlib Python, so the mapInPandas decode stage — header
+    parse, per-pixel reduction, malformed-payload failure — runs for
+    real instead of being skipped. Production swaps in the Pillow codec
+    (or any ``bytes -> dict``) with zero Spark-plumbing change."""
+    buf = bytes(payload)
+
+    pos = 0
+
+    def tok() -> bytes:
+        nonlocal pos
+        while pos < len(buf):
+            c = buf[pos : pos + 1]
+            if c == b"#":
+                while pos < len(buf) and buf[pos] != 0x0A:
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("netpbm: truncated header")
+        return buf[start:pos]
+
+    magic = tok()
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"netpbm: unsupported magic {magic!r} (want P5/P6)")
+    w, h, maxval = int(tok()), int(tok()), int(tok())
+    if w <= 0 or h <= 0:
+        raise ValueError(f"netpbm: bad dimensions {w}x{h}")
+    if maxval != 255:
+        raise ValueError(f"netpbm: only maxval 255 supported, got {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    n = w * h
+    if magic == b"P5":
+        raster = buf[pos : pos + n]
+        if len(raster) != n:
+            raise ValueError("netpbm: raster shorter than width*height")
+        return {
+            "width": w,
+            "height": h,
+            "mode": "L",
+            "mean_luma": sum(raster) / n,
+        }
+    raster = buf[pos : pos + 3 * n]
+    if len(raster) != 3 * n:
+        raise ValueError("netpbm: raster shorter than 3*width*height")
+    # integer accumulation (exact), one float division at the end
+    acc = (
+        299 * sum(raster[0::3]) + 587 * sum(raster[1::3]) + 114 * sum(raster[2::3])
+    )
+    return {
+        "width": w,
+        "height": h,
+        "mode": "RGB",
+        "mean_luma": acc / (1000.0 * n),
+    }
+
+
+def _pillow_codec(payload: bytes) -> dict:
+    import io
+
+    from PIL import Image, ImageStat
+
+    img = Image.open(io.BytesIO(bytes(payload)))
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "mean_luma": float(ImageStat.Stat(img.convert("L")).mean[0]),
+    }
+
+
+def payload_features_real(media: DataFrame, codec="pillow") -> DataFrame:
+    """Real-codec twin of ``payload_features``: Arrow-batched mapInPandas
+    stage that DECODES each binary payload and emits typed image features
+    (dimensions, mode, mean 8-bit luminance). Exactly the fake codec's
+    shape — binary in, fixed-schema features out, one row per image — so
+    swapping codecs changes no Spark plumbing.
+
+    ``codec`` selects the decoder: ``"pillow"`` (default; import-gated at
+    BUILD time so a missing library fails fast on the driver with a clear
+    message rather than as per-task executor errors), ``"netpbm"`` (the
+    stdlib P5/P6 decoder above — always available, exercised end to end
+    in tests/test_multimodal_real.py), or any callable
+    ``bytes -> {"width", "height", "mode", "mean_luma"}``. Executors
+    decode inside the Arrow batch loop; payload bytes never touch the
+    driver."""
+    if codec == "pillow":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env without Pillow
+            raise ImportError(
+                "payload_features_real(codec='pillow') requires Pillow on "
+                "driver and executors; pass codec='netpbm' for the stdlib "
+                "decoder or use payload_features for the codec-free "
+                "pipeline."
+            ) from exc
+        decode = _pillow_codec
+    elif codec == "netpbm":
+        decode = decode_netpbm
+    elif callable(codec):
+        decode = codec
+    else:
+        raise ValueError(
+            f"codec must be 'pillow', 'netpbm', or a callable, got {codec!r}"
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        from PIL import Image, ImageStat
-
         for pdf in batches:
             doc_ids, widths, heights, modes, pixels, lumas = [], [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = Image.open(io.BytesIO(bytes(payload)))
+                img = decode(payload)
                 doc_ids.append(doc_id)
-                widths.append(img.width)
-                heights.append(img.height)
-                modes.append(img.mode)
-                pixels.append(img.width * img.height)
-                lumas.append(float(ImageStat.Stat(img.convert("L")).mean[0]))
+                widths.append(img["width"])
+                heights.append(img["height"])
+                modes.append(img["mode"])
+                pixels.append(img["width"] * img["height"])
+                lumas.append(float(img["mean_luma"]))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(doc_ids, dtype="int64"),
