@@ -66,12 +66,35 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(detail))
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as f:
+        with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
             json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    # Append-only per-run history: BENCH_DETAIL.json is overwritten each
+    # run and the driver's BENCH_r{N}.json tail-capture truncates the
+    # per-query map, so without this line past rounds' per-query numbers
+    # were unrecoverable (round-8 verdict, missing item 4). One JSON line
+    # per run; committed so regressions can be diffed query by query.
+    import datetime
+
+    try:
+        with open(os.path.join(repo, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                            timespec="seconds"
+                        ),
+                        "sf": sf_val,
+                        "total_sec": total,
+                        "n_queries": len(timings),
+                        "queries": timings,
+                    }
+                )
+                + "\n"
+            )
     except OSError:
         pass
 

@@ -514,6 +514,46 @@ def a0e_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = agg.collect()
     return spark.createDataFrame(rows, agg.schema)
 
+
+@register("a0e_index_compact", _INCREMENTAL_ORACLE)
+def a0e_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index lifecycle CLOSED: build on half the corpus, append the
+    other half, then operators/incremental.compact_index folds the two
+    generations into one (per-gram dfs summed, capped ledger recomputed,
+    dead postings physically dropped, old gen dirs deleted after the
+    atomic manifest flip) — and the standard probe batch classifies
+    against the COMPACTED index. Same full-corpus oracle as the other
+    incremental queries: compaction must be invisible to every probe."""
+    from ..operators.incremental import (
+        append_to_index,
+        build_base_index,
+        classify_batch_vs_index,
+        compact_index,
+        probe_cache_scope,
+    )
+
+    base, batch = _incremental_batch(spark, sf_dir)
+
+    def _build(stage: str) -> None:
+        build_base_index(
+            base.filter(F.col("doc_id") % 2 == 0), stage, max_df=100_000
+        )
+        append_to_index(
+            spark,
+            base.filter(F.col("doc_id") % 2 == 1),
+            stage,
+            increment_id="odd-half",
+        )
+        compact_index(spark, stage)
+
+    idx = _ensure_cached_index(sf_dir, "compact100k", _build)
+    with probe_cache_scope():
+        agg = _category_summary(
+            classify_batch_vs_index(spark, batch, idx, threshold=0.8)
+        )
+        rows = agg.collect()
+    return spark.createDataFrame(rows, agg.schema)
+
 @register(
     "a0d_novelty_survivors",
     f"""

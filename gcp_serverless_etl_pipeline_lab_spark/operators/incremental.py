@@ -489,9 +489,10 @@ def append_to_index(
             f"index at {path} uses the pre-append flat layout; rebuild it "
             "with build_base_index to enable appends"
         )
-    if increment_id is not None and any(
-        g.get("increment_id") == increment_id for g in man["generations"]
-    ):
+    applied = {
+        g.get("increment_id") for g in man["generations"]
+    } | set(man.get("compacted_increments", []))
+    if increment_id is not None and increment_id in applied:
         return False
     max_df = man["max_df"]
     gen = max(g["gen"] for g in man["generations"]) + 1
@@ -520,7 +521,17 @@ def append_to_index(
         old_df = _read_artifact(spark, path, "gramdf", man, _GRAMDF_SCHEMA)
         if len(gbs) < nb:
             old_df = old_df.filter(F.col("gb").isin(gbs))
-        old_sum = old_df.groupBy("g").agg(F.sum("df").alias("old_df"))
+        # semi-join against the increment's gram set BEFORE the sum:
+        # within the pruned buckets only the grams this increment
+        # actually touches need their cumulative df — the aggregate's
+        # input drops from bucket-sized to increment-sized. No forced
+        # broadcast: a nightly-sized increment broadcasts via AQE, a
+        # bulk backfill shuffles safely.
+        old_sum = (
+            old_df.join(inc_df.select("g"), "g", "left_semi")
+            .groupBy("g")
+            .agg(F.sum("df").alias("old_df"))
+        )
         merged = (
             inc_df.join(old_sum, "g", "left")
             .select(
@@ -569,6 +580,87 @@ def append_to_index(
     finally:
         inc_df.unpersist()
         sh.unpersist()
+
+
+def compact_index(spark, path: str) -> int:
+    """Fold all committed generations into ONE — the maintenance step
+    that completes the index lifecycle (build -> append* -> compact).
+    Nightly appends accumulate one generation per increment; probes union
+    every generation's artifacts, so a year of appends means ~365 scans
+    per probe plus dead postings (grams that crossed the df-cap keep
+    their pre-crossing postings on disk, excluded only by the ledger
+    anti-join). Compaction rewrites the index FROM THE INDEX — no base
+    text is ever re-shingled:
+
+    - hashes / sizes: unions of the generations;
+    - gramdf: per-gram SUM across generations (the true cumulative df);
+    - capped: recomputed from the summed df (supersedes the ledger);
+    - grams: union of postings with capped grams' dead postings
+      PHYSICALLY dropped.
+
+    Probe-parity is exact: a compacted index answers identically to the
+    multi-generation one (and to a rebuild). Commit discipline matches
+    append: the folded artifacts land in a FRESH generation number, the
+    atomic manifest replace flips the generation list to just that one,
+    and only then are the old generation dirs deleted (a crash before
+    the commit leaves orphans no reader sees; a crash after it leaves
+    stale dirs the next compact or a manual sweep removes — readers
+    never touch unlisted dirs either way). Returns the new generation
+    number. Applied increment_ids are preserved in the manifest under
+    ``compacted_increments`` so append idempotence survives compaction."""
+    import os
+    import shutil
+
+    man = _load_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"index at {path} uses the pre-append flat layout; rebuild it "
+            "with build_base_index (compaction is a no-op for single-"
+            "generation indexes)"
+        )
+    max_df = man["max_df"]
+    old_gens = [g["gen"] for g in man["generations"]]
+    gen = max(old_gens) + 1
+
+    hashes = _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA)
+    sizes = _read_artifact(spark, path, "sizes", man, _SIZES_SCHEMA)
+    gramdf = (
+        _read_artifact(spark, path, "gramdf", man, _GRAMDF_SCHEMA)
+        .groupBy("g", "gb")
+        .agg(F.sum("df").alias("df"))
+        .select("g", "df", "gb")
+    )
+    grams = _read_artifact(spark, path, "grams", man, _GRAMS_SCHEMA)
+    if max_df is not None:
+        capped = gramdf.filter(F.col("df") > max_df).select("g")
+        grams = grams.join(F.broadcast(capped), "g", "left_anti")
+    else:
+        capped = gramdf.filter(F.lit(False)).select("g")
+    _write_generation(
+        path,
+        gen,
+        hashes=hashes,
+        grams=grams.select("base_id", "g", "gb"),
+        sizes=sizes,
+        gramdf=gramdf,
+        capped=capped,
+    )
+    applied = [
+        g["increment_id"]
+        for g in man["generations"]
+        if g.get("increment_id") is not None
+    ]
+    man["compacted_increments"] = sorted(
+        set(man.get("compacted_increments", [])) | set(applied)
+    )
+    man["generations"] = [{"gen": gen, "increment_id": None}]
+    _write_manifest(path, man)
+    for old in old_gens:
+        for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
+            shutil.rmtree(
+                os.path.join(path, artifact, f"gen={old}"), ignore_errors=True
+            )
+    return gen
 
 
 def classify_batch_vs_index(

@@ -408,6 +408,15 @@ def _ops(spark: SparkSession, path: str):
         "knn_graph_lsh_p1": lambda: similarity.knn_graph_lsh(
             embs, EMB_DIM, k=3, probe_hamming=1
         ),
+        # The size-routed graph FORCED onto its trained route (what big
+        # corpora get): cell count grows with n (cells = n/cell_rows), so
+        # per-vector candidates stay ~nprobe*cell_rows and total work is
+        # linear — the designed answer to knn_graph_lsh's fixed-blocking
+        # quadratic growth above. Cost includes k-means training on the
+        # 10% hash sample each invocation (the operator's true cost).
+        "knn_graph_auto_routed": lambda: similarity.knn_graph_auto(
+            embs, EMB_DIM, k=3, route_threshold=0
+        ),
         # Incremental dedup: every 5th doc of the grown corpus arrives as
         # a re-submission batch against the corpus itself — batch size
         # grows linearly with scale, base-side df-cap active.

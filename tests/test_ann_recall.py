@@ -389,3 +389,44 @@ def test_knn_graph_lsh_multiprobe_recall_escalation(spark):
     # narrow multi-table: near-exact recall (cost approaches exhaustive)
     r43 = rec(tables=4, planes_per_table=3)
     assert r43 >= 0.9, f"tables=4/planes=3 recall@3 {r43:.3f} < 0.9"
+
+
+def test_knn_graph_auto_routes_by_size_and_clears_recall_floor(spark):
+    """knn_graph_auto (round-9 verdict task 7): under the size threshold
+    it IS knn_graph_lsh (identical output); above it (forced here with
+    route_threshold=0) the trained-IVF multiprobe graph must clear the
+    SAME recall floor as the LSH default (0.61 measured) while its cost
+    curve survives 10x data (SCALE_STRESS.json knn_graph_auto_routed vs
+    knn_graph_lsh's measured 4.94x) — measured recall@3 vs the exact
+    global graph at the shipped defaults: ~0.74 on sf0.01."""
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    # routing: at or under the threshold the output IS the LSH graph's
+    small = emb.limit(64)
+    got = sorted(
+        map(tuple, similarity.knn_graph_auto(small, EMB_DIM, k=3).collect())
+    )
+    want = sorted(
+        map(tuple, similarity.knn_graph_lsh(small, EMB_DIM, k=3).collect())
+    )
+    assert got == want
+
+    # forced trained route: recall@3 vs the exact GLOBAL top-3 graph
+    one = emb.withColumn("blk", F.lit(1))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_graph_blocked(
+            one, EMB_DIM, k=3, block_col="blk", max_block_rows=None
+        ).collect()
+    }
+    routed = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_graph_auto(
+            emb, EMB_DIM, k=3, route_threshold=0
+        ).collect()
+    }
+    recall = len(exact & routed) / len(exact)
+    assert recall >= 0.6, f"routed trained-IVF graph recall@3 {recall:.3f} < 0.6"

@@ -163,3 +163,47 @@ def test_appended_probe_still_prunes_gram_buckets(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("PartitionFilters: [") >= 2  # both generations
     assert "gb" in plan
+
+
+def test_compact_folds_generations_preserves_probes_drops_dead_postings(
+    spark, tmp_path
+):
+    base, inc, batch = _split(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    incremental.append_to_index(spark, inc, idx, "inc-1")
+    before = _probe_all(spark, batch, idx)
+
+    gen = incremental.compact_index(spark, idx)
+    assert gen == 2
+    # probe-parity: compacted == multi-generation == rebuild
+    assert _probe_all(spark, batch, idx) == before
+    man = incremental._load_manifest(idx)
+    assert man["generations"] == [{"gen": 2, "increment_id": None}]
+    assert man["compacted_increments"] == ["inc-1"]
+    # old generation dirs are gone; only the folded one remains
+    for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
+        gens = sorted(os.listdir(os.path.join(idx, artifact)))
+        assert gens == ["gen=2"], (artifact, gens)
+    # dead postings physically dropped: no posting row for a capped gram
+    capped = {
+        r.g for r in spark.read.parquet(os.path.join(idx, "capped", "gen=2")).collect()
+    }
+    assert capped, "compaction found no capped grams (fixture too clean)"
+    posted = spark.read.option("basePath", os.path.join(idx, "grams", "gen=2")).parquet(
+        os.path.join(idx, "grams", "gen=2")
+    )
+    from pyspark.sql import functions as F2
+
+    assert posted.filter(F2.col("g").isin(list(capped)[:50])).count() == 0
+    # append idempotence SURVIVES compaction (the folded manifest keeps
+    # the applied-increment ledger)...
+    assert incremental.append_to_index(spark, inc, idx, "inc-1") is False
+    # ...and fresh appends keep working on the compacted index
+    fresh = base.select((F.col("doc_id") + 70_000_000).alias("doc_id"), "text")
+    assert incremental.append_to_index(spark, fresh, idx, "inc-2") is True
+    assert incremental.exact_dups_vs_index(
+        spark,
+        base.select((F.col("doc_id") + 71_000_000).alias("doc_id"), "text"),
+        idx,
+    ).count() == base.count()
