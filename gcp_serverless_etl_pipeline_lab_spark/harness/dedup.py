@@ -430,20 +430,23 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, agg.schema)
 
 
-def _ensure_cached_index(sf_dir: str, tag: str, build) -> str:
-    """Build-once cache for persisted incremental-dedup indexes, keyed by
-    a CONTENT fingerprint of the source parquet (path + size + mtime_ns —
-    regenerated fixture data changes the key, so a stale index is never
-    silently probed) plus a build-variant ``tag``. Concurrent
-    first-callers coordinate with build-to-unique-dir + atomic rename; a
-    failed rename trusts the winner's dir only if its manifest EXISTS,
-    else probes this caller's own complete staged build."""
+def _ensure_cached_index(
+    sf_dir: str, tag: str, build, table: str = "documents.parquet"
+) -> str:
+    """Build-once cache for persisted indexes (incremental-dedup text
+    index, ANN IVF index), keyed by a CONTENT fingerprint of the source
+    parquet (path + size + mtime_ns — regenerated fixture data changes
+    the key, so a stale index is never silently probed) plus a
+    build-variant ``tag``. Concurrent first-callers coordinate with
+    build-to-unique-dir + atomic rename; a failed rename trusts the
+    winner's dir only if its manifest EXISTS, else probes this caller's
+    own complete staged build."""
     import hashlib
     import os
     import shutil
     import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, table)
     paths = (
         [os.path.join(src, f) for f in sorted(os.listdir(src))]
         if os.path.isdir(src)

@@ -151,9 +151,11 @@ def _ivf_iter_duck(prev_cent: str, n: int) -> str:
     )"""
 
 
-@register(
-    "sim_search_ivf_trained",
-    f"""
+# Shared by sim_search_ivf_trained (train+query in one invocation) and
+# a0e_ann_index_query (train+assign persisted once, queries probe the
+# stored cells): both must produce the identical ranking, so they share
+# the ONE oracle.
+_IVF_TRAINED_ORACLE = f"""
     WITH {_SIM_BASE_DUCK},
     init AS (
       SELECT cell, e AS ce FROM (
@@ -182,8 +184,10 @@ def _ivf_iter_duck(prev_cent: str, n: int) -> str:
              list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qp.qe[i] * fa.e[i])) AS s
       FROM fa JOIN qp ON fa.cell = qp.cell AND fa.vec_id <> qp.query_id
     ''')}
-    """,
-)
+    """
+
+
+@register("sim_search_ivf_trained", _IVF_TRAINED_ORACLE)
 def sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _sim_queries(spark, sf_dir)
     # sample_rate=1.0 pins the full-corpus-trained model the DuckDB
@@ -198,6 +202,33 @@ def sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_IVF_NPROBE,
         sample_rate=1.0,
     )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("a0e_ann_index_query", _IVF_TRAINED_ORACLE)
+def a0e_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-IVF serving path (operators/annindex.py): the coarse
+    quantizer is trained once and the cell-assigned corpus stored
+    hive-partitioned by cell; the query batch probes the manifest model
+    and scans ONLY its probed cell partitions. Must rank identically to
+    sim_search_ivf_trained (same model contract, same tie rules) — the
+    shared oracle is the proof that persisting the assignment changed
+    nothing. Index cached per corpus fingerprint, like the text-index
+    gate queries: build-once-probe-many IS the operating mode."""
+    from ..operators.annindex import build_ann_index, query_ann_index
+    from .dedup import _ensure_cached_index
+
+    corpus, queries = _sim_queries(spark, sf_dir)
+
+    def _build(stage: str) -> None:
+        build_ann_index(
+            corpus, stage, EMB_DIM, cells=_IVF_K, iters=2, sample_rate=1.0
+        )
+
+    idx = _ensure_cached_index(
+        sf_dir, "annivf", _build, table="embeddings.parquet"
+    )
+    out = query_ann_index(spark, queries, idx, k=5, nprobe=_IVF_NPROBE)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

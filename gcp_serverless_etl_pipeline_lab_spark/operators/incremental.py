@@ -663,6 +663,51 @@ def compact_index(spark, path: str) -> int:
     return gen
 
 
+def vacuum_index(path: str, min_age_seconds: float = 86400.0) -> list[str]:
+    """Sweep ORPHANED generation dirs — debris of appends/compactions
+    that crashed between their artifact writes and the manifest commit.
+    Readers never see orphans (only manifest-listed generations are
+    read), so this is storage hygiene, not correctness. The age bound
+    disambiguates a crash from an IN-FLIGHT append writing its dirs
+    right now (same rule as sinks.vacuum_versions: nothing legitimately
+    writes a generation for longer than the vacuum horizon — sweeping a
+    live append's files would let it commit a manifest pointing at
+    deleted data). Returns the swept ``<artifact>/gen=N`` relpaths."""
+    import os
+    import re
+    import shutil
+    import time
+
+    man = _load_manifest(path)
+    if man.get("version", 1) < 2:
+        return []
+    live = {g["gen"] for g in man["generations"]}
+    now = time.time()
+    swept: list[str] = []
+    for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
+        root = os.path.join(path, artifact)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            m = re.fullmatch(r"gen=(\d+)", name)
+            d = os.path.join(root, name)
+            if not m or not os.path.isdir(d) or int(m.group(1)) in live:
+                continue
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(r, f))
+                    for r, _, fs in os.walk(d)
+                    for f in fs
+                ),
+                default=os.path.getmtime(d),
+            )
+            if now - newest < min_age_seconds:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
+            swept.append(f"{artifact}/{name}")
+    return sorted(swept)
+
+
 def classify_batch_vs_index(
     spark,
     batch: DataFrame,

@@ -1,0 +1,99 @@
+"""Persisted IVF index (operators/annindex.py): build-once-query-many
+parity with the per-invocation ivf_trained_topk, cell partition pruning,
+and vacuum of orphaned text-index generations (operators/incremental.py
+vacuum_index)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_serverless_etl_pipeline_lab_spark.operators import annindex, similarity
+from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def _corpus_queries(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < 10)
+
+
+def test_stored_index_matches_per_invocation_ivf(spark, tmp_path):
+    corpus, queries = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(corpus, idx, 64, cells=8, iters=2, sample_rate=1.0)
+    got = sorted(
+        map(
+            tuple,
+            annindex.query_ann_index(spark, queries, idx, k=5, nprobe=2).collect(),
+        )
+    )
+    _, model = annindex.load_ann_model(idx)
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_trained_topk(
+                corpus, queries, 64, k=5, nprobe=2, model=model
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_query_scan_prunes_to_probed_cells(spark, tmp_path):
+    """A single query probes nprobe cells; the stored-vector scan must
+    carry a partition filter on exactly those cells."""
+    corpus, queries = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(corpus, idx, 64, cells=8, iters=2, sample_rate=1.0)
+    one = queries.orderBy("vec_id").limit(1)
+    df = annindex.query_ann_index(spark, one, idx, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+    assert df.count() == 5
+
+
+def test_model_roundtrips_exactly(spark, tmp_path):
+    corpus, _ = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    model = similarity.kmeans_centroids(corpus, 64, k=8, iters=2, sample_rate=1.0)
+    annindex.build_ann_index(corpus, idx, 64, model=model)
+    dim, loaded = annindex.load_ann_model(idx)
+    assert dim == 64 and loaded == model
+
+
+def test_vacuum_index_sweeps_only_stale_orphans(spark, tmp_path):
+    from gcp_serverless_etl_pipeline_lab_spark.operators import incremental
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "tidx")
+    incremental.build_base_index(docs, idx, max_df=1000)
+    # orphan: a crashed append's generation, never committed
+    incremental._write_generation(
+        idx,
+        7,
+        hashes=docs.limit(1).select(F.md5("text").alias("k")),
+        grams=spark.createDataFrame([], incremental._GRAMS_SCHEMA),
+        sizes=spark.createDataFrame([], incremental._SIZES_SCHEMA),
+        gramdf=spark.createDataFrame([], incremental._GRAMDF_SCHEMA),
+        capped=spark.createDataFrame([], incremental._CAPPED_SCHEMA),
+    )
+    # fresh orphan survives (could be an in-flight append)
+    assert incremental.vacuum_index(idx, min_age_seconds=3600) == []
+    # age it past the horizon -> swept, across every artifact
+    for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
+        d = os.path.join(idx, artifact, "gen=7")
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                os.utime(os.path.join(r, f), (1, 1))
+        os.utime(d, (1, 1))
+    swept = incremental.vacuum_index(idx, min_age_seconds=3600)
+    assert swept == sorted(
+        f"{a}/gen=7" for a in ("hashes", "grams", "sizes", "gramdf", "capped")
+    )
+    # committed generation untouched; probes still work
+    assert os.path.isdir(os.path.join(idx, "grams", "gen=0"))
+    probe = docs.limit(5).select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    assert incremental.classify_batch_vs_index(spark, probe, idx).count() == 5
