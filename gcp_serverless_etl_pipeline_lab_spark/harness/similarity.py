@@ -131,11 +131,11 @@ def _ivf_dist_duck(vec: str, cent: str) -> str:
     )
 
 
-def _ivf_iter_duck(prev_cent: str, n: int) -> str:
+def _ivf_iter_duck(prev_cent: str, n: int, src: str = "c") -> str:
     return f"""
     d{n} AS (
       SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist
-      FROM c CROSS JOIN {prev_cent} i
+      FROM {src} c CROSS JOIN {prev_cent} i
     ),
     a{n} AS (
       SELECT vec_id, e, cell FROM (
@@ -227,6 +227,81 @@ def a0e_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ensure_cached_index(
         sf_dir, "annivf", _build, table="embeddings.parquet"
+    )
+    out = query_ann_index(spark, queries, idx, k=5, nprobe=_IVF_NPROBE)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# Append oracle: the model is trained on the EVEN half only (that is the
+# append contract — centroids are pinned at build time; appending adds
+# vectors to cells, never moves cells), then the FULL corpus is assigned
+# against those pinned centroids.
+_IVF_APPEND_ORACLE = f"""
+    WITH {_SIM_BASE_DUCK},
+    cb AS (SELECT * FROM c WHERE vec_id % 2 = 0),
+    init AS (
+      SELECT cell, e AS ce FROM (
+        SELECT vec_id % {_IVF_K} AS cell, e,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_K} ORDER BY vec_id) AS rn
+        FROM cb) WHERE rn = 1
+    ),
+    {_ivf_iter_duck('init', 1, 'cb')},
+    {_ivf_iter_duck('cent1', 2, 'cb')},
+    fa AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_ivf_dist_duck('c.e', 'i.ce')}, i.cell) AS rn
+        FROM c CROSS JOIN cent2 i) WHERE rn = 1
+    ),
+    qp AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, i.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    )
+    {_sim_rank_duck(f'''
+      SELECT qp.query_id, fa.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qp.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell AND fa.vec_id <> qp.query_id
+    ''')}
+    """
+
+
+@register("a0f_ann_index_append", _IVF_APPEND_ORACLE)
+def a0f_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index APPEND (operators/annindex.append_ann_index): the index
+    is built on the even half of the corpus (model pinned there), the
+    odd half arrives later and is appended as a new generation assigned
+    against the STORED centroids — then the standard query batch searches
+    the extended index. The oracle trains on the even half and assigns
+    the full corpus to those pinned centroids: if the append retrained,
+    mis-assigned, or dropped a generation, ranks would hash-mismatch."""
+    from ..operators.annindex import (
+        append_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+    from .dedup import _ensure_cached_index
+
+    corpus, queries = _sim_queries(spark, sf_dir)
+
+    def _build(stage: str) -> None:
+        build_ann_index(
+            corpus.filter(F.col("vec_id") % 2 == 0),
+            stage,
+            EMB_DIM,
+            cells=_IVF_K,
+            iters=2,
+            sample_rate=1.0,
+        )
+        append_ann_index(
+            spark, corpus.filter(F.col("vec_id") % 2 == 1), stage, "odd-half"
+        )
+
+    idx = _ensure_cached_index(
+        sf_dir, "annivf_append", _build, table="embeddings.parquet"
     )
     out = query_ann_index(spark, queries, idx, k=5, nprobe=_IVF_NPROBE)
     return out.withColumn("rank", F.col("rank").cast("bigint"))

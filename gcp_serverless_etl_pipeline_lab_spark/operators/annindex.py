@@ -24,12 +24,16 @@ ranking, same tie rules (pinned by tests/test_ann_index.py and the
 ``a0e_ann_index_query`` oracle query).
 
 At 100 TB: the cell partitioning is the pruning unit (raise ``cells``
-so each holds many files); rebuilding after corpus growth is one
-assignment pass (training reuses the stored model as init or refits on
-a hash sample). The index is immutable per corpus snapshot — vectors
-added later need a rebuild or a side batch probed separately (the text
-index's append machinery generalizes here if that becomes the operating
-mode).
+so each holds many files); ``append_ann_index`` adds vectors WITHOUT
+retraining — new arrivals are assigned against the STORED model and
+land as an immutable generation dir committed by one atomic manifest
+replace, the same crash/idempotence discipline as the text index's
+``append_to_index`` (orphans invisible, ``increment_id`` replays are
+no-ops). The model itself is pinned per index: appending changes which
+vectors each cell holds, never the cell geometry, so
+query-after-append == query-against-rebuild WITH THE SAME MODEL
+(pinned by tests and the ``a0f_ann_index_append`` oracle). Retraining
+(centroid drift after heavy growth) is a rebuild decision.
 """
 
 from __future__ import annotations
@@ -68,8 +72,25 @@ def build_ann_index(
         model = kmeans_centroids(
             corpus, dim, k=cells, iters=iters, sample_rate=sample_rate
         )
+    _write_vectors_gen(corpus, path, 0, model)
+    _write_ann_manifest(
+        path,
+        {
+            "version": 2,
+            "dim": dim,
+            "model": [[cid, vec] for cid, vec in model],
+            "generations": [{"gen": 0, "increment_id": None}],
+        },
+    )
+
+
+def _write_vectors_gen(
+    vectors: DataFrame, path: str, gen: int, model
+) -> None:
+    import os
+
     assigned = _assign_cell(
-        corpus.select(
+        vectors.select(
             F.col("vec_id").cast("long").alias("vec_id"), "embedding"
         ),
         "embedding",
@@ -79,31 +100,89 @@ def build_ann_index(
         assigned.repartition(len(model), F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, "vectors"))
+        .parquet(os.path.join(path, "vectors", f"gen={gen}"))
     )
+
+
+def _write_ann_manifest(path: str, man: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": 1,
-                "dim": dim,
-                "model": [[cid, vec] for cid, vec in model],
-            },
-            fh,
-        )
+        json.dump(man, fh)
     os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
-def load_ann_model(path: str) -> tuple[int, list[tuple[int, list[float]]]]:
-    """(dim, centroid model) from the index manifest."""
+def _load_ann_manifest(path: str) -> dict:
     import json
     import os
 
     with open(os.path.join(path, _MANIFEST)) as fh:
-        man = json.load(fh)
+        return json.load(fh)
+
+
+def append_ann_index(
+    spark,
+    increment: DataFrame,
+    path: str,
+    increment_id: str | None = None,
+) -> bool:
+    """Add vectors to a stored index WITHOUT retraining: assign the
+    increment against the manifest model and commit it as a new
+    generation (atomic manifest replace; ``increment_id`` replays are
+    committed no-ops; a crash before the commit leaves an orphan no
+    query reads). Cost is one map-side assignment pass over the
+    INCREMENT. An empty increment is a no-op (returns False) — an empty
+    generation dir would carry no schema to read back."""
+    man = _load_ann_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"ANN index at {path} predates generations; rebuild with "
+            "build_ann_index to enable appends"
+        )
+    applied = {
+        g.get("increment_id") for g in man["generations"]
+    } | set(man.get("compacted_increments", []))
+    if increment_id is not None and increment_id in applied:
+        return False
+    if increment.limit(1).count() == 0:
+        return False
+    model = [(int(cid), [float(x) for x in vec]) for cid, vec in man["model"]]
+    gen = max(g["gen"] for g in man["generations"]) + 1
+    _write_vectors_gen(increment, path, gen, model)
+    man["generations"].append({"gen": gen, "increment_id": increment_id})
+    _write_ann_manifest(path, man)
+    return True
+
+
+def load_ann_model(path: str) -> tuple[int, list[tuple[int, list[float]]]]:
+    """(dim, centroid model) from the index manifest."""
+    man = _load_ann_manifest(path)
     return int(man["dim"]), [
         (int(cid), [float(x) for x in vec]) for cid, vec in man["model"]
     ]
+
+
+def _read_vectors(spark, path: str, man: dict) -> DataFrame:
+    """Union of the committed vector generations (manifest-listed only —
+    crashed appends' orphans are never read). v1 indexes (pre-append
+    flat layout) read the bare ``vectors/`` dir."""
+    import os
+
+    root = os.path.join(path, "vectors")
+    if man.get("version", 1) < 2:
+        dirs = [root]
+    else:
+        dirs = [
+            os.path.join(root, f"gen={g['gen']}") for g in man["generations"]
+        ]
+    out = None
+    for d in dirs:
+        part = spark.read.option("basePath", d).parquet(d)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def query_ann_index(
@@ -114,11 +193,12 @@ def query_ann_index(
     nprobe: int = 3,
 ) -> DataFrame:
     """Top-k per query against the stored index: probe list from the
-    manifest model, partition-pruned scan of the probed cells only."""
-    import os
-
+    manifest model, partition-pruned scan of the probed cells only
+    (every committed generation; appended vectors are served the moment
+    their manifest commit lands)."""
     from pyspark.sql import Window
 
+    man = _load_ann_manifest(path)
     dim, model = load_ann_model(path)
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -142,9 +222,7 @@ def query_ann_index(
     # bounded driver-side gate (<= len(model) values): the scan below
     # carries a partition filter on exactly the probed cells
     probed = [r["cell"] for r in probes.select("cell").distinct().collect()]
-    vec = spark.read.option("basePath", os.path.join(path, "vectors")).parquet(
-        os.path.join(path, "vectors")
-    )
+    vec = _read_vectors(spark, path, man)
     if len(probed) < len(model):
         vec = vec.filter(F.col("cell").isin(probed))
     scored = (

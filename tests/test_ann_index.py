@@ -97,3 +97,48 @@ def test_vacuum_index_sweeps_only_stale_orphans(spark, tmp_path):
     assert os.path.isdir(os.path.join(idx, "grams", "gen=0"))
     probe = docs.limit(5).select((F.col("doc_id") + 1).alias("doc_id"), "text")
     assert incremental.classify_batch_vs_index(spark, probe, idx).count() == 5
+
+
+def test_ann_append_matches_rebuild_with_pinned_model(spark, tmp_path):
+    corpus, queries = _corpus_queries(spark)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    inc = corpus.filter(F.col("vec_id") % 2 == 1)
+    appended = str(tmp_path / "app")
+    annindex.build_ann_index(base, appended, 64, cells=8, iters=2, sample_rate=1.0)
+    assert annindex.append_ann_index(spark, inc, appended, "odd") is True
+    # rebuild over the FULL corpus with the SAME pinned model
+    _, model = annindex.load_ann_model(appended)
+    rebuilt = str(tmp_path / "reb")
+    annindex.build_ann_index(corpus, rebuilt, 64, model=model)
+    got = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, appended, 5, 2).collect())
+    )
+    want = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, rebuilt, 5, 2).collect())
+    )
+    assert got == want and got
+    # idempotent replay; empty increment is a no-op
+    assert annindex.append_ann_index(spark, inc, appended, "odd") is False
+    assert (
+        annindex.append_ann_index(
+            spark, inc.filter(F.lit(False)), appended, "empty"
+        )
+        is False
+    )
+
+
+def test_ann_orphaned_generation_is_invisible(spark, tmp_path):
+    corpus, queries = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(corpus, idx, 64, cells=8, iters=2, sample_rate=1.0)
+    before = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    # crashed append: generation written, manifest never flipped
+    _, model = annindex.load_ann_model(idx)
+    ghost = corpus.select((F.col("vec_id") + 900_000).alias("vec_id"), "embedding")
+    annindex._write_vectors_gen(ghost, idx, 1, model)
+    after = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    assert after == before, "orphaned generation leaked into query results"

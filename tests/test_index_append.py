@@ -207,3 +207,54 @@ def test_compact_folds_generations_preserves_probes_drops_dead_postings(
         base.select((F.col("doc_id") + 71_000_000).alias("doc_id"), "text"),
         idx,
     ).count() == base.count()
+
+
+def test_append_parity_sweep_over_splits_and_caps(spark, tmp_path):
+    """Deterministic sweep: probe-after-append == probe-after-rebuild for
+    asymmetric splits and caps from punishing (every shared gram crosses)
+    to effectively uncapped. Catches cap-rule asymmetries a single
+    fixture can't (e.g. a rule that drops at >= instead of >)."""
+    docs = _docs(spark)
+    batch = _split(spark)[2]
+    cases = [
+        (F.col("doc_id") % 3 == 0, 5),  # small base, most grams cross
+        (F.col("doc_id") % 3 != 0, 12),  # large base, few cross
+        (F.col("doc_id") % 2 == 0, None),  # uncapped
+    ]
+    for i, (pred, cap) in enumerate(cases):
+        base = docs.filter(pred)
+        inc = docs.filter(~pred)
+        appended = str(tmp_path / f"app{i}")
+        rebuilt = str(tmp_path / f"reb{i}")
+        incremental.build_base_index(base, appended, max_df=cap)
+        incremental.append_to_index(spark, inc, appended, f"inc{i}")
+        incremental.build_base_index(base.unionAll(inc), rebuilt, max_df=cap)
+        assert _probe_all(spark, batch, appended) == _probe_all(
+            spark, batch, rebuilt
+        ), f"case {i} (cap={cap}) diverged"
+
+
+def test_cap_boundary_exactly_max_df_is_kept_after_append(spark, tmp_path):
+    """The cap rule is df > max_df drops (== keeps). A gram whose
+    cumulative df lands EXACTLY on the cap after an append must keep all
+    its postings; one past it must lose them — asserted directly on the
+    probe output, plus rebuild parity."""
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = docs([(1, "a b c"), (2, "a b c"), (3, "d e f"), (4, "d e f"), (5, "d e f")])
+    inc = docs([(6, "a b c"), (7, "d e f")])  # "a b c" -> df 3 == cap; "d e f" -> 4 > cap
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=3)
+    incremental.append_to_index(spark, inc, idx, "inc")
+    probe = docs([(100, "a b c"), (200, "d e f")])
+    near = sorted(
+        (r.doc_id, r.base_id)
+        for r in incremental.near_dups_vs_index(spark, probe, idx).collect()
+    )
+    # at-cap gram still matches every holder (incl. the appended doc 6);
+    # over-cap gram matches nothing
+    assert near == [(100, 1), (100, 2), (100, 6)], near
+    rebuilt = str(tmp_path / "reb")
+    incremental.build_base_index(base.unionAll(inc), rebuilt, max_df=3)
+    assert _probe_all(spark, probe, idx) == _probe_all(spark, probe, rebuilt)
