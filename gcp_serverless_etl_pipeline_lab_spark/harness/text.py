@@ -702,3 +702,90 @@ def text_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training (operators/bpetrain.py)
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "chr(31)"  # token separator in the oracle's string-fold; unit
+# separator never appears in the fixture text, so suffix checks identify
+# the accumulator's LAST token exactly
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_round_duck(i: int) -> str:
+    """One unrolled BPE round: argmax adjacent pair of w{i-1} (count
+    desc, then lexicographic), then the merged word table w{i}. The fold
+    runs over a chr(31)-joined STRING accumulator (DuckDB's list_reduce
+    seeds from the first element, so a list-typed accumulator isn't
+    expressible): last-token-equals-a is an anchored suffix check, and a
+    merge appends b separator-free — turning the trailing token a into
+    ab, exactly the engine's array fold."""
+    prev = f"w{i - 1}"
+    return f"""
+    p{i} AS (
+      SELECT a, b, w FROM (
+        SELECT p['a'] AS a, p['b'] AS b, SUM(cnt) AS w FROM (
+          SELECT cnt,
+                 unnest(list_transform(range(1, len(syms)),
+                        j -> {{'a': syms[j], 'b': syms[j + 1]}})) AS p
+          FROM {prev} WHERE len(syms) >= 2
+        ) GROUP BY 1, 2
+      ) ORDER BY w DESC, a, b LIMIT 1
+    ),
+    w{i} AS (
+      SELECT word, cnt,
+             string_split(
+               list_reduce(syms, (acc, s) ->
+                 CASE WHEN (acc = m.a OR ends_with(acc, {_BPE_SEP} || m.a))
+                           AND s = m.b
+                      THEN acc || s
+                      ELSE acc || {_BPE_SEP} || s END),
+               {_BPE_SEP}) AS syms
+      FROM {prev} CROSS JOIN p{i} m
+    )"""
+
+
+@register(
+    "a0f_bpe_train_merges",
+    f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+      SELECT word, cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      FROM wc
+    ),
+    {",".join(_bpe_round_duck(i) for i in range(1, _BPE_ROUNDS + 1))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs, w AS pair_count FROM p{i}"
+          for i in range(1, _BPE_ROUNDS + 1)
+      )}
+    ) ORDER BY merge_rank
+    """,
+)
+def a0f_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpetrain.py): learn the first
+    {rounds} merges over the documents table — corpus collapses once to
+    the distinct-word table, each round is one pair-count shuffle plus a
+    single-row argmax gate and a map-side greedy-leftmost fold. The
+    oracle unrolls the identical rounds in SQL; any divergence in pair
+    counting (overlap handling), tie-breaking, or apply order (merged
+    tokens immediately eligible) hash-mismatches the merge table."""
+    from ..operators.bpetrain import train_bpe_merges
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    merges = train_bpe_merges(d, n_merges=_BPE_ROUNDS, min_pair_count=2)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, w)
+            for i, (a, b, w) in enumerate(merges)
+        ],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )

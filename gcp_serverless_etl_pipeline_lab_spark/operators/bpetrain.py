@@ -1,0 +1,139 @@
+"""Distributed BPE merge training — learn a byte-pair-encoding merge
+table FROM the corpus (the training counterpart of the BPE-style
+pre-tokenizer accounting in harness/text.py, which only counts with a
+fixed regex).
+
+Classic BPE (Sennrich et al., arXiv:1508.07909) alternates: count
+adjacent symbol-pair frequencies over the corpus, merge the most
+frequent pair everywhere, repeat. The Spark shape keeps every heavy step
+distributed and bounded:
+
+- the corpus collapses ONCE to a (word, count) table — one shuffle over
+  words, after which training cost is independent of corpus size (the
+  standard trick: pair counts are word-count-weighted, so a 100 TB
+  corpus trains on its distinct-word table, usually a few million rows);
+- each round: adjacent pairs explode map-side from the symbol arrays,
+  one partially-aggregated groupBy(pair) shuffle, and a SINGLE-ROW
+  collect of the argmax pair (deterministic tie-break: highest count,
+  then lexicographic (a, b)) — the same bounded driver-gate class as the
+  quality gates;
+- the winning merge applies map-side via one array fold per word
+  (greedy leftmost, merged tokens immediately eligible for the next
+  fold step — exactly reference BPE's apply order), and the word table
+  is lineage-truncated per round (localCheckpoint) so n rounds cost n
+  bounded plans, not one exponentially-nested one.
+
+Determinism: no RNG anywhere, ties broken lexicographically — the
+DuckDB oracle (harness/text.py a0f_bpe_train_merges) unrolls the same
+rounds in SQL (string-accumulator list_reduce fold) and must produce
+the identical merge table, counts included.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# split a word into characters (unicode-aware on both engines)
+_CHARS = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+
+# adjacent symbol pairs; sequence(1, 0) is DESCENDING in Spark, hence the
+# size guard (same trap as functions/text.word_ngrams_sql)
+_PAIRS = (
+    "IF(size(syms) >= 2,"
+    " transform(sequence(1, size(syms) - 1),"
+    "           j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b)),"
+    " CAST(array() AS array<struct<a: string, b: string>>))"
+)
+
+# greedy leftmost merge of (ma, mb) -> ma||mb over the symbol array; the
+# merged token becomes the fold's new tail immediately, so 'a a a' under
+# merge (a, a) yields ['aa', 'a'] — reference BPE's apply order. ma/mb
+# are OUTER columns (from a broadcast 1-row frame), not string literals,
+# so corpus text can contain quotes/backslashes without escaping games.
+_APPLY = (
+    "aggregate(syms, CAST(array() AS array<string>),"
+    " (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = ma AND s = mb,"
+    "                concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))),"
+    "                concat(acc, array(s))))"
+)
+
+
+def word_symbol_table(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, syms array<string>, cnt) — the distinct-word training table
+    BPE rounds iterate on. One corpus shuffle, ever."""
+    return (
+        corpus.select(
+            F.explode(F.split(F.col(text_col), " ", -1)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", F.expr(_CHARS).alias("syms"), "cnt")
+    )
+
+
+def train_bpe_merges(
+    corpus: DataFrame,
+    n_merges: int = 16,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` merges; returns [(left, right,
+    pair_count)] in merge order. Stops early when the best remaining
+    pair's corpus count drops below ``min_pair_count`` (merging noise
+    pairs buys nothing)."""
+    spark = corpus.sparkSession
+    words = word_symbol_table(corpus, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            words.select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("w"))
+            .orderBy(F.desc("w"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["w"] < min_pair_count:
+            break
+        a, b, w = top[0]["a"], top[0]["b"], int(top[0]["w"])
+        merges.append((a, b, w))
+        merge_row = spark.createDataFrame([(a, b)], "ma string, mb string")
+        words = (
+            words.crossJoin(F.broadcast(merge_row))
+            .select("word", F.expr(_APPLY).alias("syms"), "cnt")
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
+def apply_bpe_merges(
+    corpus: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize ``corpus`` with a learned merge table: every word splits
+    to characters, then each merge applies in training order (greedy
+    leftmost per word — the standard BPE apply). Returns one row per
+    input row: (original columns..., tokens array<string>, n_tokens).
+    Map-side only: merges are a driver-side list folded into ``len(
+    merges)`` chained array expressions, no shuffle, no Python in the
+    hot path."""
+    spark = corpus.sparkSession
+    # apply per-WORD, not across a flattened stream (merges must not
+    # bridge word boundaries) — fold at word granularity, flatten last
+    out = corpus.withColumn(
+        "_words", F.expr(f"filter(split({text_col}, ' ', -1), w -> w != '')")
+    ).withColumn("_syms", F.expr(f"transform(_words, word -> {_CHARS})"))
+    for a, b, *_ in merges:
+        mrow = spark.createDataFrame([(a, b)], "ma string, mb string")
+        out = out.crossJoin(F.broadcast(mrow)).withColumn(
+            "_syms",
+            F.expr("transform(_syms, syms -> " + _APPLY + ")"),
+        ).drop("ma", "mb")
+    return (
+        out.withColumn("tokens", F.expr("flatten(_syms)"))
+        .withColumn("n_tokens", F.size("tokens"))
+        .drop("_words", "_syms")
+    )

@@ -1,0 +1,105 @@
+"""Distributed BPE merge training (operators/bpetrain.py) vs a
+pure-Python reference implementation of Sennrich-style BPE — merge
+table, tie-breaking, early stop, and the greedy-leftmost apply
+(merged tokens immediately eligible)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from gcp_serverless_etl_pipeline_lab_spark.operators.bpetrain import (
+    apply_bpe_merges,
+    train_bpe_merges,
+)
+
+
+def _ref_bpe(texts: list[str], n_merges: int, min_count: int = 2):
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    words = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        for w in words:
+            out: list = []
+            for s in words[w]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = out
+    return merges, words
+
+
+def _ref_tokens(text: str, merges) -> list[str]:
+    toks = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b, *_ in merges:
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the bat and the cat chat",
+    "that cattle chatter shatters the theme",
+    "low lower lowest slow slower slowest",
+    "aaa aaaa baa",  # overlap traps: (a,a) on runs must merge leftmost
+]
+
+
+def test_merge_table_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = train_bpe_merges(df, n_merges=8, min_pair_count=2)
+    want, _ = _ref_bpe(TEXTS, 8, 2)
+    assert got == want and len(got) == 8
+
+
+def test_early_stop_below_min_pair_count(spark):
+    df = spark.createDataFrame([("q w e r t y",)], "text string")
+    # every word is one char: no pairs at all -> zero merges
+    assert train_bpe_merges(df, n_merges=5, min_pair_count=2) == []
+    df2 = spark.createDataFrame([("ab ab cd",)], "text string")
+    # (a,b) count 2 passes; after merging, best remaining pair (c,d)
+    # count 1 < min -> stop at exactly one merge
+    got = train_bpe_merges(df2, n_merges=5, min_pair_count=2)
+    assert got == [("a", "b", 2)]
+
+
+def test_apply_matches_reference_tokenization(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = train_bpe_merges(df, n_merges=6, min_pair_count=2)
+    out = {r["text"]: r for r in apply_bpe_merges(df, merges).collect()}
+    for t in TEXTS:
+        want = _ref_tokens(t, merges)
+        assert list(out[t]["tokens"]) == want, t
+        assert out[t]["n_tokens"] == len(want)
+
+
+def test_greedy_leftmost_run_semantics(spark):
+    """'aaa' under merge (a,a): leftmost pair merges first and the merged
+    token is immediately eligible — ['aa', 'a'], never ['a', 'aa'] and
+    never a three-way 'aaa' in one round."""
+    df = spark.createDataFrame([("aaa aa",)], "text string")
+    merges = train_bpe_merges(df, n_merges=1, min_pair_count=1)
+    assert merges == [("a", "a", 3)]  # aaa contributes 2 (overlapping), aa 1
+    rows = {r["text"]: list(r["tokens"]) for r in apply_bpe_merges(df, merges).collect()}
+    assert rows["aaa aa"] == ["aa", "a", "aa"]
