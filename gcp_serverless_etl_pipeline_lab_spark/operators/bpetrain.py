@@ -108,6 +108,28 @@ def train_bpe_merges(
     return merges
 
 
+def apply_merges_to_word_table(
+    words: DataFrame, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
+) -> DataFrame:
+    """Fold a merge table into a (word, syms, ...) table — one greedy
+    fold per DISTINCT word per merge. This is the cheap spelling for
+    anything that doesn't need per-occurrence token STREAMS: tokenizing
+    a corpus occurrence-by-occurrence (apply_bpe_merges) folds every
+    word occurrence, which is interpreted-HOF-bound and ~L× more work
+    than folding the distinct-word table and joining counts back
+    (measured 12.4 s vs 4.5 s for the sf0.1 compression report)."""
+    spark = words.sparkSession
+    out = words
+    for a, b, *_ in merges:
+        mrow = spark.createDataFrame([(a, b)], "ma string, mb string")
+        out = (
+            out.crossJoin(F.broadcast(mrow))
+            .withColumn("syms", F.expr(_APPLY))
+            .drop("ma", "mb")
+        )
+    return out
+
+
 def apply_bpe_merges(
     corpus: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],

@@ -558,7 +558,31 @@ def _stress_index_append(
     return elapsed, out_rows
 
 
-SIDE_OPS = {"index_append": _stress_index_append}
+def _stress_bpe_train(spark: SparkSession, path: str, n: int) -> tuple[float, int]:
+    """BPE training cost must track the DISTINCT-WORD table, which the
+    replica word-prefixing grows linearly with N (r{k}w tags make every
+    replica's vocabulary disjoint) — the worst realistic case; a real
+    corpus's vocabulary grows sublinearly. 4 merges = 4 pair-count
+    shuffles over the word table + 4 map-side folds."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.bpetrain import (
+        train_bpe_merges,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    elapsed = None
+    merges = []
+    for _ in range(2):
+        start = time.perf_counter()
+        merges = train_bpe_merges(docs, n_merges=4, min_pair_count=2)
+        e = round(time.perf_counter() - start, 2)
+        elapsed = e if elapsed is None else min(elapsed, e)
+    return elapsed, len(merges)
+
+
+SIDE_OPS = {
+    "index_append": _stress_index_append,
+    "bpe_train": _stress_bpe_train,
+}
 
 
 def main() -> None:

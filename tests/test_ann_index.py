@@ -142,3 +142,48 @@ def test_ann_orphaned_generation_is_invisible(spark, tmp_path):
         map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
     )
     assert after == before, "orphaned generation leaked into query results"
+
+
+def test_streamed_ann_search_matches_batch_and_is_incremental(spark, tmp_path):
+    """streaming/ann_stream.run_ann_search: per-micro-batch top-k against
+    the stored index == the batch query_ann_index on the same queries;
+    checkpointed pickup ranks ONLY newly arrived files; idle re-run adds
+    nothing."""
+    from gcp_serverless_etl_pipeline_lab_spark.sinks import read_warehouse
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.ann_stream import (
+        run_ann_search,
+    )
+
+    corpus, _ = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(corpus, idx, 64, cells=8, iters=2, sample_rate=1.0)
+
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _queries(lo, hi):
+        return corpus.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+        )
+
+    q1 = _queries(0, 6)
+    q1.coalesce(1).write.mode("append").parquet(inbox)
+    run_ann_search(spark, inbox, idx, out, ckpt, k=5, nprobe=2)
+    got1 = read_warehouse(spark, out)
+    want1 = annindex.query_ann_index(spark, q1, idx, k=5, nprobe=2)
+    assert sorted(map(tuple, got1.collect())) == sorted(map(tuple, want1.collect()))
+
+    q2 = _queries(6, 12)
+    q2.coalesce(1).write.mode("append").parquet(inbox)
+    run_ann_search(spark, inbox, idx, out, ckpt, k=5, nprobe=2)
+    got2 = read_warehouse(spark, out)
+    want2 = annindex.query_ann_index(
+        spark, q1.unionAll(q2), idx, k=5, nprobe=2
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want2.collect()))
+
+    run_ann_search(spark, inbox, idx, out, ckpt, k=5, nprobe=2)  # idle
+    assert read_warehouse(spark, out).count() == got2.count()
