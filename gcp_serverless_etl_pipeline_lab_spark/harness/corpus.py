@@ -901,3 +901,61 @@ def a0d_train_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "a0f_temperature_mixture",
+    # T=0.5 keeps the whole rate chain inside IEEE-correctly-rounded
+    # operations (divide, sqrt, floor) so the oracle recomputes the
+    # thresholds bit-identically from the same counts — see
+    # operators/mixing.temperature_mixture_rates for why other T values
+    # are pow-dependent and not cross-engine-exact.
+    f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT MIN(n) AS nmin FROM counts),
+    thr AS (
+      SELECT source, n,
+             CAST(FLOOR(SQRT(CAST(nmin AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT) AS t
+      FROM counts, mn
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN thr USING (source)
+      WHERE ({h60_duck("CAST(doc_id AS VARCHAR)")}) % 1000000 < thr.t
+      GROUP BY d.source
+    )
+    SELECT thr.source, thr.n AS n_total,
+           COALESCE(kept.n_kept, 0) AS n_kept,
+           ROUND(CAST(COALESCE(kept.n_kept, 0) AS DOUBLE) / thr.n, 4) AS kept_frac
+    FROM thr LEFT JOIN kept USING (source)
+    ORDER BY thr.source
+    """,
+)
+def a0f_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling at T=0.5 (operators/mixing.
+    mix_corpus_temperature): kept counts reshape toward p_i ∝ sqrt(n_i)
+    — the mT5/XLM-R multilingual recipe — by downsampling only (the
+    smallest source keeps everything), membership deterministic in
+    doc_id. Report: per-source totals, kept counts, kept fraction."""
+    from ..operators.mixing import mix_corpus_temperature
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = (
+        mix_corpus_temperature(docs, temperature=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_total"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )

@@ -277,3 +277,41 @@ def test_mix_corpus_allowlist_and_determinism(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_temperature_mixture_rates_math_and_sampling(spark):
+    """T=0.5 temperature resampling: rate_i = sqrt(n_min/n_i) (smallest
+    source keeps all), expected kept ∝ sqrt(n_i); sampling is
+    deterministic in doc_id and within binomial noise of the expected
+    counts; invalid inputs rejected."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.mixing import (
+        mix_corpus_temperature,
+        temperature_mixture_rates,
+    )
+
+    counts = {"web": 40_000, "code": 10_000, "books": 2_500}
+    rates = temperature_mixture_rates(counts, 0.5)
+    assert rates["books"] == 1.0
+    assert abs(rates["code"] - 0.5) < 1e-6
+    assert abs(rates["web"] - math.sqrt(2_500 / 40_000)) < 1e-6
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mixture_rates(counts, 0.0)
+    with pytest.raises(ValueError, match="positive"):
+        temperature_mixture_rates({"a": 0}, 0.5)
+    assert temperature_mixture_rates({}, 0.5) == {}
+
+    rows = [(i, "web" if i % 5 != 0 else "code") for i in range(5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mix_corpus_temperature(docs, 0.5)
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["code"] == 1000  # smallest source keeps everything
+    # web keeps ~ sqrt(1000/4000) = 0.5 of 4000 -> 2000 ± binomial noise
+    assert abs(got["web"] - 2000) < 150, got
+    # deterministic: identical membership on a re-run
+    again = {r["source"]: r["n"] for r in mix_corpus_temperature(docs, 0.5).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == got
