@@ -764,7 +764,8 @@ def _bpe_round_duck(i: int) -> str:
     {",".join(_bpe_round_duck(i) for i in range(1, _BPE_ROUNDS + 1))}
     SELECT * FROM (
       {" UNION ALL ".join(
-          f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs, w AS pair_count FROM p{i}"
+          f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs,"
+          f" CAST(w AS BIGINT) AS pair_count FROM p{i}"
           for i in range(1, _BPE_ROUNDS + 1)
       )}
     ) ORDER BY merge_rank

@@ -811,7 +811,15 @@ def knn_graph_lsh(
     want near-dups). At 100 TB prefer trained-IVF blocks
     (``knn_graph_blocked`` over k-means cells) when you need
     exact-within-cell, and escalated LSH when the corpus can't afford
-    cell-exhaustive pairs."""
+    cell-exhaustive pairs.
+
+    COST MODEL CAVEAT — this operator's blocking is FIXED (labels x
+    2^planes buckets), so candidate pairs grow QUADRATICALLY with the
+    corpus: measured 4.94x wall at 10x data (SCALE_STRESS.json). Callers
+    that don't know their corpus size should use ``knn_graph_auto``,
+    which keeps this operator's behavior under 10k rows and routes
+    larger corpora to a trained-IVF multiprobe graph (1.54x at 10x, at
+    HIGHER measured recall)."""
     from .dedup import cosine_candidate_pairs
 
     v = corpus.select("vec_id", "label", "embedding")
