@@ -132,3 +132,90 @@ def run_incremental_classify(
         .start()
         .awaitTermination()
     )
+
+
+def run_nightly_loop(
+    spark,
+    input_dir: str,
+    index_path: str,
+    merged_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+) -> dict:
+    """One iteration of the FULL nightly dedup loop — the composition
+    tests/test_nightly_loop.py drives by hand, as one idempotent call:
+
+    1. stream-classify every newly arrived batch file against the
+       persisted index (``run_incremental_classify``: checkpointed
+       pickup, exactly-once ``epoch=`` category dirs under
+       ``out_path``);
+    2. for each epoch not yet absorbed: join its 'new' doc_ids back to
+       their text, land them in ``merged_dir/epoch=<id>`` (overwrite —
+       replay-stable), and ``append_to_index`` keyed ``epoch-<id>``.
+
+    Crash anywhere and re-call: the stream's checkpoint skips classified
+    files, the corpus epoch dir re-OVERWRITES identically, and the
+    append's increment-id ledger makes the index commit exactly-once.
+    Order matters: the corpus write precedes the append commit, so an
+    epoch whose id is already in the index ledger is GUARANTEED to have
+    its corpus dir complete — the ledger is the loop's progress marker.
+    The merged corpus (base table plus ``read_warehouse(merged_dir)``)
+    stays equivalent to what a full rebuild would index — pinned by the
+    integration test.
+
+    Returns {"classified_epochs": [...], "merged_epochs": [...],
+    "new_docs": n} for observability.
+
+    The text join-back reads the whole inbox (new docs' text lives only
+    there) — archive absorbed inbox files on whatever cadence keeps that
+    scan bounded; the stream's checkpoint is unaffected by archival.
+    """
+    import os
+    import re
+
+    from ..operators.incremental import _load_manifest, append_to_index
+
+    run_incremental_classify(
+        spark, input_dir, index_path, out_path, checkpoint_dir, threshold
+    )
+    man = _load_manifest(index_path)
+    applied = {
+        g.get("increment_id") for g in man["generations"]
+    } | set(man.get("compacted_increments", []))
+    epochs = sorted(
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"epoch=(\d+)", name)
+            for name in (
+                os.listdir(out_path) if os.path.isdir(out_path) else []
+            )
+        )
+        if m
+    )
+    merged, n_new = [], 0
+    for eid in epochs:
+        if f"epoch-{eid}" in applied:
+            continue
+        cls = spark.read.parquet(os.path.join(out_path, f"epoch={eid}"))
+        new_ids = cls.filter(F.col("category") == "new").select("doc_id")
+        inc = (
+            spark.read.parquet(input_dir)
+            .select("doc_id", "text")
+            .join(new_ids, "doc_id")
+        )
+        n = inc.count()
+        if n > 0:
+            # corpus BEFORE index commit: replay-stable overwrite, and
+            # the ledger then proves the corpus dir is complete
+            inc.write.mode("overwrite").parquet(
+                os.path.join(merged_dir, f"epoch={eid}")
+            )
+        append_to_index(spark, inc, index_path, increment_id=f"epoch-{eid}")
+        merged.append(eid)
+        n_new += n
+    return {
+        "classified_epochs": epochs,
+        "merged_epochs": merged,
+        "new_docs": n_new,
+    }

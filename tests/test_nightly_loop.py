@@ -155,3 +155,63 @@ def test_nightly_loop_converges_across_crash(spark, tmp_path):
     gens = incremental._load_manifest(idx)["generations"]
     assert [g["increment_id"] for g in gens] == [None, "epoch-0", "epoch-1"]
     assert os.path.isdir(os.path.join(idx, "grams", "gen=2"))
+
+
+def test_run_nightly_loop_api_is_idempotent_and_converges(spark, tmp_path):
+    """The packaged loop (streaming/dedup_stream.run_nightly_loop): two
+    nights through ONE call each, a crash-replay call in between (no-op),
+    and the final index equals a rebuild over base + everything merged."""
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.dedup_stream import (
+        run_nightly_loop,
+    )
+
+    base, pool1, pool2 = _pools(spark)
+    idx = str(tmp_path / "idx")
+    merged_dir = str(tmp_path / "merged")
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+
+    # night 1: fresh docs + resubmissions
+    night1 = pool1.unionAll(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+        )
+    )
+    night1.coalesce(1).write.mode("append").parquet(inbox)
+    s1 = run_nightly_loop(spark, inbox, idx, merged_dir, out, ckpt, THRESH)
+    assert s1["merged_epochs"] == [0] and s1["new_docs"] > 0
+
+    # crash-replay: nothing new arrived; everything is a committed no-op
+    s_replay = run_nightly_loop(spark, inbox, idx, merged_dir, out, ckpt, THRESH)
+    assert s_replay["merged_epochs"] == [] and s_replay["new_docs"] == 0
+
+    # night 2: re-keyed copies of night-1 merges (must be exact_dup now)
+    merged1 = read_warehouse(spark, merged_dir)
+    resub2 = merged1.select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"), "text"
+    )
+    resub2.unionAll(pool2).coalesce(1).write.mode("append").parquet(inbox)
+    s2 = run_nightly_loop(spark, inbox, idx, merged_dir, out, ckpt, THRESH)
+    assert s2["merged_epochs"] == [1]
+
+    got2 = spark.read.parquet(os.path.join(out, "epoch=1"))
+    resub_cats = {
+        r.category
+        for r in got2.join(resub2.select("doc_id"), "doc_id", "left_semi").collect()
+    }
+    assert resub_cats == {"exact_dup"}, resub_cats
+
+    # convergence: appended index == rebuild over base + merged corpus
+    full = base.unionAll(read_warehouse(spark, merged_dir).select("doc_id", "text"))
+    rebuilt = str(tmp_path / "rebuilt")
+    incremental.build_base_index(full, rebuilt, max_df=MAX_DF)
+    probe = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    )
+    via_loop = incremental.classify_batch_vs_index(spark, probe, idx)
+    via_rebuilt = incremental.classify_batch_vs_index(spark, probe, rebuilt)
+    assert sorted(map(tuple, via_loop.collect())) == sorted(
+        map(tuple, via_rebuilt.collect())
+    )
