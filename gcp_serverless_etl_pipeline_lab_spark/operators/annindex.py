@@ -135,7 +135,16 @@ def append_ann_index(
     committed no-ops; a crash before the commit leaves an orphan no
     query reads). Cost is one map-side assignment pass over the
     INCREMENT. An empty increment is a no-op (returns False) — an empty
-    generation dir would carry no schema to read back."""
+    generation dir would carry no schema to read back.
+
+    Concurrent appenders are safe — same claim+locked-commit discipline
+    as the text index (operators/incremental.append_to_index), with no
+    cap-consistency relaxation to document: the model is pinned, so
+    concurrent assignments never interact."""
+    import os
+
+    from .incremental import _GENCLAIM_PREFIX, _claim_generation, _manifest_lock
+
     man = _load_ann_manifest(path)
     if man.get("version", 1) < 2:
         raise ValueError(
@@ -150,10 +159,25 @@ def append_ann_index(
     if increment.limit(1).count() == 0:
         return False
     model = [(int(cid), [float(x) for x in vec]) for cid, vec in man["model"]]
-    gen = max(g["gen"] for g in man["generations"]) + 1
+    gen = _claim_generation(path)  # manifests share the generations shape
     _write_vectors_gen(increment, path, gen, model)
-    man["generations"].append({"gen": gen, "increment_id": increment_id})
-    _write_ann_manifest(path, man)
+    with _manifest_lock(path):
+        cur = _load_ann_manifest(path)
+        applied_now = {
+            g.get("increment_id") for g in cur["generations"]
+        } | set(cur.get("compacted_increments", []))
+        if increment_id is not None and increment_id in applied_now:
+            try:
+                os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+            except OSError:
+                pass
+            return False
+        cur["generations"].append({"gen": gen, "increment_id": increment_id})
+        _write_ann_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
     return True
 
 

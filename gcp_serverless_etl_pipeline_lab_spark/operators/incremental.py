@@ -321,6 +321,54 @@ def _write_manifest(path: str, man: dict) -> None:
     os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
+_GENCLAIM_PREFIX = ".genclaim-"
+
+
+def _claim_generation(path: str) -> int:
+    """Reserve the next generation number with an exclusive-create marker
+    (the warehouse's version-claim discipline, sinks._claim_version):
+    racing appenders write DISTINCT gen dirs instead of clobbering one.
+    Crashed appenders leave a stale marker — swept by vacuum_index —
+    which only costs a skipped number."""
+    import os
+
+    while True:
+        man = _load_manifest(path)
+        taken = {g["gen"] for g in man["generations"]}
+        for name in os.listdir(path):
+            if name.startswith(_GENCLAIM_PREFIX) and name[
+                len(_GENCLAIM_PREFIX):
+            ].isdigit():
+                taken.add(int(name[len(_GENCLAIM_PREFIX):]))
+        cand = max(taken) + 1
+        try:
+            with open(os.path.join(path, f"{_GENCLAIM_PREFIX}{cand}"), "x"):
+                pass
+            return cand
+        except FileExistsError:
+            continue
+
+
+def _manifest_lock(path: str):
+    """Exclusive flock on the manifest's sidecar lock — serializes the
+    read-modify-replace commit (the object-store analogue is a
+    conditional PUT on the manifest's etag, retried on failure)."""
+    import contextlib
+    import fcntl
+    import os
+
+    @contextlib.contextmanager
+    def _lock():
+        with open(os.path.join(path, "." + _MANIFEST + ".lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+    return _lock()
+
+
 def _load_manifest(path: str) -> dict:
     import json
     import os
@@ -478,6 +526,19 @@ def append_to_index(
     a performed append returns True. Without an id, callers own
     exactly-once delivery.
 
+    CONCURRENT APPENDERS are safe: each claims a distinct generation
+    number via an exclusive-create marker (racing appends land in
+    distinct dirs) and the manifest commit re-reads under an exclusive
+    flock, so no committed generation is ever dropped and a same-
+    increment-id race commits exactly once (the loser's orphaned dir is
+    vacuum_index's business). One documented relaxation: each
+    concurrent appender enforces the df-cap against ITS manifest
+    snapshot, so a gram pushed over the cap only by two IN-FLIGHT
+    increments together keeps its postings until the next
+    ``compact_index``, which recomputes the ledger from the summed true
+    dfs and restores exact cap semantics. Serial appends (the nightly
+    loop) are always exact.
+
     Requires a v2 (generational) index; round-8 flat-layout indexes must
     be rebuilt once with ``build_base_index``.
     """
@@ -495,7 +556,7 @@ def append_to_index(
     if increment_id is not None and increment_id in applied:
         return False
     max_df = man["max_df"]
-    gen = max(g["gen"] for g in man["generations"]) + 1
+    gen = _claim_generation(path)
 
     sh = _with_shingles(increment, int(man["ngram"])).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -570,10 +631,31 @@ def append_to_index(
                 gramdf=inc_df.select("g", "df", "gb"),
                 capped=newly_capped,
             )
-            man["generations"].append(
-                {"gen": gen, "increment_id": increment_id}
-            )
-            _write_manifest(path, man)
+            import os
+
+            with _manifest_lock(path):
+                cur = _load_manifest(path)  # re-read: racing commits land
+                applied_now = {
+                    g.get("increment_id") for g in cur["generations"]
+                } | set(cur.get("compacted_increments", []))
+                if increment_id is not None and increment_id in applied_now:
+                    # same-increment race lost: our generation stays an
+                    # orphan for vacuum_index; the committed one wins
+                    try:
+                        os.remove(
+                            os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}")
+                        )
+                    except OSError:
+                        pass
+                    return False
+                cur["generations"].append(
+                    {"gen": gen, "increment_id": increment_id}
+                )
+                _write_manifest(path, cur)
+            try:
+                os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+            except OSError:
+                pass
             return True
         finally:
             merged.unpersist()
@@ -620,7 +702,7 @@ def compact_index(spark, path: str) -> int:
         )
     max_df = man["max_df"]
     old_gens = [g["gen"] for g in man["generations"]]
-    gen = max(old_gens) + 1
+    gen = _claim_generation(path)
 
     hashes = _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA)
     sizes = _read_artifact(spark, path, "sizes", man, _SIZES_SCHEMA)
@@ -650,11 +732,25 @@ def compact_index(spark, path: str) -> int:
         for g in man["generations"]
         if g.get("increment_id") is not None
     ]
-    man["compacted_increments"] = sorted(
-        set(man.get("compacted_increments", [])) | set(applied)
-    )
-    man["generations"] = [{"gen": gen, "increment_id": None}]
-    _write_manifest(path, man)
+    with _manifest_lock(path):
+        cur = _load_manifest(path)
+        if {g["gen"] for g in cur["generations"]} != set(old_gens):
+            # an append committed while we folded: our fold is missing
+            # its generation — abort loudly (the folded dirs are orphans
+            # vacuum_index sweeps); caller re-runs compaction
+            raise RuntimeError(
+                f"concurrent append landed during compaction of {path}; "
+                "re-run compact_index"
+            )
+        cur["compacted_increments"] = sorted(
+            set(cur.get("compacted_increments", [])) | set(applied)
+        )
+        cur["generations"] = [{"gen": gen, "increment_id": None}]
+        _write_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
     for old in old_gens:
         for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
             shutil.rmtree(
@@ -684,6 +780,22 @@ def vacuum_index(path: str, min_age_seconds: float = 86400.0) -> list[str]:
     live = {g["gen"] for g in man["generations"]}
     now = time.time()
     swept: list[str] = []
+    # stale generation-claim markers (crashed appenders) age out too
+    for name in os.listdir(path):
+        if not name.startswith(_GENCLAIM_PREFIX):
+            continue
+        suffix = name[len(_GENCLAIM_PREFIX):]
+        p = os.path.join(path, name)
+        if (
+            suffix.isdigit()
+            and int(suffix) not in live
+            and now - os.path.getmtime(p) >= min_age_seconds
+        ):
+            try:
+                os.remove(p)
+                swept.append(name)
+            except OSError:
+                pass
     for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
         root = os.path.join(path, artifact)
         if not os.path.isdir(root):

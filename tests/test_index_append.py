@@ -258,3 +258,66 @@ def test_cap_boundary_exactly_max_df_is_kept_after_append(spark, tmp_path):
     rebuilt = str(tmp_path / "reb")
     incremental.build_base_index(base.unionAll(inc), rebuilt, max_df=3)
     assert _probe_all(spark, probe, idx) == _probe_all(spark, probe, rebuilt)
+
+
+def test_concurrent_appends_commit_both_generations(spark, tmp_path):
+    """Two threads append DISTINCT increments concurrently: generation
+    claims keep their dirs distinct, the locked manifest commit drops
+    neither, and the result probes identically to a rebuild (max_df=None
+    — the documented concurrent relaxation only concerns the cap)."""
+    import threading
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    inc1 = docs.filter(F.col("doc_id") % 3 == 1)
+    inc2 = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=None)
+
+    results = {}
+
+    def _go(name, inc):
+        results[name] = incremental.append_to_index(spark, inc, idx, name)
+
+    t1 = threading.Thread(target=_go, args=("inc-1", inc1))
+    t2 = threading.Thread(target=_go, args=("inc-2", inc2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert results == {"inc-1": True, "inc-2": True}
+    man = incremental._load_manifest(idx)
+    ids = sorted(g["increment_id"] for g in man["generations"] if g["increment_id"])
+    gens = [g["gen"] for g in man["generations"]]
+    assert ids == ["inc-1", "inc-2"] and len(set(gens)) == 3
+
+    rebuilt = str(tmp_path / "reb")
+    incremental.build_base_index(docs, rebuilt, max_df=None)
+    batch = _split(spark)[2]
+    assert _probe_all(spark, batch, idx) == _probe_all(spark, batch, rebuilt)
+
+
+def test_same_increment_id_race_commits_exactly_once(spark, tmp_path):
+    import threading
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+
+    results = []
+
+    def _go():
+        results.append(incremental.append_to_index(spark, inc, idx, "epoch-9"))
+
+    threads = [threading.Thread(target=_go) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == [False, False, True]
+    man = incremental._load_manifest(idx)
+    assert [g["increment_id"] for g in man["generations"]].count("epoch-9") == 1
+    # probe still equals rebuild despite the racing losers' orphans
+    rebuilt = str(tmp_path / "reb")
+    incremental.build_base_index(docs, rebuilt, max_df=MAX_DF)
+    batch = _split(spark)[2]
+    assert _probe_all(spark, batch, idx) == _probe_all(spark, batch, rebuilt)
