@@ -307,6 +307,48 @@ def a0f_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register("a0g_ann_index_compact", _IVF_APPEND_ORACLE)
+def a0g_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index COMPACTION (operators/annindex.compact_ann_index): the
+    even-half build + odd-half append of a0f_ann_index_append, then the
+    accumulated generations are folded into ONE before the standard
+    query batch runs. The oracle is a0f's verbatim — compaction is a
+    pure rewrite under the pinned model, so query-after-compact must
+    hash-identically to query-before; a fold that dropped a generation,
+    re-assigned a cell, or retrained would mismatch. The probe plan over
+    the compacted index carries ONE vector scan however many appends
+    preceded it (pinned by tests/test_ann_index.py)."""
+    from ..operators.annindex import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        query_ann_index,
+    )
+    from .dedup import _ensure_cached_index
+
+    corpus, queries = _sim_queries(spark, sf_dir)
+
+    def _build(stage: str) -> None:
+        build_ann_index(
+            corpus.filter(F.col("vec_id") % 2 == 0),
+            stage,
+            EMB_DIM,
+            cells=_IVF_K,
+            iters=2,
+            sample_rate=1.0,
+        )
+        append_ann_index(
+            spark, corpus.filter(F.col("vec_id") % 2 == 1), stage, "odd-half"
+        )
+        compact_ann_index(spark, stage)
+
+    idx = _ensure_cached_index(
+        sf_dir, "annivf_compact", _build, table="embeddings.parquet"
+    )
+    out = query_ann_index(spark, queries, idx, k=5, nprobe=_IVF_NPROBE)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @register(
     "sim_search_lsh_bucketed",
     f"""

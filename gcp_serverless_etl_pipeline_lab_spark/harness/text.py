@@ -714,15 +714,24 @@ _BPE_SEP = "chr(31)"  # token separator in the oracle's string-fold; unit
 
 _BPE_ROUNDS = 4
 
+# the engine's min_pair_count — the oracle must stop at the same floor,
+# or a corpus whose best pair drops below it mid-training would make the
+# engine return fewer merge rows than the oracle (latent hash-mismatch)
+_BPE_MIN_PAIR = 2
+
 
 def _bpe_round_duck(i: int) -> str:
     """One unrolled BPE round: argmax adjacent pair of w{i-1} (count
-    desc, then lexicographic), then the merged word table w{i}. The fold
-    runs over a chr(31)-joined STRING accumulator (DuckDB's list_reduce
-    seeds from the first element, so a list-typed accumulator isn't
-    expressible): last-token-equals-a is an anchored suffix check, and a
-    merge appends b separator-free — turning the trailing token a into
-    ab, exactly the engine's array fold."""
+    desc, then lexicographic) FLOORED at the engine's min_pair_count —
+    when no pair reaches the floor, p{i} is empty (no merge row emitted)
+    and w{i} falls through to w{i-1} unchanged, so every later round is
+    empty too: the SQL twin of train_bpe_merges' early break. Then the
+    merged word table w{i}. The fold runs over a chr(31)-joined STRING
+    accumulator (DuckDB's list_reduce seeds from the first element, so a
+    list-typed accumulator isn't expressible): last-token-equals-a is an
+    anchored suffix check, and a merge appends b separator-free —
+    turning the trailing token a into ab, exactly the engine's array
+    fold."""
     prev = f"w{i - 1}"
     return f"""
     p{i} AS (
@@ -733,7 +742,7 @@ def _bpe_round_duck(i: int) -> str:
                         j -> {{'a': syms[j], 'b': syms[j + 1]}})) AS p
           FROM {prev} WHERE len(syms) >= 2
         ) GROUP BY 1, 2
-      ) ORDER BY w DESC, a, b LIMIT 1
+      ) WHERE w >= {_BPE_MIN_PAIR} ORDER BY w DESC, a, b LIMIT 1
     ),
     w{i} AS (
       SELECT word, cnt,
@@ -745,6 +754,9 @@ def _bpe_round_duck(i: int) -> str:
                       ELSE acc || {_BPE_SEP} || s END),
                {_BPE_SEP}) AS syms
       FROM {prev} CROSS JOIN p{i} m
+      UNION ALL
+      SELECT word, cnt, syms FROM {prev}
+      WHERE NOT EXISTS (SELECT 1 FROM p{i})
     )"""
 
 
@@ -782,7 +794,7 @@ def a0f_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpetrain import train_bpe_merges
 
     d = _t(spark, sf_dir, "documents").select("text")
-    merges = train_bpe_merges(d, n_merges=_BPE_ROUNDS, min_pair_count=2)
+    merges = train_bpe_merges(d, n_merges=_BPE_ROUNDS, min_pair_count=_BPE_MIN_PAIR)
     return spark.createDataFrame(
         [
             (i + 1, a, b, w)
@@ -851,7 +863,7 @@ def a0f_bpe_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    merges = train_bpe_merges(d, n_merges=_BPE_ROUNDS, min_pair_count=2)
+    merges = train_bpe_merges(d, n_merges=_BPE_ROUNDS, min_pair_count=_BPE_MIN_PAIR)
     final = apply_merges_to_word_table(
         word_symbol_table(d.select("text")), merges
     ).select("word", F.size("syms").alias("n_tok"))

@@ -32,8 +32,16 @@ replace, the same crash/idempotence discipline as the text index's
 no-ops). The model itself is pinned per index: appending changes which
 vectors each cell holds, never the cell geometry, so
 query-after-append == query-against-rebuild WITH THE SAME MODEL
-(pinned by tests and the ``a0f_ann_index_append`` oracle). Retraining
-(centroid drift after heavy growth) is a rebuild decision.
+(pinned by tests and the ``a0f_ann_index_append`` oracle).
+
+Lifecycle beyond append (round 10): ``compact_ann_index`` folds the
+accumulated generations back to one scan (probe cost flat in nights
+elapsed), ``vacuum_index`` (shared with the text index) sweeps orphaned
+``vectors/gen=N`` dirs and unlisted pre-compaction generations, every
+append records its quantization error so ``ann_drift_report`` can flag
+when the pinned centroids stop fitting the data, and
+``rebuild_ann_index`` performs the recommended retrain entirely from
+the stored vectors.
 """
 
 from __future__ import annotations
@@ -50,6 +58,23 @@ from .similarity import (
 )
 
 _MANIFEST = "_MANIFEST.json"
+
+# an append whose mean assignment distance exceeds this multiple of the
+# build-time baseline is drifting away from the pinned centroids —
+# recall against it degrades and a retrain (rebuild_ann_index with a
+# fresh model) is recommended
+DRIFT_REBUILD_RATIO = 2.0
+
+
+def _mean_assign_msd(df: DataFrame, model) -> float | None:
+    """Mean squared distance of each vector to its NEAREST pinned
+    centroid — the quantization error the IVF probe's recall rides on.
+    One partial-aggregated pass, single-row collect (bounded gate)."""
+    darr = "array(" + ", ".join(_sq_dist_expr("embedding", c) for _, c in model) + ")"
+    row = df.select(
+        F.avg(F.expr(f"array_min({darr})")).alias("msd")
+    ).collect()[0]
+    return None if row["msd"] is None else float(row["msd"])
 
 
 def build_ann_index(
@@ -80,6 +105,9 @@ def build_ann_index(
             "dim": dim,
             "model": [[cid, vec] for cid, vec in model],
             "generations": [{"gen": 0, "increment_id": None}],
+            # build-time quantization error — the drift baseline every
+            # append's own error is compared against (ann_drift_report)
+            "baseline_msd": _mean_assign_msd(corpus, model),
         },
     )
 
@@ -161,6 +189,12 @@ def append_ann_index(
     model = [(int(cid), [float(x) for x in vec]) for cid, vec in man["model"]]
     gen = _claim_generation(path)  # manifests share the generations shape
     _write_vectors_gen(increment, path, gen, model)
+    # the increment's own quantization error against the PINNED model —
+    # one aggregate over the increment (cost tracks increment size),
+    # recorded with the generation so ann_drift_report can flag when the
+    # data has drifted away from the centroids (recall decays silently
+    # otherwise; the model is never retrained by appends)
+    drift_msd = _mean_assign_msd(increment, model)
     with _manifest_lock(path):
         cur = _load_ann_manifest(path)
         applied_now = {
@@ -172,7 +206,16 @@ def append_ann_index(
             except OSError:
                 pass
             return False
-        cur["generations"].append({"gen": gen, "increment_id": increment_id})
+        if any(g["gen"] == gen for g in cur["generations"]):
+            # stolen claim (vacuumed past the horizon) already committed
+            # this number — a second commit would double-read gen={gen}
+            raise RuntimeError(
+                f"generation {gen} already committed at {path}; "
+                "claim was lost mid-append — retry the append"
+            )
+        cur["generations"].append(
+            {"gen": gen, "increment_id": increment_id, "drift_msd": drift_msd}
+        )
         _write_ann_manifest(path, cur)
     try:
         os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
@@ -260,3 +303,189 @@ def query_ann_index(
         .withColumn("score_raw", _dot("qe", "ce", dim))
     )
     return _rank_topk(scored, k)
+
+
+def compact_ann_index(spark, path: str) -> int:
+    """Fold all committed vector generations into ONE — the maintenance
+    step that completes the ANN lifecycle (build -> append* -> compact),
+    mirroring the text index's compact_index. A year of nightly appends
+    means ~365 generation dirs; ``_read_vectors`` unions one parquet scan
+    per generation, so probe plan size and small-file count grow linearly
+    with nights elapsed until this folds them back to one scan.
+
+    The vectors are already cell-assigned and the model is PINNED, so
+    compaction is a pure rewrite — no re-assignment, no training, no
+    driver data: one shuffle-by-cell of the unioned generations into a
+    fresh cell-partitioned generation dir. Query-after-compact is
+    row-identical to query-before (pinned by tests and the
+    ``a0g_ann_index_compact`` oracle).
+
+    Commit discipline matches the text index exactly: fresh claimed
+    generation number, artifacts first, atomic manifest flip under the
+    lock, ABORT if a concurrent append committed while folding (the
+    folded dir would silently drop that generation — the orphan is
+    vacuum's business, the caller re-runs), old generation dirs LEFT on
+    disk for in-flight readers until ``vacuum_index``'s age-based sweep.
+    Applied increment_ids move into ``compacted_increments`` so append
+    idempotence survives. Returns the new generation number."""
+    import os
+
+    from .incremental import (
+        _GENCLAIM_PREFIX,
+        _claim_generation,
+        _manifest_lock,
+    )
+
+    man = _load_ann_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"ANN index at {path} predates generations; rebuild with "
+            "build_ann_index (compaction is a no-op for flat layouts)"
+        )
+    old_gens = [g["gen"] for g in man["generations"]]
+    gen = _claim_generation(path)
+    vec = _read_vectors(spark, path, man)
+    (
+        vec.select("vec_id", "embedding", "cell")
+        .repartition(len(man["model"]), F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "vectors", f"gen={gen}"))
+    )
+    applied = [
+        g["increment_id"]
+        for g in man["generations"]
+        if g.get("increment_id") is not None
+    ]
+    with _manifest_lock(path):
+        cur = _load_ann_manifest(path)
+        if {g["gen"] for g in cur["generations"]} != set(old_gens):
+            raise RuntimeError(
+                f"concurrent append landed during compaction of {path}; "
+                "re-run compact_ann_index"
+            )
+        cur["compacted_increments"] = sorted(
+            set(cur.get("compacted_increments", [])) | set(applied)
+        )
+        cur["generations"] = [{"gen": gen, "increment_id": None}]
+        _write_ann_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
+    return gen
+
+
+def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) -> dict:
+    """Is the pinned coarse quantizer still a good fit for what the index
+    now holds? Appends record their mean squared assignment distance
+    (``drift_msd``) against the build-time ``baseline_msd``; a generation
+    whose error exceeds ``ratio_threshold`` x baseline is drifting — its
+    vectors sit far from every centroid, cell boundaries stop being
+    meaningful there, and probe recall decays silently. Pure manifest
+    read, no Spark job.
+
+    Returns ``{"baseline_msd", "generations": [{gen, increment_id,
+    drift_msd, ratio}...], "max_ratio", "rebuild_recommended"}``.
+    Generations without a recorded drift stat (the build generation,
+    pre-drift manifests, post-compaction folds) carry ratio None and
+    never trip the flag — no signal is not a drift signal."""
+    man = _load_ann_manifest(path)
+    baseline = man.get("baseline_msd")
+    gens = []
+    max_ratio = None
+    for g in man["generations"]:
+        msd = g.get("drift_msd")
+        ratio = (
+            None
+            if msd is None or not baseline
+            else float(msd) / float(baseline)
+        )
+        if ratio is not None:
+            max_ratio = ratio if max_ratio is None else max(max_ratio, ratio)
+        gens.append(
+            {
+                "gen": g["gen"],
+                "increment_id": g.get("increment_id"),
+                "drift_msd": msd,
+                "ratio": ratio,
+            }
+        )
+    return {
+        "baseline_msd": baseline,
+        "generations": gens,
+        "max_ratio": max_ratio,
+        "rebuild_recommended": max_ratio is not None
+        and max_ratio >= ratio_threshold,
+    }
+
+
+def rebuild_ann_index(
+    spark,
+    path: str,
+    cells: int | None = None,
+    iters: int = 2,
+    sample_rate: float = 0.1,
+) -> int:
+    """The retrain ``ann_drift_report`` recommends: re-fit the coarse
+    quantizer on what the index NOW holds and re-assign every vector —
+    entirely FROM the index (no base corpus needed; the stored vectors
+    are the corpus). The fresh model replaces the pinned one, the
+    re-assigned vectors land as one fresh generation, the baseline
+    resets, and applied increment_ids move to ``compacted_increments``
+    so append idempotence survives the retrain. Old generation dirs stay
+    for in-flight readers (vacuum sweeps them). Returns the new
+    generation number.
+
+    Commit discipline matches compaction, including the concurrent-append
+    abort — a generation committed mid-retrain would have been assigned
+    against the OLD model."""
+    import os
+
+    from .incremental import (
+        _GENCLAIM_PREFIX,
+        _claim_generation,
+        _manifest_lock,
+    )
+
+    man = _load_ann_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"ANN index at {path} predates generations; rebuild with "
+            "build_ann_index"
+        )
+    dim = int(man["dim"])
+    if cells is None:
+        cells = len(man["model"])
+    old_gens = [g["gen"] for g in man["generations"]]
+    gen = _claim_generation(path)
+    vec = _read_vectors(spark, path, man).select("vec_id", "embedding")
+    model = kmeans_centroids(
+        vec, dim, k=cells, iters=iters, sample_rate=sample_rate
+    )
+    _write_vectors_gen(vec, path, gen, model)
+    baseline = _mean_assign_msd(vec, model)
+    applied = [
+        g["increment_id"]
+        for g in man["generations"]
+        if g.get("increment_id") is not None
+    ]
+    with _manifest_lock(path):
+        cur = _load_ann_manifest(path)
+        if {g["gen"] for g in cur["generations"]} != set(old_gens):
+            raise RuntimeError(
+                f"concurrent append landed during retrain of {path}; "
+                "re-run rebuild_ann_index"
+            )
+        cur["model"] = [[cid, list(vec_)] for cid, vec_ in model]
+        cur["baseline_msd"] = baseline
+        cur["compacted_increments"] = sorted(
+            set(cur.get("compacted_increments", [])) | set(applied)
+        )
+        cur["generations"] = [{"gen": gen, "increment_id": None}]
+        _write_ann_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
+    return gen

@@ -648,6 +648,16 @@ def append_to_index(
                     except OSError:
                         pass
                     return False
+                if any(g["gen"] == gen for g in cur["generations"]):
+                    # our claim was stolen (e.g. vacuumed past the horizon
+                    # during an extreme stall) and the thief already
+                    # committed this number — committing too would make
+                    # _read_artifact scan gen={gen} twice (double-counted
+                    # postings). Fail loudly; a retry claims a fresh gen.
+                    raise RuntimeError(
+                        f"generation {gen} already committed at {path}; "
+                        "claim was lost mid-append — retry the append"
+                    )
                 cur["generations"].append(
                     {"gen": gen, "increment_id": increment_id}
                 )
@@ -682,16 +692,18 @@ def compact_index(spark, path: str) -> int:
 
     Probe-parity is exact: a compacted index answers identically to the
     multi-generation one (and to a rebuild). Commit discipline matches
-    append: the folded artifacts land in a FRESH generation number, the
-    atomic manifest replace flips the generation list to just that one,
-    and only then are the old generation dirs deleted (a crash before
-    the commit leaves orphans no reader sees; a crash after it leaves
-    stale dirs the next compact or a manual sweep removes — readers
-    never touch unlisted dirs either way). Returns the new generation
-    number. Applied increment_ids are preserved in the manifest under
+    append: the folded artifacts land in a FRESH generation number and
+    the atomic manifest replace flips the generation list to just that
+    one. The OLD generation dirs are deliberately left on disk — an
+    in-flight reader that loaded the pre-flip manifest (e.g. a stream
+    probe mid-scan) is still reading them, so deleting here would fail
+    it with FileNotFound mid-query. They are now unlisted (no new reader
+    opens them) and ``vacuum_index``'s age-based sweep removes them once
+    older than the vacuum horizon — the same reader-grace discipline as
+    sinks.vacuum_versions. Returns the new generation number. Applied
+    increment_ids are preserved in the manifest under
     ``compacted_increments`` so append idempotence survives compaction."""
     import os
-    import shutil
 
     man = _load_manifest(path)
     if man.get("version", 1) < 2:
@@ -751,24 +763,76 @@ def compact_index(spark, path: str) -> int:
         os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
     except OSError:
         pass
-    for old in old_gens:
-        for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
-            shutil.rmtree(
-                os.path.join(path, artifact, f"gen={old}"), ignore_errors=True
-            )
     return gen
+
+
+def _artifact_roots(path: str) -> list[str]:
+    """Top-level artifact dirs of ANY generational index at ``path`` —
+    discovered from the layout itself (a dir holding ``gen=N`` children),
+    so the text index's five artifacts and the ANN index's ``vectors/``
+    are all swept by the one vacuum."""
+    import os
+    import re
+
+    roots = []
+    for name in sorted(os.listdir(path)):
+        root = os.path.join(path, name)
+        if not os.path.isdir(root):
+            continue
+        if any(
+            re.fullmatch(r"gen=\d+", child)
+            and os.path.isdir(os.path.join(root, child))
+            for child in os.listdir(root)
+        ):
+            roots.append(name)
+    return roots
+
+
+def _newest_gen_mtime(path: str, gen: int, default: float) -> float:
+    """Newest file mtime across every artifact's ``gen=N`` dir — the
+    liveness signal for that generation's writer (an in-flight append is
+    continuously producing files there)."""
+    import os
+
+    newest = default
+    for artifact in _artifact_roots(path):
+        d = os.path.join(path, artifact, f"gen={gen}")
+        if not os.path.isdir(d):
+            continue
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(r, f)))
+                except OSError:
+                    pass
+    return newest
 
 
 def vacuum_index(path: str, min_age_seconds: float = 86400.0) -> list[str]:
     """Sweep ORPHANED generation dirs — debris of appends/compactions
-    that crashed between their artifact writes and the manifest commit.
-    Readers never see orphans (only manifest-listed generations are
-    read), so this is storage hygiene, not correctness. The age bound
-    disambiguates a crash from an IN-FLIGHT append writing its dirs
-    right now (same rule as sinks.vacuum_versions: nothing legitimately
-    writes a generation for longer than the vacuum horizon — sweeping a
-    live append's files would let it commit a manifest pointing at
-    deleted data). Returns the swept ``<artifact>/gen=N`` relpaths."""
+    that crashed between their artifact writes and the manifest commit,
+    plus the pre-compaction generations ``compact_index`` unlists but
+    deliberately leaves on disk for in-flight readers. Readers never see
+    orphans (only manifest-listed generations are read), so this is
+    storage hygiene, not correctness. Works on any generational index —
+    artifact dirs are discovered from the layout, so the text index
+    (hashes/grams/sizes/gramdf/capped) and the ANN index (vectors) share
+    this one sweeper. The age bound disambiguates a crash from an
+    IN-FLIGHT append writing its dirs right now (same rule as
+    sinks.vacuum_versions: nothing legitimately idles mid-write for
+    longer than the vacuum horizon — sweeping a live append's files
+    would let it commit a manifest pointing at deleted data). A claim
+    marker ages off the NEWEST file its generation has produced, not its
+    own creation time, so an append that runs longer than the horizon
+    keeps its claim as long as it keeps writing; the locked manifest
+    commit additionally rejects a generation number that is already
+    listed, so even a stolen claim can never double-count a generation.
+    (The residual zombie-writer window — a writer that stalls SILENTLY
+    past the horizon, loses its claim, then wakes and rewrites a number
+    someone else committed — is the standard snapshot-store contract:
+    size the horizon beyond any possible writer stall, exactly as
+    object-store table formats require for their vacuum.) Returns the
+    swept ``<artifact>/gen=N`` relpaths."""
     import os
     import re
     import shutil
@@ -780,26 +844,30 @@ def vacuum_index(path: str, min_age_seconds: float = 86400.0) -> list[str]:
     live = {g["gen"] for g in man["generations"]}
     now = time.time()
     swept: list[str] = []
-    # stale generation-claim markers (crashed appenders) age out too
+    # stale generation-claim markers (crashed appenders) age out too —
+    # aged off the newest write under the claimed gen, so a slow but
+    # ACTIVE appender is never swept mid-flight
     for name in os.listdir(path):
         if not name.startswith(_GENCLAIM_PREFIX):
             continue
         suffix = name[len(_GENCLAIM_PREFIX):]
         p = os.path.join(path, name)
-        if (
-            suffix.isdigit()
-            and int(suffix) not in live
-            and now - os.path.getmtime(p) >= min_age_seconds
-        ):
+        if not suffix.isdigit() or int(suffix) in live:
+            continue
+        try:
+            last_alive = _newest_gen_mtime(
+                path, int(suffix), os.path.getmtime(p)
+            )
+        except OSError:
+            continue
+        if now - last_alive >= min_age_seconds:
             try:
                 os.remove(p)
                 swept.append(name)
             except OSError:
                 pass
-    for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
+    for artifact in _artifact_roots(path):
         root = os.path.join(path, artifact)
-        if not os.path.isdir(root):
-            continue
         for name in os.listdir(root):
             m = re.fullmatch(r"gen=(\d+)", name)
             d = os.path.join(root, name)

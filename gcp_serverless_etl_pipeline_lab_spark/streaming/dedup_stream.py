@@ -174,7 +174,11 @@ def run_nightly_loop(
     import os
     import re
 
-    from ..operators.incremental import _load_manifest, append_to_index
+    from ..operators.incremental import (
+        _load_manifest,
+        append_to_index,
+        exact_dups_vs_index,
+    )
 
     run_incremental_classify(
         spark, input_dir, index_path, out_path, checkpoint_dir, threshold
@@ -199,11 +203,27 @@ def run_nightly_loop(
             continue
         cls = spark.read.parquet(os.path.join(out_path, f"epoch={eid}"))
         new_ids = cls.filter(F.col("category") == "new").select("doc_id")
+        # the inbox is at-least-once: a doc_id retransmitted into TWO
+        # inbox files would otherwise join back twice and the append
+        # would index duplicate postings/size rows for that base_id,
+        # inflating every later probe's intersection counts — one row
+        # per doc_id enters the corpus and the index, ever
         inc = (
             spark.read.parquet(input_dir)
             .select("doc_id", "text")
             .join(new_ids, "doc_id")
+            .dropDuplicates(["doc_id"])
         )
+        # ...and the retransmission can also straddle EPOCHS: both copies
+        # classified 'new' in the same stream run (classification all
+        # happens before any merge), the first epoch's merge extends the
+        # index, and the second epoch would append the same content
+        # again. Re-probe the hash column at merge time — it reflects
+        # every epoch merged so far, making the whole run exactly-once
+        # regardless of how the files split into micro-batches. One
+        # narrow parquet-column semi-join per epoch.
+        seen = exact_dups_vs_index(spark, inc, index_path)
+        inc = inc.join(seen, "doc_id", "left_anti")
         n = inc.count()
         if n > 0:
             # corpus BEFORE index commit: replay-stable overwrite, and

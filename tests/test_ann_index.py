@@ -144,6 +144,261 @@ def test_ann_orphaned_generation_is_invisible(spark, tmp_path):
     assert after == before, "orphaned generation leaked into query results"
 
 
+def test_compact_ann_index_folds_generations_preserves_queries(spark, tmp_path):
+    """compact_ann_index: query-after-compact == query-before (pinned
+    model, pure rewrite), old generation dirs stay for in-flight readers
+    until vacuum, append idempotence survives via compacted_increments,
+    and the probe plan over the compacted index unions ONE vector scan."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators import incremental
+
+    corpus, queries = _corpus_queries(spark)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    inc = corpus.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(base, idx, 64, cells=8, iters=2, sample_rate=1.0)
+    assert annindex.append_ann_index(spark, inc, idx, "odd") is True
+    before = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    model_before = annindex.load_ann_model(idx)
+
+    gen = annindex.compact_ann_index(spark, idx)
+    assert gen == 2
+    after = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    assert after == before and after
+    assert annindex.load_ann_model(idx) == model_before
+    man = annindex._load_ann_manifest(idx)
+    assert man["generations"] == [{"gen": 2, "increment_id": None}]
+    assert man["compacted_increments"] == ["odd"]
+    # old generation dirs remain (in-flight readers) until vacuum sweeps
+    assert sorted(os.listdir(os.path.join(idx, "vectors"))) == [
+        "gen=0", "gen=1", "gen=2",
+    ]
+    swept = incremental.vacuum_index(idx, min_age_seconds=0.0)
+    assert swept == ["vectors/gen=0", "vectors/gen=1"]
+    assert sorted(os.listdir(os.path.join(idx, "vectors"))) == ["gen=2"]
+    assert sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    ) == before
+    # replayed append is still a committed no-op; fresh appends work
+    assert annindex.append_ann_index(spark, inc, idx, "odd") is False
+    fresh = inc.select((F.col("vec_id") + 800_000).alias("vec_id"), "embedding")
+    assert annindex.append_ann_index(spark, fresh, idx, "fresh") is True
+
+
+def test_ann_probe_plan_flat_in_generation_count(spark, tmp_path):
+    """The number the compaction exists for: a probe unions one parquet
+    scan per committed generation, so N nightly appends = N scans;
+    compaction folds them back to ONE however large N grew."""
+    corpus, queries = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        corpus.filter(F.col("vec_id") % 4 == 0), idx, 64,
+        cells=8, iters=2, sample_rate=1.0,
+    )
+    for m in (1, 2, 3):
+        annindex.append_ann_index(
+            spark, corpus.filter(F.col("vec_id") % 4 == m), idx, f"inc-{m}"
+        )
+
+    def n_vector_scans(df):
+        # each generation is its own FileScan; Spark truncates Location
+        # strings (long tmp paths), so identify vector scans by the cell
+        # partition filter only they carry
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for line in plan.splitlines()
+            if "FileScan" in line
+            and "cell#" in line.partition("PartitionFilters: [")[2]
+        )
+
+    q = queries.limit(2)
+    assert n_vector_scans(annindex.query_ann_index(spark, q, idx, 5, 2)) == 4
+    annindex.compact_ann_index(spark, idx)
+    assert n_vector_scans(annindex.query_ann_index(spark, q, idx, 5, 2)) == 1
+
+
+def test_compact_ann_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append that commits while the compactor folds would be silently
+    dropped by the manifest flip — the locked commit must detect the
+    changed generation set and abort (folded dirs become vacuum-able
+    orphans); the re-run then folds everything including the late
+    append."""
+    import pytest as _pytest
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators import incremental
+
+    corpus, queries = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        corpus.filter(F.col("vec_id") % 3 == 0), idx, 64,
+        cells=8, iters=2, sample_rate=1.0,
+    )
+    annindex.append_ann_index(
+        spark, corpus.filter(F.col("vec_id") % 3 == 1), idx, "inc-1"
+    )
+
+    # freeze the compactor's entry snapshot, then land a concurrent
+    # append BEFORE its locked commit re-reads — the deterministic
+    # spelling of the race window
+    stale = annindex._load_ann_manifest(idx)
+    late = corpus.filter(F.col("vec_id") % 3 == 2)
+    real_load = annindex._load_ann_manifest
+    calls = {"n": 0}
+
+    def entry_sees_stale(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            annindex.append_ann_index(spark, late, idx, "late")
+            return stale
+        return real_load(path)
+
+    monkeypatch.setattr(annindex, "_load_ann_manifest", entry_sees_stale)
+    with _pytest.raises(RuntimeError, match="re-run compact_ann_index"):
+        annindex.compact_ann_index(spark, idx)
+    monkeypatch.undo()
+
+    # nothing lost: the late append is still committed; re-run folds all
+    man = annindex._load_ann_manifest(idx)
+    assert {g.get("increment_id") for g in man["generations"]} == {
+        None, "inc-1", "late",
+    }
+    gen = annindex.compact_ann_index(spark, idx)
+    rebuilt = str(tmp_path / "reb")
+    _, model = annindex.load_ann_model(idx)
+    annindex.build_ann_index(corpus, rebuilt, 64, model=model)
+    got = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    want = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, rebuilt, 5, 2).collect())
+    )
+    assert got == want and got
+    # the aborted fold's orphan dir is vacuum's business
+    live = {g["gen"] for g in annindex._load_ann_manifest(idx)["generations"]}
+    assert live == {gen}
+    orphans = set(os.listdir(os.path.join(idx, "vectors"))) - {f"gen={gen}"}
+    assert orphans, "aborted fold left no orphan (race not exercised)"
+    swept = incremental.vacuum_index(idx, min_age_seconds=0.0)
+    assert {f"vectors/gen={g}" for g in range(gen)} <= set(swept)
+
+
+def test_ann_concurrent_distinct_appends_both_commit(spark, tmp_path):
+    """Two threads append DISTINCT increments concurrently: generation
+    claims keep their dirs distinct and the locked manifest commit drops
+    neither (the text index's test_concurrent_appends_commit_both_
+    generations, for vectors)."""
+    import threading
+
+    corpus, queries = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        corpus.filter(F.col("vec_id") % 3 == 0), idx, 64,
+        cells=8, iters=2, sample_rate=1.0,
+    )
+    inc1 = corpus.filter(F.col("vec_id") % 3 == 1)
+    inc2 = corpus.filter(F.col("vec_id") % 3 == 2)
+    results = {}
+
+    def _go(name, inc):
+        results[name] = annindex.append_ann_index(spark, inc, idx, name)
+
+    t1 = threading.Thread(target=_go, args=("inc-1", inc1))
+    t2 = threading.Thread(target=_go, args=("inc-2", inc2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert results == {"inc-1": True, "inc-2": True}
+    man = annindex._load_ann_manifest(idx)
+    gens = [g["gen"] for g in man["generations"]]
+    assert len(set(gens)) == 3
+    # parity with a single-writer rebuild under the same pinned model
+    _, model = annindex.load_ann_model(idx)
+    rebuilt = str(tmp_path / "reb")
+    annindex.build_ann_index(corpus, rebuilt, 64, model=model)
+    got = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    want = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, rebuilt, 5, 2).collect())
+    )
+    assert got == want
+
+
+def test_drift_report_flags_shifted_increment_only(spark, tmp_path):
+    """ann_drift_report: an increment drawn from the training distribution
+    keeps ratio ~1 (no flag); one shifted far from every centroid trips
+    rebuild_recommended at the documented threshold."""
+    corpus, _ = _corpus_queries(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        corpus.filter(F.col("vec_id") % 2 == 0), idx, 64,
+        cells=8, iters=2, sample_rate=1.0,
+    )
+    rep0 = annindex.ann_drift_report(idx)
+    assert rep0["baseline_msd"] and rep0["rebuild_recommended"] is False
+
+    # in-distribution: the held-out half of the same table
+    in_dist = corpus.filter(F.col("vec_id") % 2 == 1)
+    annindex.append_ann_index(spark, in_dist, idx, "in-dist")
+    rep1 = annindex.ann_drift_report(idx)
+    assert rep1["rebuild_recommended"] is False
+    assert rep1["max_ratio"] is not None and rep1["max_ratio"] < annindex.DRIFT_REBUILD_RATIO
+
+    # shifted: every component displaced — far from every pinned centroid
+    shifted = in_dist.select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x + 5.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    annindex.append_ann_index(spark, shifted, idx, "shifted")
+    rep2 = annindex.ann_drift_report(idx)
+    assert rep2["rebuild_recommended"] is True
+    by_id = {g["increment_id"]: g for g in rep2["generations"]}
+    assert by_id["in-dist"]["ratio"] < annindex.DRIFT_REBUILD_RATIO
+    assert by_id["shifted"]["ratio"] >= annindex.DRIFT_REBUILD_RATIO
+
+
+def test_rebuild_ann_index_retrains_from_stored_vectors(spark, tmp_path):
+    """rebuild_ann_index: retrain entirely FROM the index — fresh model,
+    fresh baseline, one folded generation, idempotence ledger preserved —
+    and the result queries identically to a from-scratch build over the
+    same vectors with the same training config."""
+    corpus, queries = _corpus_queries(spark)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    inc = corpus.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(base, idx, 64, cells=8, iters=2, sample_rate=1.0)
+    annindex.append_ann_index(spark, inc, idx, "odd")
+    old_model = annindex.load_ann_model(idx)[1]
+
+    annindex.rebuild_ann_index(spark, idx, iters=2, sample_rate=1.0)
+    new_model = annindex.load_ann_model(idx)[1]
+    assert new_model != old_model  # trained on base+inc, not base
+    man = annindex._load_ann_manifest(idx)
+    assert len(man["generations"]) == 1
+    assert man["compacted_increments"] == ["odd"]
+    assert annindex.append_ann_index(spark, inc, idx, "odd") is False
+    assert annindex.ann_drift_report(idx)["rebuild_recommended"] is False
+
+    # re-assignment correctness: the retrained index queries identically
+    # to a from-scratch build over the same corpus under the SAME (new)
+    # model — float summation order makes retrain-from-index vs
+    # train-from-table models differ in the last ulp, so the model is
+    # pinned and what's verified is the rewrite/assignment path
+    scratch = str(tmp_path / "scratch")
+    annindex.build_ann_index(corpus, scratch, 64, model=new_model)
+    got = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    want = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, scratch, 5, 2).collect())
+    )
+    assert got == want and got
+
+
 def test_streamed_ann_search_matches_batch_and_is_incremental(spark, tmp_path):
     """streaming/ann_stream.run_ann_search: per-micro-batch top-k against
     the stored index == the batch query_ann_index on the same queries;

@@ -84,6 +84,35 @@ def test_early_stop_below_min_pair_count(spark):
     assert got == [("a", "b", 2)]
 
 
+def test_oracle_floors_like_engine_early_stop(spark, tmp_path):
+    """The registered a0f_bpe_train_merges DuckDB oracle must stop at the
+    SAME min_pair_count floor as the engine: on a corpus whose best pair
+    drops below 2 after one merge, both sides return exactly one merge
+    row (an oracle without the floor would keep merging count-1 noise
+    pairs for all remaining unrolled rounds and hash-mismatch)."""
+    import duckdb
+
+    from gcp_serverless_etl_pipeline_lab_spark.harness._registry import QUERIES
+    from oracle_util import compare
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "xq")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    q = QUERIES["a0f_bpe_train_merges"]
+    got = q.builder(spark, sf_dir)
+    rows = got.collect()
+    assert [(r["lhs"], r["rhs"], r["pair_count"]) for r in rows] == [("a", "b", 2)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    ok, msg = compare(got, con.sql(q.oracle).df())
+    assert ok, msg
+
+
 def test_apply_matches_reference_tokenization(spark):
     df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
     merges = train_bpe_merges(df, n_merges=6, min_pair_count=2)

@@ -181,10 +181,20 @@ def test_compact_folds_generations_preserves_probes_drops_dead_postings(
     man = incremental._load_manifest(idx)
     assert man["generations"] == [{"gen": 2, "increment_id": None}]
     assert man["compacted_increments"] == ["inc-1"]
-    # old generation dirs are gone; only the folded one remains
+    # old generation dirs REMAIN on disk (an in-flight reader holding the
+    # pre-flip manifest may still be scanning them) but are unlisted...
+    for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
+        gens = sorted(os.listdir(os.path.join(idx, artifact)))
+        assert gens == ["gen=0", "gen=1", "gen=2"], (artifact, gens)
+    # ...until vacuum's age-based sweep removes them past the horizon
+    swept = incremental.vacuum_index(idx, min_age_seconds=0.0)
+    assert {s.split("/")[0] for s in swept} == {
+        "hashes", "grams", "sizes", "gramdf", "capped"
+    }
     for artifact in ("hashes", "grams", "sizes", "gramdf", "capped"):
         gens = sorted(os.listdir(os.path.join(idx, artifact)))
         assert gens == ["gen=2"], (artifact, gens)
+    assert _probe_all(spark, batch, idx) == before
     # dead postings physically dropped: no posting row for a capped gram
     capped = {
         r.g for r in spark.read.parquet(os.path.join(idx, "capped", "gen=2")).collect()
@@ -292,6 +302,58 @@ def test_concurrent_appends_commit_both_generations(spark, tmp_path):
     incremental.build_base_index(docs, rebuilt, max_df=None)
     batch = _split(spark)[2]
     assert _probe_all(spark, batch, idx) == _probe_all(spark, batch, rebuilt)
+
+
+def test_vacuum_keeps_claim_of_actively_writing_append(spark, tmp_path):
+    """A claim marker ages off the NEWEST file its generation produced,
+    not the marker's own mtime — an append running longer than the vacuum
+    horizon but still writing keeps its claim; one that went silent for
+    the whole horizon loses it."""
+    import time
+
+    base, _, _ = _split(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+
+    # in-flight appender: stale marker (mtime pushed into the past) but a
+    # FRESH artifact file written moments ago
+    marker = os.path.join(idx, f"{incremental._GENCLAIM_PREFIX}1")
+    open(marker, "x").close()
+    past = time.time() - 7200
+    os.utime(marker, (past, past))
+    gen_dir = os.path.join(idx, "hashes", "gen=1")
+    os.makedirs(gen_dir)
+    with open(os.path.join(gen_dir, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    swept = incremental.vacuum_index(idx, min_age_seconds=3600)
+    assert swept == [] and os.path.exists(marker)
+
+    # the same appender gone silent past the horizon: marker AND its
+    # orphaned dir are swept
+    os.utime(os.path.join(gen_dir, "part-0.parquet"), (past, past))
+    os.utime(gen_dir, (past, past))
+    swept = incremental.vacuum_index(idx, min_age_seconds=3600)
+    assert f"{incremental._GENCLAIM_PREFIX}1" in swept
+    assert "hashes/gen=1" in swept
+    assert not os.path.exists(marker)
+
+
+def test_commit_rejects_already_listed_generation(spark, tmp_path, monkeypatch):
+    """Belt-and-braces for a stolen claim: if an append's generation
+    number somehow got committed by another writer (claim vacuumed during
+    an extreme stall), the locked manifest commit must raise instead of
+    listing the number twice — _read_artifact would double-count that
+    generation's postings."""
+    import pytest as _pytest
+
+    base, inc, _ = _split(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    monkeypatch.setattr(incremental, "_claim_generation", lambda path: 0)
+    with _pytest.raises(RuntimeError, match="already committed"):
+        incremental.append_to_index(spark, inc, idx, "inc-stolen")
+    man = incremental._load_manifest(idx)
+    assert [g["gen"] for g in man["generations"]] == [0]
 
 
 def test_same_increment_id_race_commits_exactly_once(spark, tmp_path):

@@ -215,3 +215,47 @@ def test_run_nightly_loop_api_is_idempotent_and_converges(spark, tmp_path):
     assert sorted(map(tuple, via_loop.collect())) == sorted(
         map(tuple, via_rebuilt.collect())
     )
+
+
+def test_nightly_loop_at_least_once_inbox_indexes_once(spark, tmp_path):
+    """At-least-once delivery: the SAME doc_id retransmitted into two
+    inbox files must enter the merged corpus and the index exactly once —
+    the join-back against the whole inbox would otherwise produce
+    duplicate increment rows and append_to_index would double every
+    posting/size row for that base_id, corrupting Jaccard for all later
+    probes."""
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.dedup_stream import (
+        run_nightly_loop,
+    )
+
+    base, pool1, _ = _pools(spark)
+    idx = str(tmp_path / "idx")
+    merged_dir = str(tmp_path / "merged")
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+
+    fresh = pool1.limit(20)
+    # the producer retries: the same rows land in TWO inbox files
+    fresh.coalesce(1).write.mode("append").parquet(inbox)
+    fresh.coalesce(1).write.mode("append").parquet(inbox)
+    s = run_nightly_loop(spark, inbox, idx, merged_dir, out, ckpt, THRESH)
+
+    # exactly one merged row per retransmitted doc_id (some of the 20 are
+    # planted dups of the base and correctly classify away — what matters
+    # is that NO doc_id entered twice)
+    got = read_warehouse(spark, merged_dir)
+    assert 0 < got.count() == got.select("doc_id").distinct().count()
+    assert s["new_docs"] == got.count()
+
+    # one sizes row / one hash row per appended doc — the index never saw
+    # the retransmission
+    man = incremental._load_manifest(idx)
+    sizes = incremental._read_artifact(
+        spark, idx, "sizes", man, incremental._SIZES_SCHEMA
+    )
+    dup_sizes = (
+        sizes.groupBy("base_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_sizes == 0
