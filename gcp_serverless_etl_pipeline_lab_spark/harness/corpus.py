@@ -903,13 +903,39 @@ def a0d_train_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temperature_mixture_report(
+    spark: SparkSession, sf_dir: str, temperature: float
+) -> DataFrame:
+    from ..operators.mixing import mix_corpus_temperature
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = (
+        mix_corpus_temperature(docs, temperature=temperature)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_total"),
+                4,
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "a0f_temperature_mixture",
     # T=0.5 keeps the whole rate chain inside IEEE-correctly-rounded
     # operations (divide, sqrt, floor) so the oracle recomputes the
-    # thresholds bit-identically from the same counts — see
-    # operators/mixing.temperature_mixture_rates for why other T values
-    # are pow-dependent and not cross-engine-exact.
+    # thresholds bit-identically from the same counts — the dyadic chain
+    # of operators/mixing.dyadic_pow at exponent 1/2.
     f"""
     WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     mn AS (SELECT MIN(n) AS nmin FROM counts),
@@ -937,25 +963,46 @@ def a0f_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the mT5/XLM-R multilingual recipe — by downsampling only (the
     smallest source keeps everything), membership deterministic in
     doc_id. Report: per-source totals, kept counts, kept fraction."""
-    from ..operators.mixing import mix_corpus_temperature
+    return _temperature_mixture_report(spark, sf_dir, 0.5)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    kept = (
-        mix_corpus_temperature(docs, temperature=0.5)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
+
+def _mixture_t75_oracle() -> str:
+    # the oracle replays dyadic_pow's exact sqrt/multiply chain for
+    # e = 1 - 0.75 = 1/4 — every step IEEE-correctly-rounded on both
+    # engines, so the thresholds agree bit-for-bit (mixing.dyadic_pow_sql
+    # generates the chain so oracle and engine can never drift apart)
+    from ..operators.mixing import dyadic_pow_sql
+
+    rate = dyadic_pow_sql("CAST(nmin AS DOUBLE) / n", 1, 2)
+    return f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT MIN(n) AS nmin FROM counts),
+    thr AS (
+      SELECT source, n,
+             CAST(FLOOR(({rate}) * 1000000 + 0.5) AS BIGINT) AS t
+      FROM counts, mn
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN thr USING (source)
+      WHERE ({h60_duck("CAST(doc_id AS VARCHAR)")}) % 1000000 < thr.t
+      GROUP BY d.source
     )
-    return (
-        totals.join(kept, "source", "left")
-        .select(
-            "source",
-            "n_total",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.round(
-                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_total"),
-                4,
-            ).alias("kept_frac"),
-        )
-        .orderBy("source")
-    )
+    SELECT thr.source, thr.n AS n_total,
+           COALESCE(kept.n_kept, 0) AS n_kept,
+           ROUND(CAST(COALESCE(kept.n_kept, 0) AS DOUBLE) / thr.n, 4) AS kept_frac
+    FROM thr LEFT JOIN kept USING (source)
+    ORDER BY thr.source
+    """
+
+
+@register("a0g_temperature_mixture_t75", _mixture_t75_oracle())
+def a0g_temperature_mixture_t75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling at an ARBITRARY dyadic temperature
+    (round-10 verdict task 4): T=0.75 keeps more of the big sources than
+    T=0.5 (kept_i ∝ n_i^0.75). The exponent 1-T = 1/4 is dyadic, so
+    mixing.dyadic_pow evaluates the rate as SQRT(SQRT(nmin/n)) — a fixed
+    chain of correctly-rounded IEEE ops the oracle replays verbatim —
+    making ANY T = 1 - k/2^m cross-engine hash-exact, not just the
+    shipped 0.5."""
+    return _temperature_mixture_report(spark, sf_dir, 0.75)

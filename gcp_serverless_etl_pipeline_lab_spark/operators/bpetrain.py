@@ -58,6 +58,14 @@ _APPLY = (
     "                concat(acc, array(s))))"
 )
 
+# does the symbol array contain (ma, mb) ADJACENT? — the touched-word
+# predicate of the delta rounds. Guarded: sequence(1, 0) is DESCENDING in
+# Spark, so single-symbol words must short-circuit before the sequence.
+_HAS_PAIR = (
+    "size(syms) >= 2 AND exists(sequence(1, size(syms) - 1),"
+    " j -> element_at(syms, j) = ma AND element_at(syms, j + 1) = mb)"
+)
+
 
 def word_symbol_table(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, syms array<string>, cnt) — the distinct-word training table
@@ -73,24 +81,66 @@ def word_symbol_table(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, w): corpus-weighted adjacent-pair counts of a word table —
+    partially aggregated map-side before the one pair shuffle."""
+    return (
+        words.select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("w"))
+    )
+
+
 def train_bpe_merges(
     corpus: DataFrame,
     n_merges: int = 16,
     min_pair_count: int = 2,
     text_col: str = "text",
+    incremental: bool | None = None,
+    round_stats: list | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` merges; returns [(left, right,
     pair_count)] in merge order. Stops early when the best remaining
     pair's corpus count drops below ``min_pair_count`` (merging noise
-    pairs buys nothing)."""
+    pairs buys nothing).
+
+    ``incremental=True`` (round-10 verdict task 3) is the classic delta
+    update: between rounds only words whose symbol arrays contain the
+    merged pair change, so the pair-count table is maintained by
+    SUBTRACTING the touched words' old pairs and ADDING their re-folded
+    ones — the per-round explode/shuffle tracks TOUCHED-WORD mass (a
+    shrinking fraction as merges specialize; only a cheap map-side
+    predicate still scans every word), where the full recount
+    re-explodes every word every round. The argmax is still one
+    single-row collect per round, off the maintained table. Counts are
+    integers, so delta maintenance is EXACT — both spellings return the
+    identical merge table (pinned by tests and by the unchanged
+    a0f_bpe_train_merges oracle). Default ``None`` auto-routes: delta
+    for deep trainings (n_merges >= 32, real vocabularies), recount for
+    shallow ones where the delta's extra per-round bookkeeping costs
+    more than the recount saves (measured ~2.4 s vs ~0.6 s fixed
+    per-round overhead on a trivial corpus).
+
+    ``round_stats`` (instrumentation, off by default — it adds a count
+    job per round): appends one dict per merge round with the round's
+    wall seconds, winning pair count, and touched-word count (delta
+    mode) — the evidence that per-round cost follows touched mass."""
+    import time as _time
+
+    if incremental is None:
+        incremental = n_merges >= 32
     spark = corpus.sparkSession
     words = word_symbol_table(corpus, text_col).localCheckpoint(eager=True)
+    # the delta rounds rebuild words as union(untouched, folded) with no
+    # shuffle in between, which would DOUBLE the partition count every
+    # round (2^n tasks by round n) — pin it to the table's own width
+    n_part = max(words.rdd.getNumPartitions(), 1)
     merges: list[tuple[str, str, int]] = []
+    pc = _pair_counts(words).localCheckpoint(eager=True) if incremental else None
     for _ in range(n_merges):
+        _t0 = _time.perf_counter()
         top = (
-            words.select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("w"))
+            (pc if incremental else _pair_counts(words))
             .orderBy(F.desc("w"), "a", "b")
             .limit(1)
             .collect()
@@ -100,11 +150,65 @@ def train_bpe_merges(
         a, b, w = top[0]["a"], top[0]["b"], int(top[0]["w"])
         merges.append((a, b, w))
         merge_row = spark.createDataFrame([(a, b)], "ma string, mb string")
-        words = (
-            words.crossJoin(F.broadcast(merge_row))
-            .select("word", F.expr(_APPLY).alias("syms"), "cnt")
-            .localCheckpoint(eager=True)
-        )
+        if incremental:
+            # ONE V-sized pass per round: evaluate the touched predicate
+            # and the guarded fold together and checkpoint old+new syms
+            # side by side; `words` is then a NARROW projection of the
+            # checkpointed frame (no second scan, no union — a union
+            # spelling also doubled the partition count every round, and
+            # a lazy checkpoint here let the thrice-referenced RDD DAG
+            # grow exponentially: measured 437 s vs 8 s for 16 rounds).
+            combined = (
+                words.crossJoin(F.broadcast(merge_row))
+                .withColumn("touched", F.expr(_HAS_PAIR))
+                .withColumn("new_syms", F.expr(f"IF(touched, {_APPLY}, syms)"))
+                .select("word", "syms", "new_syms", "cnt", "touched")
+                .coalesce(n_part)
+                .localCheckpoint(eager=True)
+            )
+            touched = combined.filter("touched")
+            # delta: -old pairs of touched words, +their re-folded pairs;
+            # integer arithmetic, so the maintained table equals a fresh
+            # recount exactly. Zero-count rows are dropped to keep the
+            # argmax input tight (the merged pair itself always hits 0:
+            # greedy leftmost removes every (a,b) adjacency it walks).
+            delta = _pair_counts(
+                touched.select("word", "syms", (-F.col("cnt")).alias("cnt"))
+            ).unionByName(
+                _pair_counts(
+                    touched.select(
+                        "word", F.col("new_syms").alias("syms"), "cnt"
+                    )
+                )
+            )
+            pc = (
+                pc.unionByName(delta)
+                .groupBy("a", "b")
+                .agg(F.sum("w").alias("w"))
+                .filter(F.col("w") > 0)
+                .localCheckpoint(eager=True)
+            )
+            words = combined.select(
+                "word", F.col("new_syms").alias("syms"), "cnt"
+            )
+        else:
+            words = (
+                words.crossJoin(F.broadcast(merge_row))
+                .select("word", F.expr(_APPLY).alias("syms"), "cnt")
+                .localCheckpoint(eager=True)
+            )
+        if round_stats is not None:
+            entry = {
+                "round": len(merges),
+                "pair_count": w,
+                "sec": round(_time.perf_counter() - _t0, 3),
+            }
+            if incremental:
+                # instrumentation-only extra job, run AFTER the timed
+                # round body (touched's input is already checkpointed,
+                # so this is one cheap predicate scan)
+                entry["touched_words"] = touched.count()
+            round_stats.append(entry)
     return merges
 
 

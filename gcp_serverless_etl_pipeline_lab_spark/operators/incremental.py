@@ -613,9 +613,13 @@ def append_to_index(
                 # ...and the ones CROSSING it now enter the ledger (the
                 # already-capped ones are in an earlier generation's)
                 newly_capped = over.filter(F.col("old_df") <= max_df).select("g")
-                post_inc = inc_grams.join(
-                    F.broadcast(over.select("g")), "g", "left_anti"
-                )
+                # No broadcast hint on the anti-join: for a nightly-sized
+                # increment AQE broadcasts the tiny over-cap set anyway,
+                # but a bulk backfill against a boilerplate-heavy base can
+                # put a large fraction of its gram vocabulary over a low
+                # cap — a forced broadcast would bypass AQE's size check
+                # and pressure the driver exactly when the set is biggest.
+                post_inc = inc_grams.join(over.select("g"), "g", "left_anti")
             else:
                 newly_capped = merged.filter(F.lit(False)).select("g")
                 post_inc = inc_grams

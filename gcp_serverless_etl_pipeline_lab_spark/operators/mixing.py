@@ -53,6 +53,53 @@ def mix_corpus(
     return docs.filter(bucket < threshold)
 
 
+def _dyadic_exponent(e: float, max_bits: int = 20) -> tuple[int, int] | None:
+    """(k, m) with e == k / 2**m exactly, smallest m <= max_bits, else
+    None. Dyadic exponents are the ones a sqrt/multiply chain can
+    evaluate exactly-reproducibly (see dyadic_pow)."""
+    for m in range(1, max_bits + 1):
+        scaled = e * (1 << m)
+        if scaled == int(scaled):
+            return int(scaled), m
+    return None
+
+
+def dyadic_pow(x: float, k: int, m: int) -> float:
+    """x ** (k / 2**m) as a FIXED chain of IEEE-correctly-rounded
+    operations: the bit-i factor is x^(2^-i) (i iterated sqrts), and the
+    set bits of k multiply together in ascending-i order. sqrt and
+    multiply are both correctly rounded by IEEE 754, so ANY conforming
+    engine replaying the same chain (e.g. the DuckDB oracle spelling
+    SQRT(SQRT(x)) * ... in the same order) produces the bit-identical
+    double — the property libm ``pow`` does not have. Requires
+    0 < k < 2**m (a proper fractional exponent)."""
+    import math
+
+    factors = []
+    s = x
+    for i in range(1, m + 1):
+        s = math.sqrt(s)  # s = x^(2^-i), correctly rounded per step
+        if (k >> (m - i)) & 1:
+            factors.append(s)
+    r = factors[0]
+    for f in factors[1:]:
+        r = r * f
+    return r
+
+
+def dyadic_pow_sql(x_sql: str, k: int, m: int) -> str:
+    """The SQL spelling of the identical chain — for oracles that must
+    recompute ``dyadic_pow`` bit-for-bit (ANSI SQRT and * are the same
+    correctly-rounded IEEE operations)."""
+    factors = []
+    s = x_sql
+    for i in range(1, m + 1):
+        s = f"SQRT({s})"
+        if (k >> (m - i)) & 1:
+            factors.append(s)
+    return " * ".join(f"({f})" for f in factors)
+
+
 def temperature_mixture_rates(
     counts: dict[str, int], temperature: float = 0.5
 ) -> dict[str, float]:
@@ -64,13 +111,17 @@ def temperature_mixture_rates(
     their excess. Expected kept counts are then ∝ n_i^T exactly.
 
     Rates are pre-rounded to the same 1e-6 grid ``mix_corpus``
-    thresholds on, with half-up rounding — at T=0.5 the whole chain is
-    division + sqrt + floor, all IEEE-correctly-rounded operations, so
-    an independent engine recomputing from the same counts lands on
-    bit-identical thresholds (the property the a0f oracle checks).
-    Other temperatures use ``pow``, which can differ by an ulp across
-    libm implementations — fine for training mixtures, not for
-    bit-exact cross-engine verification."""
+    thresholds on, with half-up rounding. Cross-engine exactness
+    (round 10, generalizing the shipped T=0.5 argument): whenever the
+    exponent 1-T is DYADIC (k/2^m — 0.5, 0.25, 0.75, 0.625...), the
+    rate is computed by ``dyadic_pow``'s fixed sqrt/multiply chain in
+    which EVERY step is IEEE-correctly-rounded, so an independent
+    engine replaying the same chain from the same counts (the DuckDB
+    oracle, via ``dyadic_pow_sql``) lands on bit-identical thresholds.
+    Non-dyadic temperatures fall back to libm ``pow``, which can differ
+    by an ulp across implementations — fine for training mixtures, not
+    for bit-exact cross-engine verification; prefer a nearby dyadic T
+    when the mixture must be oracled."""
     import math
 
     if not 0.0 < temperature <= 1.0:
@@ -80,12 +131,16 @@ def temperature_mixture_rates(
     if min(counts.values()) <= 0:
         raise ValueError("every source count must be positive")
     n_min = min(counts.values())
+    e = 1.0 - temperature
+    dyadic = _dyadic_exponent(e) if e > 0.0 else None
     out = {}
     for src, n in counts.items():
-        if temperature == 0.5:
-            rate = math.sqrt(n_min / n)
+        if e == 0.0:
+            rate = 1.0
+        elif dyadic is not None:
+            rate = dyadic_pow(n_min / n, *dyadic)
         else:
-            rate = (n_min / n) ** (1.0 - temperature)
+            rate = (n_min / n) ** e
         out[src] = math.floor(rate * MIX_MOD + 0.5) / MIX_MOD
     return out
 

@@ -142,6 +142,7 @@ def run_nightly_loop(
     out_path: str,
     checkpoint_dir: str,
     threshold: float = 0.8,
+    compact_every: int | None = None,
 ) -> dict:
     """One iteration of the FULL nightly dedup loop — the composition
     tests/test_nightly_loop.py drives by hand, as one idempotent call:
@@ -164,8 +165,20 @@ def run_nightly_loop(
     stays equivalent to what a full rebuild would index — pinned by the
     integration test.
 
+    ``compact_every`` closes the loop's maintenance gap (round-10
+    verdict task 6): appending forever grows one generation per night,
+    and probes union one scan per generation — when the manifest lists
+    at least ``compact_every`` generations after this night's merges,
+    the loop runs ``compact_index`` before returning. Compaction is
+    crash-safe by the same ledger discipline as the appends: applied
+    epoch ids move into ``compacted_increments``, so a replay across
+    the compact boundary still skips every absorbed epoch, and a crash
+    DURING compaction leaves an orphan fold no reader sees (the next
+    loop call simply compacts again).
+
     Returns {"classified_epochs": [...], "merged_epochs": [...],
-    "new_docs": n} for observability.
+    "new_docs": n, "compacted_generation": gen-or-None} for
+    observability.
 
     The text join-back reads the whole inbox (new docs' text lives only
     there) — archive absorbed inbox files on whatever cadence keeps that
@@ -177,6 +190,7 @@ def run_nightly_loop(
     from ..operators.incremental import (
         _load_manifest,
         append_to_index,
+        compact_index,
         exact_dups_vs_index,
     )
 
@@ -234,8 +248,15 @@ def run_nightly_loop(
         append_to_index(spark, inc, index_path, increment_id=f"epoch-{eid}")
         merged.append(eid)
         n_new += n
+    compacted = None
+    if (
+        compact_every is not None
+        and len(_load_manifest(index_path)["generations"]) >= compact_every
+    ):
+        compacted = compact_index(spark, index_path)
     return {
         "classified_epochs": epochs,
         "merged_epochs": merged,
         "new_docs": n_new,
+        "compacted_generation": compacted,
     }

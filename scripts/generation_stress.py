@@ -1,0 +1,183 @@
+"""Generation-count stress (round-10 verdict task 7): SCALE_STRESS's
+volume rows answer "what happens at 10x the data"; this script answers
+the orthogonal question the index lifecycle exists for — "what happens
+after N nightly appends at FIXED total volume". The sf0.1 corpus is
+split into N equal slices, built+appended as N generations, and the
+SAME probe batch is timed against the 1-, 16-, and 64-generation
+layouts, then against the 64-generation index after compaction.
+
+Probe plans union one artifact scan per generation, so wall and plan
+size grow with nights elapsed until compact folds them back — the
+numbers here justify compact_index / compact_ann_index and the nightly
+loop's compact_every policy.
+
+Results land under the "generation_growth" key of SCALE_STRESS.json
+(scale_stress.py's merge preserves foreign top-level keys).
+
+Run:  python scripts/generation_stress.py            (~5 min)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gcp_serverless_etl_pipeline_lab_spark.operators import (  # noqa: E402
+    annindex,
+    incremental,
+)
+from gcp_serverless_etl_pipeline_lab_spark.session import get_session  # noqa: E402
+from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+GENS = (1, 16, 64)
+MAX_DF = 1000
+EMB_DIM = 64
+IVF_K = 8
+
+
+def _min2(fn) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        e = round(time.perf_counter() - t0, 2)
+        best = e if best is None else min(best, e)
+    return best
+
+
+def _text_index_with_gens(spark, docs, n_gens: int, root: str) -> str:
+    path = os.path.join(root, f"tidx_g{n_gens}")
+    base = docs.filter(F.pmod(F.col("doc_id"), n_gens) == 0)
+    incremental.build_base_index(base, path, max_df=MAX_DF)
+    for g in range(1, n_gens):
+        incremental.append_to_index(
+            spark,
+            docs.filter(F.pmod(F.col("doc_id"), n_gens) == g),
+            path,
+            increment_id=f"slice-{g}",
+        )
+    return path
+
+
+def _ann_index_with_gens(spark, emb, model, n_gens: int, root: str) -> str:
+    path = os.path.join(root, f"aidx_g{n_gens}")
+    annindex.build_ann_index(
+        emb.filter(F.pmod(F.col("vec_id"), n_gens) == 0),
+        path,
+        EMB_DIM,
+        model=model,
+    )
+    for g in range(1, n_gens):
+        annindex.append_ann_index(
+            spark,
+            emb.filter(F.pmod(F.col("vec_id"), n_gens) == g),
+            path,
+            increment_id=f"slice-{g}",
+        )
+    return path
+
+
+def main() -> None:
+    spark = get_session(app_name="generation_stress")
+    root = tempfile.mkdtemp(prefix="gen_stress_")
+    docs = load_table(spark, BASE_SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, BASE_SF, "embeddings").select("vec_id", "embedding")
+    probe = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    # one pinned model for every ANN layout: generation count is the only
+    # variable under test
+    from gcp_serverless_etl_pipeline_lab_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    model = kmeans_centroids(emb, EMB_DIM, k=IVF_K, iters=2, sample_rate=1.0)
+
+    text_rows: dict[str, dict] = {}
+    ann_rows: dict[str, dict] = {}
+    for n in GENS:
+        tpath = _text_index_with_gens(spark, docs, n, root)
+        sec = _min2(
+            lambda: incremental.classify_batch_vs_index(
+                spark, probe, tpath
+            ).write.format("noop").mode("overwrite").save()
+        )
+        text_rows[f"g{n}"] = {"probe_sec": sec}
+        print(f"text g{n}: probe {sec}s", file=sys.stderr)
+
+        apath = _ann_index_with_gens(spark, emb, model, n, root)
+        sec = _min2(
+            lambda: annindex.query_ann_index(
+                spark, queries, apath, k=5, nprobe=3
+            ).write.format("noop").mode("overwrite").save()
+        )
+        ann_rows[f"g{n}"] = {"probe_sec": sec}
+        print(f"ann g{n}: probe {sec}s", file=sys.stderr)
+
+    # compaction folds the worst layout back to one generation — probe
+    # cost must return to ~g1
+    t64 = os.path.join(root, "tidx_g64")
+    t0 = time.perf_counter()
+    incremental.compact_index(spark, t64)
+    text_compact_sec = round(time.perf_counter() - t0, 2)
+    sec = _min2(
+        lambda: incremental.classify_batch_vs_index(
+            spark, probe, t64
+        ).write.format("noop").mode("overwrite").save()
+    )
+    text_rows["g64_compacted"] = {
+        "probe_sec": sec,
+        "compact_sec": text_compact_sec,
+    }
+    print(f"text g64 compacted: probe {sec}s", file=sys.stderr)
+
+    a64 = os.path.join(root, "aidx_g64")
+    t0 = time.perf_counter()
+    annindex.compact_ann_index(spark, a64)
+    ann_compact_sec = round(time.perf_counter() - t0, 2)
+    sec = _min2(
+        lambda: annindex.query_ann_index(
+            spark, queries, a64, k=5, nprobe=3
+        ).write.format("noop").mode("overwrite").save()
+    )
+    ann_rows["g64_compacted"] = {
+        "probe_sec": sec,
+        "compact_sec": ann_compact_sec,
+    }
+    print(f"ann g64 compacted: probe {sec}s", file=sys.stderr)
+
+    out_path = os.path.join(REPO, "SCALE_STRESS.json")
+    payload = {
+        "note": (
+            "probe wall vs generation count at FIXED total volume "
+            f"({BASE_SF}); g64_compacted = the 64-generation index after "
+            "compact_index/compact_ann_index — probe cost must return to ~g1"
+        ),
+        "text_index_probe": text_rows,
+        "ann_index_probe": ann_rows,
+    }
+    if os.path.isfile(out_path):
+        with open(out_path) as fh:
+            blob = json.load(fh)
+    else:
+        blob = {}
+    blob["generation_growth"] = payload
+    with open(out_path, "w") as fh:
+        json.dump(blob, fh, indent=1)
+    print(json.dumps(payload, indent=1))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

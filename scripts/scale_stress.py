@@ -579,9 +579,69 @@ def _stress_bpe_train(spark: SparkSession, path: str, n: int) -> tuple[float, in
     return elapsed, len(merges)
 
 
+def _stress_bpe_delta_merges(
+    spark: SparkSession, path: str, n: int
+) -> dict:
+    """Deep BPE training (n_merges=256) with the DELTA pair-count rounds
+    (round-10 verdict task 3) on a synthetic REAL vocabulary — the
+    testdata corpora have ~31-46 distinct words, far too few to expose
+    vocabulary-vs-touched-mass scaling, so the vocabulary here is
+    20_000*n deterministic base-7-letter words (id -> conv base 7 ->
+    a..g). Evidence recorded per scale:
+
+    - sec / out_rows: clean uninstrumented delta run (the stress row);
+    - early/late round means from an instrumented run: as merges
+      specialize, the touched-word count collapses and the per-round
+      wall follows it while the vocabulary stays constant — per-round
+      cost tracks TOUCHED-WORD MASS, not vocabulary size;
+    - full-recount per-round mean at the same vocabulary (32 rounds —
+      every full round explodes the whole table, so its per-round cost
+      is flat and vocabulary-bound)."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.bpetrain import (
+        train_bpe_merges,
+    )
+
+    vocab = 100_000 * n
+    words = spark.range(vocab).select(
+        F.expr(
+            "translate(conv(CAST(id AS STRING), 10, 7), '0123456', 'abcdefg')"
+        ).alias("text")
+    )
+    # per-round secs from round_stats exclude the instrumentation count
+    # job (it runs after the round's wall is captured), so ONE run yields
+    # both the clean total and the per-round shape
+    stats: list[dict] = []
+    merges = train_bpe_merges(
+        words, n_merges=256, min_pair_count=1, round_stats=stats
+    )
+    early = [s for s in stats if 4 <= s["round"] <= 20]
+    late = stats[-16:]
+
+    fstats: list[dict] = []
+    train_bpe_merges(
+        words, n_merges=32, min_pair_count=1, incremental=False,
+        round_stats=fstats,
+    )
+
+    def _mean(rows, key):
+        return round(sum(r[key] for r in rows) / max(len(rows), 1), 3)
+
+    return {
+        "sec": round(sum(s["sec"] for s in stats), 2),
+        "out_rows": len(merges),
+        "vocab_words": vocab,
+        "delta_early_round_sec": _mean(early, "sec"),
+        "delta_late_round_sec": _mean(late, "sec"),
+        "delta_early_touched_words": _mean(early, "touched_words"),
+        "delta_late_touched_words": _mean(late, "touched_words"),
+        "full_round_sec": _mean(fstats[3:], "sec"),
+    }
+
+
 SIDE_OPS = {
     "index_append": _stress_index_append,
     "bpe_train": _stress_bpe_train,
+    "bpe_delta_merges256": _stress_bpe_delta_merges,
 }
 
 
@@ -641,16 +701,22 @@ def main() -> None:
                 "out_rows": out_rows,
             }
             print(f"x{n} {name}: {elapsed}s, {out_rows} rows", file=sys.stderr)
-        # side-effecting ops (index mutation): timed by their own harness
+        # side-effecting ops (index mutation): timed by their own harness;
+        # a side op may return (sec, rows) or a full x{n} entry dict with
+        # extra evidence keys
         for name, side in SIDE_OPS.items():
             if op_filter and not any(s in name for s in op_filter):
                 continue
-            elapsed, out_rows = side(spark, path, n)
-            results.setdefault(name, {})[f"x{n}"] = {
-                "sec": elapsed,
-                "out_rows": out_rows,
-            }
-            print(f"x{n} {name}: {elapsed}s, {out_rows} rows", file=sys.stderr)
+            got = side(spark, path, n)
+            entry = (
+                got if isinstance(got, dict)
+                else {"sec": got[0], "out_rows": got[1]}
+            )
+            results.setdefault(name, {})[f"x{n}"] = entry
+            print(
+                f"x{n} {name}: {entry['sec']}s, {entry['out_rows']} rows",
+                file=sys.stderr,
+            )
 
     lo, hi = f"x{scales[0]}", f"x{scales[-1]}"
     ratio = scales[-1] / scales[0]

@@ -391,6 +391,60 @@ def test_knn_graph_lsh_multiprobe_recall_escalation(spark):
     assert r43 >= 0.9, f"tables=4/planes=3 recall@3 {r43:.3f} < 0.9"
 
 
+def test_flagged_rebuild_restores_recall_floor(spark, tmp_path):
+    """The drift signal's payoff (round-10 verdict task 2): an index
+    whose pinned centroids were trained on a DIFFERENT distribution
+    flags rebuild_recommended when in-distribution data is appended;
+    after rebuild_ann_index the retrained index clears the same
+    recall@5 floor as a well-trained IVF at nprobe=4."""
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators import annindex
+
+    corpus, queries = _sim_queries(spark, SF_ORACLE)
+    # the drifted increment: an embedding-version migration that scales
+    # every vector 3x. The synthetic corpus is isotropic (cluster means
+    # near zero), so every UNIT vector is equidistant from every
+    # centroid — only a norm/offset change can move the quantization
+    # error, which is exactly what a model swap does in practice.
+    # Measured ratio ~9.3x baseline.
+    drifted = corpus.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(3.0*x AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        corpus, idx, EMB_DIM, cells=8, iters=2, sample_rate=1.0
+    )
+    annindex.append_ann_index(spark, drifted, idx, "drifted")
+    assert annindex.ann_drift_report(idx)["rebuild_recommended"] is True
+
+    annindex.rebuild_ann_index(spark, idx, iters=2, sample_rate=1.0)
+    assert annindex.ann_drift_report(idx)["rebuild_recommended"] is False
+
+    # the floor that matters post-migration: queries from the NEW
+    # distribution served against everything the index holds (their
+    # true neighbors are new-distribution vectors — within-shell, so
+    # dot ranking and L2 routing agree). Measured 1.0 at nprobe=4.
+    new_queries = queries.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(3.0*x AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    combined = corpus.select("vec_id", "embedding").unionByName(drifted)
+    truth = _topk_sets(
+        similarity.brute_force_topk(combined, new_queries, EMB_DIM)
+    )
+    r = _recall(
+        truth,
+        annindex.query_ann_index(spark, new_queries, idx, k=5, nprobe=4),
+    )
+    assert r >= 0.6, f"post-rebuild recall@5 {r:.3f} < 0.6"
+
+
 def test_knn_graph_auto_routes_by_size_and_clears_recall_floor(spark):
     """knn_graph_auto (round-9 verdict task 7): under the size threshold
     it IS knn_graph_lsh (identical output); above it (forced here with

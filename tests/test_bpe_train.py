@@ -73,6 +73,20 @@ def test_merge_table_matches_reference(spark):
     assert got == want and len(got) == 8
 
 
+def test_delta_rounds_equal_full_recount(spark):
+    """The incremental (delta pair-count) spelling must produce the
+    IDENTICAL merge table to the full-recount spelling — integer delta
+    maintenance is exact, including across early stops and overlap
+    traps; run deep enough (10 merges) that merged tokens themselves
+    merge again."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    fast = train_bpe_merges(df, n_merges=10, min_pair_count=1, incremental=True)
+    slow = train_bpe_merges(df, n_merges=10, min_pair_count=1, incremental=False)
+    assert fast == slow
+    want, _ = _ref_bpe(TEXTS, 10, 1)
+    assert fast == want
+
+
 def test_early_stop_below_min_pair_count(spark):
     df = spark.createDataFrame([("q w e r t y",)], "text string")
     # every word is one char: no pairs at all -> zero merges

@@ -315,3 +315,73 @@ def test_temperature_mixture_rates_math_and_sampling(spark):
     # deterministic: identical membership on a re-run
     again = {r["source"]: r["n"] for r in mix_corpus_temperature(docs, 0.5).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == got
+
+
+def test_dyadic_pow_matches_pow_and_duckdb_chain():
+    """dyadic_pow (round-10 verdict task 4): for every dyadic exponent
+    k/2^m the sqrt/multiply chain agrees with libm pow to float
+    tolerance, and DuckDB replaying dyadic_pow_sql's spelling reproduces
+    the chain BIT-FOR-BIT — the property that makes any dyadic-T mixture
+    cross-engine hash-exact."""
+    import math
+    import struct
+
+    import duckdb
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.mixing import (
+        _dyadic_exponent,
+        dyadic_pow,
+        dyadic_pow_sql,
+    )
+
+    assert _dyadic_exponent(0.5) == (1, 1)
+    assert _dyadic_exponent(0.25) == (1, 2)
+    assert _dyadic_exponent(0.375) == (3, 3)
+    assert _dyadic_exponent(0.3) is None  # 0.3 is not dyadic
+
+    con = duckdb.connect()
+    xs = [0.0625, 0.1, 1 / 3, 0.5, 0.999, 1.0, 7.0, 12345.678]
+    for k, m in [(1, 1), (1, 2), (3, 3), (5, 4), (7, 3)]:
+        for x in xs:
+            py = dyadic_pow(x, k, m)
+            assert abs(py - x ** (k / (1 << m))) <= 4 * abs(py) * 2**-52
+            (duck,) = con.sql(
+                f"SELECT {dyadic_pow_sql(f'CAST({x!r} AS DOUBLE)', k, m)}"
+            ).fetchone()
+            assert struct.pack("<d", py) == struct.pack("<d", duck), (
+                k, m, x, py, duck,
+            )
+
+
+def test_temperature_mixture_arbitrary_dyadic_t_proportions(spark):
+    """Realized kept counts at T=0.75 approach n_i^0.75 within binomial
+    noise, and rates come from the exact dyadic chain (not pow)."""
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.mixing import (
+        dyadic_pow,
+        mix_corpus_temperature,
+        temperature_mixture_rates,
+    )
+
+    counts = {"web": 40_000, "code": 10_000, "books": 2_500}
+    rates = temperature_mixture_rates(counts, 0.75)
+    assert rates["books"] == 1.0
+    for src, n in counts.items():
+        want = dyadic_pow(2_500 / n, 1, 2) if n != 2_500 else 1.0
+        assert abs(rates[src] - want) <= 1e-6
+
+    rows = [(i, "web" if i % 5 != 0 else "code") for i in range(5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: r["n"]
+        for r in mix_corpus_temperature(docs, 0.75)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["code"] == 1000
+    # web keeps (1000/4000)^0.25 ≈ 0.7071 of 4000 ≈ 2828 ± binomial noise
+    assert abs(got["web"] - 2828) < 150, got
+    # kept ratio web/code ≈ (4000/1000)^0.75 = 2.83 (the p ∝ n^T law)
+    assert abs(got["web"] / got["code"] - 4**0.75) < 0.3

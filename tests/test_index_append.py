@@ -230,6 +230,11 @@ def test_append_parity_sweep_over_splits_and_caps(spark, tmp_path):
         (F.col("doc_id") % 3 == 0, 5),  # small base, most grams cross
         (F.col("doc_id") % 3 != 0, 12),  # large base, few cross
         (F.col("doc_id") % 2 == 0, None),  # uncapped
+        # bulk backfill: increment is 10x the base and a punishing cap
+        # puts a large slice of the increment's gram vocabulary over it —
+        # the shape where a forced broadcast of the over-cap set would
+        # pressure the driver (the postings anti-join now lets AQE pick)
+        (F.col("doc_id") % 10 == 0, 2),
     ]
     for i, (pred, cap) in enumerate(cases):
         base = docs.filter(pred)

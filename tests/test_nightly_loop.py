@@ -217,6 +217,66 @@ def test_run_nightly_loop_api_is_idempotent_and_converges(spark, tmp_path):
     )
 
 
+def test_nightly_loop_compact_every_policy(spark, tmp_path):
+    """compact_every (round-10 verdict task 6): the loop compacts once
+    the manifest lists that many generations, replays across the compact
+    boundary stay no-ops (epoch ledger moves to compacted_increments),
+    and post-compaction nights keep converging to a rebuild."""
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.dedup_stream import (
+        run_nightly_loop,
+    )
+
+    base, pool1, pool2 = _pools(spark)
+    idx = str(tmp_path / "idx")
+    merged_dir = str(tmp_path / "merged")
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+
+    # night 1: below the policy (gen0 + epoch-0 = 2 generations < 3)
+    pool1.coalesce(1).write.mode("append").parquet(inbox)
+    s1 = run_nightly_loop(
+        spark, inbox, idx, merged_dir, out, ckpt, THRESH, compact_every=3
+    )
+    assert s1["compacted_generation"] is None
+    assert len(incremental._load_manifest(idx)["generations"]) == 2
+
+    # night 2 crosses the policy: 3 generations -> compact fires
+    pool2.coalesce(1).write.mode("append").parquet(inbox)
+    s2 = run_nightly_loop(
+        spark, inbox, idx, merged_dir, out, ckpt, THRESH, compact_every=3
+    )
+    assert s2["compacted_generation"] is not None
+    man = incremental._load_manifest(idx)
+    assert len(man["generations"]) == 1
+    assert set(man["compacted_increments"]) == {"epoch-0", "epoch-1"}
+
+    # replay across the compact boundary: nothing re-merges, no re-compact
+    s3 = run_nightly_loop(
+        spark, inbox, idx, merged_dir, out, ckpt, THRESH, compact_every=3
+    )
+    assert s3["merged_epochs"] == [] and s3["compacted_generation"] is None
+
+    # convergence after compaction: loop index == rebuild over the
+    # merged corpus
+    from gcp_serverless_etl_pipeline_lab_spark.sinks import read_warehouse
+
+    full = base.unionAll(
+        read_warehouse(spark, merged_dir).select("doc_id", "text")
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    incremental.build_base_index(full, rebuilt, max_df=MAX_DF)
+    probe = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    )
+    via_loop = incremental.classify_batch_vs_index(spark, probe, idx)
+    via_rebuilt = incremental.classify_batch_vs_index(spark, probe, rebuilt)
+    assert sorted(map(tuple, via_loop.collect())) == sorted(
+        map(tuple, via_rebuilt.collect())
+    )
+
+
 def test_nightly_loop_at_least_once_inbox_indexes_once(spark, tmp_path):
     """At-least-once delivery: the SAME doc_id retransmitted into two
     inbox files must enter the merged corpus and the index exactly once —
