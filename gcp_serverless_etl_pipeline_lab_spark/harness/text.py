@@ -257,6 +257,96 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, list(_BM25_TERMS), k=10)
 
 
+_HYBRID_QUERY_ID = 7
+_HYBRID_DEPTH = 50
+_HYBRID_RRF_K = 60
+
+
+@register(
+    "a0g_hybrid_search_rrf",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {_HYBRID_DEPTH}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+      FROM bm
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_HYBRID_QUERY_ID}),
+    vs AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_sum(list_transform(range(1, 65),
+               i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), 4) AS s
+      FROM embeddings, q WHERE vec_id <> {_HYBRID_QUERY_ID}
+      ORDER BY s DESC, doc_id LIMIT {_HYBRID_DEPTH}
+    ),
+    vecr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS ann_rank
+      FROM vs
+    )
+    SELECT doc_id,
+           CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+           CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+           ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                 + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+               AS rrf_score
+    FROM lex FULL OUTER JOIN vecr USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def a0g_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.hybrid_topk_rrf, NEW round
+    10): the BM25 keyword leg and the embedding-cosine leg each rank to
+    depth {depth}, then fuse by Reciprocal Rank Fusion — the standard
+    RAG retrieval shape (documents and embeddings share the id space in
+    the test corpus). The oracle recomputes both legs and the fused
+    score; RRF is two correctly-rounded divisions plus one addition in a
+    fixed order, so ranks AND scores hash-match exactly."""
+    from ..operators.retrieval import hybrid_topk_rrf
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hybrid_topk_rrf(
+        docs,
+        emb,
+        list(_BM25_TERMS),
+        query_id=_HYBRID_QUERY_ID,
+        dim=64,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        rrf_k=_HYBRID_RRF_K,
+    )
+    # -1 = absent from that leg (a NULL int round-trips as float NaN
+    # through the oracle's pandas bridge, failing the strict comparator)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------
@@ -893,4 +983,80 @@ def a0f_bpe_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "a0g_bpe_stored_tokenize",
+    # the oracle re-derives the identical merge table via the training
+    # CTEs, then per-doc token counts = sum of the final word table's
+    # per-word symbol counts over each doc's words — equal to the
+    # engine's per-occurrence greedy fold by construction
+    f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS (
+      SELECT word, cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      FROM wc
+    ),
+    {",".join(_bpe_round_duck(i) for i in range(1, _BPE_ROUNDS + 1))},
+    final AS (SELECT word, len(syms) AS n_tok FROM w{_BPE_ROUNDS}),
+    docw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    )
+    SELECT d.doc_id, CAST(SUM(f.n_tok) AS BIGINT) AS n_tokens
+    FROM docw d JOIN final f USING (word)
+    GROUP BY d.doc_id
+    ORDER BY n_tokens DESC, d.doc_id LIMIT 20
+    """,
+)
+def a0g_bpe_stored_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-tokenizer serving path (round-10 new capability):
+    train the {rounds}-merge table ONCE, commit it as a JSON artifact
+    (operators/bpetrain.save_bpe_model — atomic replace, same commit
+    discipline as the index manifests), then tokenize the corpus FROM
+    THE STORED MODEL (tokenize_with_stored_model → apply_bpe_merges'
+    per-occurrence greedy fold, the path no oracle covered before).
+    Reports the 20 longest documents by token count. The artifact is
+    cached per corpus fingerprint — train-once-tokenize-many IS the
+    operating mode."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.bpetrain import (
+        save_bpe_model,
+        tokenize_with_stored_model,
+        train_bpe_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    model_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bpe_model_{fp}.json"
+    )
+    if not os.path.exists(model_path):
+        merges = train_bpe_merges(
+            d, n_merges=_BPE_ROUNDS, min_pair_count=_BPE_MIN_PAIR
+        )
+        save_bpe_model(
+            merges,
+            model_path,
+            meta={"n_merges": _BPE_ROUNDS, "min_pair_count": _BPE_MIN_PAIR},
+        )
+    toks = tokenize_with_stored_model(d, model_path)
+    return (
+        toks.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .limit(20)
     )

@@ -158,11 +158,19 @@ def train_bpe_merges(
             # spelling also doubled the partition count every round, and
             # a lazy checkpoint here let the thrice-referenced RDD DAG
             # grow exponentially: measured 437 s vs 8 s for 16 rounds).
+            # old_syms kept ONLY for touched rows (the delta subtraction
+            # needs them; untouched rows would double the checkpointed
+            # array bytes for nothing — the early rounds' dominant cost)
             combined = (
                 words.crossJoin(F.broadcast(merge_row))
                 .withColumn("touched", F.expr(_HAS_PAIR))
-                .withColumn("new_syms", F.expr(f"IF(touched, {_APPLY}, syms)"))
-                .select("word", "syms", "new_syms", "cnt", "touched")
+                .select(
+                    "word",
+                    F.expr("IF(touched, syms, NULL)").alias("old_syms"),
+                    F.expr(f"IF(touched, {_APPLY}, syms)").alias("syms"),
+                    "cnt",
+                    "touched",
+                )
                 .coalesce(n_part)
                 .localCheckpoint(eager=True)
             )
@@ -173,14 +181,12 @@ def train_bpe_merges(
             # argmax input tight (the merged pair itself always hits 0:
             # greedy leftmost removes every (a,b) adjacency it walks).
             delta = _pair_counts(
-                touched.select("word", "syms", (-F.col("cnt")).alias("cnt"))
-            ).unionByName(
-                _pair_counts(
-                    touched.select(
-                        "word", F.col("new_syms").alias("syms"), "cnt"
-                    )
+                touched.select(
+                    "word",
+                    F.col("old_syms").alias("syms"),
+                    (-F.col("cnt")).alias("cnt"),
                 )
-            )
+            ).unionByName(_pair_counts(touched.select("word", "syms", "cnt")))
             pc = (
                 pc.unionByName(delta)
                 .groupBy("a", "b")
@@ -188,9 +194,7 @@ def train_bpe_merges(
                 .filter(F.col("w") > 0)
                 .localCheckpoint(eager=True)
             )
-            words = combined.select(
-                "word", F.col("new_syms").alias("syms"), "cnt"
-            )
+            words = combined.select("word", "syms", "cnt")
         else:
             words = (
                 words.crossJoin(F.broadcast(merge_row))
@@ -210,6 +214,54 @@ def train_bpe_merges(
                 entry["touched_words"] = touched.count()
             round_stats.append(entry)
     return merges
+
+
+def save_bpe_model(
+    merges: list[tuple[str, str, int]],
+    path: str,
+    meta: dict | None = None,
+) -> None:
+    """Persist a trained merge table as a JSON artifact — the tokenizer
+    twin of the index manifests (atomic replace commit; readers load
+    either the old or the new model, never a torn one). ``meta`` rides
+    along for provenance (corpus snapshot id, n_merges, min_pair_count)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": 1,
+                "merges": [[a, b, w] for a, b, w in merges],
+                "meta": meta or {},
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+
+
+def load_bpe_model(path: str) -> list[tuple[str, str, int]]:
+    """Merge table back from a ``save_bpe_model`` artifact, in training
+    order (apply order is part of BPE's contract)."""
+    import json
+
+    with open(path) as fh:
+        blob = json.load(fh)
+    return [(a, b, int(w)) for a, b, w in blob["merges"]]
+
+
+def tokenize_with_stored_model(
+    corpus: DataFrame, path: str, text_col: str = "text"
+) -> DataFrame:
+    """Train-once-tokenize-many: apply a persisted merge table to a
+    corpus (``apply_bpe_merges`` semantics — greedy leftmost per word,
+    merges in training order, map-side only). The artifact is tiny
+    driver-side state; nothing about the corpus is read to load it, so
+    tokenization cost is one map-side pass regardless of where or when
+    the model was trained."""
+    return apply_bpe_merges(corpus, load_bpe_model(path), text_col)
 
 
 def apply_merges_to_word_table(

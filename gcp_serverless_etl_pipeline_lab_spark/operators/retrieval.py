@@ -90,3 +90,76 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def hybrid_topk_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking fused with embedding-cosine
+    ranking by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the
+    standard RAG retrieval shape, where lexical search catches exact
+    terminology the embedding smooths away and the embedding catches
+    paraphrases the keywords miss.
+
+    Both legs rank to ``depth``; RRF(doc) = Σ_legs 1/(rrf_k + rank),
+    missing legs contributing 0. The fused score is two correctly-rounded
+    divisions and one addition in a FIXED order, so an independent engine
+    recomputing from the same ranks lands bit-identically (the same
+    discipline as the dyadic mixture thresholds). Plan shape: the BM25
+    leg is bm25_topk (corpus shuffles at most |terms| rows per doc); the
+    vector leg broadcasts the single query vector and TakeOrders the dot
+    products (no corpus shuffle); the fusion is a ``depth``-row full
+    outer join — at 100 TB the fusion cost is independent of corpus size.
+
+    The query document itself (``query_id``) is excluded from the vector
+    leg (self-match carries no information) but may appear in the
+    lexical leg — keyword queries are not document-relative.
+
+    Returns (doc_id, bm25_rank, ann_rank, rrf_score) — top ``k`` by
+    (rrf_score desc, doc_id); absent-leg ranks are NULL."""
+    from .similarity import _dot
+
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        bm25_topk(docs, terms, k=depth, id_col=id_col, text_col=text_col)
+        .withColumn("bm25_rank", F.row_number().over(w_lex))
+        .select("doc_id", "bm25_rank")
+    )
+    q = embeddings.filter(F.col(vec_id_col) == query_id).select(
+        F.col(vec_col).alias("qe")
+    )
+    w_vec = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    vec = (
+        embeddings.filter(F.col(vec_id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(vec_id_col).alias("doc_id"),
+            F.round(_dot("qe", vec_col, dim), 4).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id"))
+        .limit(depth)
+        .withColumn("ann_rank", F.row_number().over(w_vec))
+        .select("doc_id", "ann_rank")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("ann_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "ann_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -137,6 +137,36 @@ def test_apply_matches_reference_tokenization(spark):
         assert out[t]["n_tokens"] == len(want)
 
 
+def test_stored_model_roundtrip_and_tokenize(spark, tmp_path):
+    """save_bpe_model/load_bpe_model/tokenize_with_stored_model: the
+    artifact round-trips the merge table exactly (order included) and
+    tokenizing from the stored model equals tokenizing from the live
+    one."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.bpetrain import (
+        load_bpe_model,
+        save_bpe_model,
+        tokenize_with_stored_model,
+    )
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = train_bpe_merges(df, n_merges=6, min_pair_count=2)
+    path = str(tmp_path / "bpe_model.json")
+    save_bpe_model(merges, path, meta={"n_merges": 6})
+    assert load_bpe_model(path) == merges
+    live = sorted(
+        (r["text"], list(r["tokens"]), r["n_tokens"])
+        for r in apply_bpe_merges(df, merges).collect()
+    )
+    stored = sorted(
+        (r["text"], list(r["tokens"]), r["n_tokens"])
+        for r in tokenize_with_stored_model(df, path).collect()
+    )
+    assert live == stored
+    # commit is atomic-replace: a second save overwrites cleanly
+    save_bpe_model(merges[:2], path)
+    assert load_bpe_model(path) == merges[:2]
+
+
 def test_greedy_leftmost_run_semantics(spark):
     """'aaa' under merge (a,a): leftmost pair merges first and the merged
     token is immediately eligible — ['aa', 'a'], never ['a', 'aa'] and

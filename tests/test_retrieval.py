@@ -40,3 +40,71 @@ def test_k_cut_and_tiebreak(spark):
     docs = _docs(spark, [(i, "hit pad") for i in (4, 2, 9, 7)])
     out = bm25_topk(docs, ["hit"], k=3).collect()
     assert [r.doc_id for r in out] == [2, 4, 7]
+
+
+def test_hybrid_rrf_fuses_both_legs_exactly(spark):
+    """hybrid_topk_rrf == a Python re-fusion of its two legs: ranks come
+    from bm25_topk and the exact dot-product ordering, the query doc is
+    excluded from the vector leg only, missing legs contribute 0, and
+    the fused score is bit-recomputable (1/(60+r) sums)."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.retrieval import (
+        hybrid_topk_rrf,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "query doc about join and filter"),
+            (1, "join join filter heavy lexical match"),
+            (2, "nothing lexical here at all"),
+            (3, "join appears once"),
+            (4, "filter filter filter"),
+        ],
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),  # orthogonal to the query
+            (2, [0.9, 0.1, 0.0]),  # strongest vector match
+            (3, [0.5, 0.5, 0.0]),
+            (4, [0.1, 0.0, 0.9]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    terms = ["join", "filter"]
+    out = hybrid_topk_rrf(docs, emb, terms, query_id=0, dim=3, k=10).collect()
+
+    lex_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(bm25_topk(docs, terms, k=50).collect())
+    }
+    import math
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    q = vecs[0]
+    dots = sorted(
+        (
+            (-round(sum(a * b for a, b in zip(q, v)), 4), vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+    )
+    vec_rank = {vid: i + 1 for i, (_, vid) in enumerate(dots)}
+    want = {}
+    for d in set(lex_rank) | set(vec_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (60 + lex_rank[d])
+        if d in vec_rank:
+            s += 1.0 / (60 + vec_rank[d])
+        want[d] = round(s, 6)
+    got = {r.doc_id: r.rrf_score for r in out}
+    assert got == {d: want[d] for d in got}
+    assert [r.doc_id for r in out] == sorted(
+        want, key=lambda d: (-want[d], d)
+    )[: len(out)]
+    by_id = {r.doc_id: r for r in out}
+    # the query doc is lexically rankable but never a vector neighbor
+    assert by_id[0].ann_rank is None and by_id[0].bm25_rank is not None
+    # doc 2 has no query term: vector-only membership, null lexical rank
+    assert by_id[2].bm25_rank is None and by_id[2].ann_rank == 1
