@@ -143,6 +143,7 @@ def run_nightly_loop(
     checkpoint_dir: str,
     threshold: float = 0.8,
     compact_every: int | None = None,
+    vacuum_min_age_seconds: float | None = None,
 ) -> dict:
     """One iteration of the FULL nightly dedup loop — the composition
     tests/test_nightly_loop.py drives by hand, as one idempotent call:
@@ -176,9 +177,17 @@ def run_nightly_loop(
     DURING compaction leaves an orphan fold no reader sees (the next
     loop call simply compacts again).
 
+    ``vacuum_min_age_seconds`` completes the hygiene side: after the
+    merges (and any compaction), ``vacuum_index`` sweeps generation
+    debris older than the horizon — crashed appends' orphans and the
+    pre-compaction dirs compact deliberately leaves for in-flight
+    readers. Size the horizon beyond the longest probe/append the
+    deployment can run (the reader-grace contract in vacuum_index's
+    docstring); None (default) skips vacuuming.
+
     Returns {"classified_epochs": [...], "merged_epochs": [...],
-    "new_docs": n, "compacted_generation": gen-or-None} for
-    observability.
+    "new_docs": n, "compacted_generation": gen-or-None,
+    "vacuumed": [relpaths]} for observability.
 
     The text join-back reads the whole inbox (new docs' text lives only
     there) — archive absorbed inbox files on whatever cadence keeps that
@@ -192,6 +201,7 @@ def run_nightly_loop(
         append_to_index,
         compact_index,
         exact_dups_vs_index,
+        vacuum_index,
     )
 
     run_incremental_classify(
@@ -254,9 +264,13 @@ def run_nightly_loop(
         and len(_load_manifest(index_path)["generations"]) >= compact_every
     ):
         compacted = compact_index(spark, index_path)
+    vacuumed: list[str] = []
+    if vacuum_min_age_seconds is not None:
+        vacuumed = vacuum_index(index_path, vacuum_min_age_seconds)
     return {
         "classified_epochs": epochs,
         "merged_epochs": merged,
         "new_docs": n_new,
         "compacted_generation": compacted,
+        "vacuumed": vacuumed,
     }

@@ -242,21 +242,27 @@ def test_nightly_loop_compact_every_policy(spark, tmp_path):
     assert s1["compacted_generation"] is None
     assert len(incremental._load_manifest(idx)["generations"]) == 2
 
-    # night 2 crosses the policy: 3 generations -> compact fires
+    # night 2 crosses the policy: 3 generations -> compact fires; the
+    # zero-horizon vacuum then sweeps the unlisted pre-compaction dirs
     pool2.coalesce(1).write.mode("append").parquet(inbox)
     s2 = run_nightly_loop(
-        spark, inbox, idx, merged_dir, out, ckpt, THRESH, compact_every=3
+        spark, inbox, idx, merged_dir, out, ckpt, THRESH,
+        compact_every=3, vacuum_min_age_seconds=0.0,
     )
     assert s2["compacted_generation"] is not None
     man = incremental._load_manifest(idx)
     assert len(man["generations"]) == 1
     assert set(man["compacted_increments"]) == {"epoch-0", "epoch-1"}
+    assert any(s.startswith("grams/gen=") for s in s2["vacuumed"]), s2
+    gens_on_disk = sorted(os.listdir(os.path.join(idx, "grams")))
+    assert gens_on_disk == [f"gen={s2['compacted_generation']}"]
 
     # replay across the compact boundary: nothing re-merges, no re-compact
     s3 = run_nightly_loop(
         spark, inbox, idx, merged_dir, out, ckpt, THRESH, compact_every=3
     )
     assert s3["merged_epochs"] == [] and s3["compacted_generation"] is None
+    assert s3["vacuumed"] == []
 
     # convergence after compaction: loop index == rebuild over the
     # merged corpus
