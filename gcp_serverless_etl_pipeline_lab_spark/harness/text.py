@@ -1039,21 +1039,30 @@ def a0g_bpe_stored_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
+    # the training constants are part of the cache key — a fingerprint on
+    # the corpus stat alone would silently serve a stale model after a
+    # _BPE_ROUNDS/_BPE_MIN_PAIR change (ADVICE round 10)
     fp = hashlib.md5(
-        f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{_BPE_ROUNDS}:{_BPE_MIN_PAIR}".encode()
     ).hexdigest()[:16]
     model_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_bpe_model_{fp}.json"
     )
+    meta_want = {"n_merges": _BPE_ROUNDS, "min_pair_count": _BPE_MIN_PAIR}
+    if os.path.exists(model_path):
+        # belt-and-braces: the meta rides in the artifact, so a cache file
+        # from a differently-configured writer is rejected, not served
+        import json
+
+        with open(model_path) as fh:
+            if json.load(fh).get("meta") != meta_want:
+                os.remove(model_path)
     if not os.path.exists(model_path):
         merges = train_bpe_merges(
             d, n_merges=_BPE_ROUNDS, min_pair_count=_BPE_MIN_PAIR
         )
-        save_bpe_model(
-            merges,
-            model_path,
-            meta={"n_merges": _BPE_ROUNDS, "min_pair_count": _BPE_MIN_PAIR},
-        )
+        save_bpe_model(merges, model_path, meta=meta_want)
     toks = tokenize_with_stored_model(d, model_path)
     return (
         toks.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))

@@ -104,6 +104,11 @@ def build_ann_index(
             "version": 2,
             "dim": dim,
             "model": [[cid, vec] for cid, vec in model],
+            # bumped by every retrain (rebuild_ann_index) — an append's
+            # locked commit rejects a manifest whose epoch moved after it
+            # read the model, so vectors assigned under stale centroids
+            # can never land behind a retrain's back
+            "model_epoch": 0,
             "generations": [{"gen": 0, "increment_id": None}],
             # build-time quantization error — the drift baseline every
             # append's own error is compared against (ann_drift_report)
@@ -168,7 +173,16 @@ def append_ann_index(
     Concurrent appenders are safe — same claim+locked-commit discipline
     as the text index (operators/incremental.append_to_index), with no
     cap-consistency relaxation to document: the model is pinned, so
-    concurrent assignments never interact."""
+    concurrent assignments never interact.
+
+    Concurrent RETRAINS are fenced from both sides: an append committing
+    before ``rebuild_ann_index``'s manifest flip makes the retrain abort
+    (its generation-set check), and an append that read the model BEFORE
+    the flip but commits AFTER it is rejected here by the manifest's
+    ``model_epoch`` (the retrain bumps it) — its vectors were assigned
+    under the superseded centroids, and committing them would leave
+    queries routing by the new model silently missing them. The raise is
+    retriable: a re-run re-reads the new model and re-assigns."""
     import os
 
     from .incremental import _GENCLAIM_PREFIX, _claim_generation, _manifest_lock
@@ -187,6 +201,7 @@ def append_ann_index(
     if increment.limit(1).count() == 0:
         return False
     model = [(int(cid), [float(x) for x in vec]) for cid, vec in man["model"]]
+    model_epoch = int(man.get("model_epoch", 0))
     gen = _claim_generation(path)  # manifests share the generations shape
     _write_vectors_gen(increment, path, gen, model)
     # the increment's own quantization error against the PINNED model —
@@ -206,6 +221,16 @@ def append_ann_index(
             except OSError:
                 pass
             return False
+        if int(cur.get("model_epoch", 0)) != model_epoch:
+            # a retrain flipped the model between our model read and this
+            # commit: our vectors are assigned under superseded centroids
+            # and queries would route by the NEW model straight past them.
+            # The written generation stays an orphan for vacuum_index.
+            raise RuntimeError(
+                f"model epoch changed during append at {path} "
+                f"(read {model_epoch}, now {cur.get('model_epoch', 0)}); "
+                "retry the append to re-assign against the new model"
+            )
         if any(g["gen"] == gen for g in cur["generations"]):
             # stolen claim (vacuumed past the horizon) already committed
             # this number — a second commit would double-read gen={gen}
@@ -352,6 +377,25 @@ def compact_ann_index(spark, path: str) -> int:
         .partitionBy("cell")
         .parquet(os.path.join(path, "vectors", f"gen={gen}"))
     )
+    # drift must SURVIVE compaction (round-11 verdict task 3): the folded
+    # generation records (a) a fresh overall quantization error of the
+    # whole folded population — one extra aggregate over vectors the fold
+    # scanned anyway — and (b) the max drift any folded generation had
+    # recorded. (a) alone can DILUTE below threshold when a small drifted
+    # increment folds into a large well-fitted base (the drifted vectors
+    # are exactly as far from the centroids as before — folding moved
+    # files, not data), so ann_drift_report considers both; only a
+    # retrain (rebuild_ann_index, fresh baseline) clears the flag.
+    model_t = [
+        (int(cid), [float(x) for x in v]) for cid, v in man["model"]
+    ]
+    fold_msd = _mean_assign_msd(vec.select("vec_id", "embedding"), model_t)
+    carried = [
+        m
+        for g in man["generations"]
+        for m in (g.get("drift_msd"), g.get("carried_max_drift_msd"))
+        if m is not None
+    ]
     applied = [
         g["increment_id"]
         for g in man["generations"]
@@ -367,7 +411,14 @@ def compact_ann_index(spark, path: str) -> int:
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )
-        cur["generations"] = [{"gen": gen, "increment_id": None}]
+        entry: dict = {
+            "gen": gen,
+            "increment_id": None,
+            "drift_msd": fold_msd,
+        }
+        if carried:
+            entry["carried_max_drift_msd"] = max(carried)
+        cur["generations"] = [entry]
         _write_ann_manifest(path, cur)
     try:
         os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
@@ -386,31 +437,46 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
     read, no Spark job.
 
     Returns ``{"baseline_msd", "generations": [{gen, increment_id,
-    drift_msd, ratio}...], "max_ratio", "rebuild_recommended"}``.
-    Generations without a recorded drift stat (the build generation,
-    pre-drift manifests, post-compaction folds) carry ratio None and
-    never trip the flag — no signal is not a drift signal."""
+    drift_msd, ratio, carried_max_drift_msd?}...], "max_ratio",
+    "rebuild_recommended"}``. Generations without a recorded drift stat
+    (the build generation, pre-drift manifests) carry ratio None and
+    never trip the flag — no signal is not a drift signal. A
+    post-compaction fold carries BOTH a fresh overall ``drift_msd`` and
+    the ``carried_max_drift_msd`` of what it folded (compact_ann_index):
+    the max_ratio considers the carried value too, so routine
+    maintenance can never silently clear ``rebuild_recommended`` by
+    diluting a drifted increment into a well-fitted base — only
+    ``rebuild_ann_index``'s baseline reset clears it."""
     man = _load_ann_manifest(path)
     baseline = man.get("baseline_msd")
     gens = []
     max_ratio = None
     for g in man["generations"]:
         msd = g.get("drift_msd")
+        carried = g.get("carried_max_drift_msd")
         ratio = (
             None
             if msd is None or not baseline
             else float(msd) / float(baseline)
         )
-        if ratio is not None:
-            max_ratio = ratio if max_ratio is None else max(max_ratio, ratio)
-        gens.append(
-            {
-                "gen": g["gen"],
-                "increment_id": g.get("increment_id"),
-                "drift_msd": msd,
-                "ratio": ratio,
-            }
-        )
+        for cand in (ratio,) + (
+            (float(carried) / float(baseline),)
+            if carried is not None and baseline
+            else ()
+        ):
+            if cand is not None:
+                max_ratio = (
+                    cand if max_ratio is None else max(max_ratio, cand)
+                )
+        entry = {
+            "gen": g["gen"],
+            "increment_id": g.get("increment_id"),
+            "drift_msd": msd,
+            "ratio": ratio,
+        }
+        if carried is not None:
+            entry["carried_max_drift_msd"] = carried
+        gens.append(entry)
     return {
         "baseline_msd": baseline,
         "generations": gens,
@@ -439,7 +505,11 @@ def rebuild_ann_index(
 
     Commit discipline matches compaction, including the concurrent-append
     abort — a generation committed mid-retrain would have been assigned
-    against the OLD model."""
+    against the OLD model. The flip also bumps ``model_epoch``, which
+    fences the OTHER interleaving: an append that read the old model and
+    commits after the flip fails its own epoch check (see
+    ``append_ann_index``), so stale-centroid assignments can never land
+    on either side of the retrain."""
     import os
 
     from .incremental import (
@@ -478,6 +548,10 @@ def rebuild_ann_index(
                 "re-run rebuild_ann_index"
             )
         cur["model"] = [[cid, list(vec_)] for cid, vec_ in model]
+        # fence in-flight appends: one that read the OLD model but commits
+        # after this flip sees the bumped epoch and raises (its vectors
+        # were assigned under the superseded centroids)
+        cur["model_epoch"] = int(cur.get("model_epoch", 0)) + 1
         cur["baseline_msd"] = baseline
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)

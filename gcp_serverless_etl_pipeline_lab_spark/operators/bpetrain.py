@@ -67,6 +67,22 @@ _HAS_PAIR = (
 )
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD currently pinned in the block store — the
+    diff-based handle for freeing superseded localCheckpoints (their
+    DataFrames expose no unpersist; the blocks live until session end
+    otherwise)."""
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def word_symbol_table(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, syms array<string>, cnt) — the distinct-word training table
     BPE rounds iterate on. One corpus shuffle, ever."""
@@ -130,6 +146,24 @@ def train_bpe_merges(
     if incremental is None:
         incremental = n_merges >= 32
     spark = corpus.sparkSession
+    sc = spark.sparkContext
+
+    # Superseded checkpoint housekeeping (round-11 verdict task 6): every
+    # round eager-localCheckpoints fresh frames and each round's inputs
+    # derive ONLY from the latest checkpoints, but localCheckpoint pins
+    # its blocks until session end — across 256 delta rounds the
+    # accumulated storage was measured as the 0.84->3.3 s late-round
+    # creep in the x10 bpe_delta_merges256 stress. Track the persistent
+    # RDD ids each checkpoint batch creates (diff-based, so caches owned
+    # by the caller are never touched) and free the previous batch once
+    # the new one is materialized.
+    def _persistent_ids() -> set[int]:
+        return _persistent_rdd_ids(sc)
+
+    def _free(ids: set[int]) -> None:
+        _unpersist_rdd_ids(sc, ids)
+
+    _pre = _persistent_ids()
     words = word_symbol_table(corpus, text_col).localCheckpoint(eager=True)
     # the delta rounds rebuild words as union(untouched, folded) with no
     # shuffle in between, which would DOUBLE the partition count every
@@ -137,6 +171,7 @@ def train_bpe_merges(
     n_part = max(words.rdd.getNumPartitions(), 1)
     merges: list[tuple[str, str, int]] = []
     pc = _pair_counts(words).localCheckpoint(eager=True) if incremental else None
+    _live = _persistent_ids() - _pre
     for _ in range(n_merges):
         _t0 = _time.perf_counter()
         top = (
@@ -149,6 +184,7 @@ def train_bpe_merges(
             break
         a, b, w = top[0]["a"], top[0]["b"], int(top[0]["w"])
         merges.append((a, b, w))
+        _snap = _persistent_ids()
         merge_row = spark.createDataFrame([(a, b)], "ma string, mb string")
         if incremental:
             # ONE V-sized pass per round: evaluate the touched predicate
@@ -201,6 +237,12 @@ def train_bpe_merges(
                 .select("word", F.expr(_APPLY).alias("syms"), "cnt")
                 .localCheckpoint(eager=True)
             )
+        # this round's checkpoints are materialized (eager) and every
+        # later round derives only from them — the previous batch's
+        # blocks are dead weight from here on
+        _new = _persistent_ids() - _snap
+        _free(_live)
+        _live = _new
         if round_stats is not None:
             entry = {
                 "round": len(merges),
@@ -213,6 +255,7 @@ def train_bpe_merges(
                 # so this is one cheap predicate scan)
                 entry["touched_words"] = touched.count()
             round_stats.append(entry)
+    _free(_live)  # the final round's tables — nothing reads them again
     return merges
 
 
@@ -265,7 +308,9 @@ def tokenize_with_stored_model(
 
 
 def apply_merges_to_word_table(
-    words: DataFrame, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    checkpoint_every: int | None = 64,
 ) -> DataFrame:
     """Fold a merge table into a (word, syms, ...) table — one greedy
     fold per DISTINCT word per merge. This is the cheap spelling for
@@ -273,31 +318,88 @@ def apply_merges_to_word_table(
     a corpus occurrence-by-occurrence (apply_bpe_merges) folds every
     word occurrence, which is interpreted-HOF-bound and ~L× more work
     than folding the distinct-word table and joining counts back
-    (measured 12.4 s vs 4.5 s for the sf0.1 compression report)."""
+    (measured 12.4 s vs 4.5 s for the sf0.1 compression report).
+
+    The plan is TRUNCATED with an eager localCheckpoint every
+    ``checkpoint_every`` merges (round-11 verdict task 2): a real
+    vocabulary is 10k-50k merges deep, and one chained join+HOF node
+    per merge makes the expression tree itself the bottleneck (Catalyst
+    analysis/codegen cost grows superlinearly with plan size) long
+    before any data cost — with truncation every chunk re-plans from a
+    flat scan, so analysis stays bounded however deep the table.
+    Superseded chunk checkpoints are freed as the fold advances; the
+    LAST one stays pinned until session end (one distinct-word table —
+    the bounded cost of lineage truncation). ``None`` disables
+    truncation (the pre-round-11 behavior)."""
     spark = words.sparkSession
+    sc = spark.sparkContext
     out = words
-    for a, b, *_ in merges:
+    live: set[int] = set()
+    for i, (a, b, *_) in enumerate(merges):
         mrow = spark.createDataFrame([(a, b)], "ma string, mb string")
         out = (
             out.crossJoin(F.broadcast(mrow))
             .withColumn("syms", F.expr(_APPLY))
             .drop("ma", "mb")
         )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < len(merges)
+        ):
+            snap = _persistent_rdd_ids(sc)
+            out = out.localCheckpoint(eager=True)
+            new = _persistent_rdd_ids(sc) - snap
+            _unpersist_rdd_ids(sc, live)
+            live = new
     return out
+
+
+DEEP_APPLY_THRESHOLD = 64
 
 
 def apply_bpe_merges(
     corpus: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
+    via_word_table: bool | None = None,
+    row_id_col: str | None = None,
 ) -> DataFrame:
     """Tokenize ``corpus`` with a learned merge table: every word splits
     to characters, then each merge applies in training order (greedy
     leftmost per word — the standard BPE apply). Returns one row per
     input row: (original columns..., tokens array<string>, n_tokens).
-    Map-side only: merges are a driver-side list folded into ``len(
-    merges)`` chained array expressions, no shuffle, no Python in the
-    hot path."""
+
+    Two spellings, auto-routed on merge depth (round-11 verdict task 2):
+
+    - **chained** (``via_word_table=False``; default below
+      ``DEEP_APPLY_THRESHOLD`` merges): merges fold into ``len(merges)``
+      chained map-side array expressions — no shuffle, no Python, the
+      right shape for shallow tables and for STREAMING tokenization
+      (plan pinned shuffle-free in tests/test_plans_round10.py). But the
+      plan grows one join+HOF node per merge and the fold work is
+      occurrences × merges: at a real 10k-50k-merge vocabulary the
+      expression tree alone sinks it (analysis/codegen cost grows with
+      plan size; measured unusable ≥1024 merges — scripts/scale_stress
+      bpe_deep_apply).
+    - **join-back** (``via_word_table=True``; default at or above the
+      threshold): a word always tokenizes identically, so fold the
+      DISTINCT-word table (depth-bounded via apply_merges_to_word_table's
+      chunked checkpoints), then join token arrays back to occurrences
+      and reassemble each row's stream as the in-order flatten of its
+      words' arrays. Work: V × merges folds + one occurrence-sized
+      join/regroup — vs occurrences × merges folds. Row-identical to the
+      chained spelling (parity pinned by tests/test_bpe_train.py).
+
+    ``row_id_col``: the join-back regroup needs a unique per-row key —
+    pass one if the corpus has it (e.g. doc_id); otherwise one is
+    derived and PINNED with an eager localCheckpoint
+    (monotonically_increasing_id alone is not stable across stage
+    retries, and the id frame is referenced by two plan branches)."""
+    if via_word_table is None:
+        via_word_table = len(merges) >= DEEP_APPLY_THRESHOLD
+    if via_word_table:
+        return _apply_bpe_join_back(corpus, merges, text_col, row_id_col)
     spark = corpus.sparkSession
     # apply per-WORD, not across a flattened stream (merges must not
     # bridge word boundaries) — fold at word granularity, flatten last
@@ -315,3 +417,60 @@ def apply_bpe_merges(
         .withColumn("n_tokens", F.size("tokens"))
         .drop("_words", "_syms")
     )
+
+
+def _apply_bpe_join_back(
+    corpus: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str,
+    row_id_col: str | None,
+) -> DataFrame:
+    """The deep-table tokenization path (see apply_bpe_merges): fold
+    distinct words, join arrays back, flatten in word order."""
+    orig_cols = list(corpus.columns)
+    rid = row_id_col
+    base = corpus
+    if rid is None:
+        rid = "_bpe_rid"
+        # pin the generated ids: the frame is consumed by BOTH the
+        # occurrence explode and the final join-back, and a stage retry
+        # could otherwise hand the two branches different ids
+        base = corpus.withColumn(
+            rid, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+    base = base.withColumn(
+        "_words", F.expr(f"filter(split({text_col}, ' ', -1), w -> w != '')")
+    )
+    words = (
+        base.select(F.explode("_words").alias("word"))
+        .distinct()
+        .select("word", F.expr(_CHARS).alias("syms"))
+    )
+    folded = apply_merges_to_word_table(words, merges).select(
+        "word", F.col("syms").alias("_toks")
+    )
+    occ = base.select(rid, F.posexplode("_words").alias("_pos", "word"))
+    # struct sort key: _pos leads, so the collected arrays flatten back
+    # in document order; _pos is unique per row, so the sort is total
+    per_row = (
+        occ.join(folded, "word")
+        .groupBy(rid)
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_pos, _toks))),"
+                    " s -> s._toks)"
+                )
+            ).alias("tokens")
+        )
+    )
+    out = (
+        base.drop("_words")
+        .join(per_row, rid, "left")
+        .withColumn(
+            "tokens",
+            F.coalesce("tokens", F.expr("CAST(array() AS array<string>)")),
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+    return out.select(*orig_cols, "tokens", "n_tokens")

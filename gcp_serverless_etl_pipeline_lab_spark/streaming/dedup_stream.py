@@ -231,12 +231,19 @@ def run_nightly_loop(
         # inbox files would otherwise join back twice and the append
         # would index duplicate postings/size rows for that base_id,
         # inflating every later probe's intersection counts — one row
-        # per doc_id enters the corpus and the index, ever
+        # per doc_id enters the corpus and the index, ever. The pick is
+        # DETERMINISTIC (min_by content hash), not dropDuplicates'
+        # arbitrary first-seen: `inc` is lazily re-executed by the count,
+        # the corpus write, and the index append below, and a
+        # retransmission carrying DIFFERENT text must resolve to the
+        # same row in all three jobs or the merged corpus text diverges
+        # from the indexed postings (ADVICE round 10).
         inc = (
             spark.read.parquet(input_dir)
             .select("doc_id", "text")
             .join(new_ids, "doc_id")
-            .dropDuplicates(["doc_id"])
+            .groupBy("doc_id")
+            .agg(F.expr("min_by(text, md5(text))").alias("text"))
         )
         # ...and the retransmission can also straddle EPOCHS: both copies
         # classified 'new' in the same stream run (classification all

@@ -586,7 +586,7 @@ def _stress_bpe_delta_merges(
     (round-10 verdict task 3) on a synthetic REAL vocabulary — the
     testdata corpora have ~31-46 distinct words, far too few to expose
     vocabulary-vs-touched-mass scaling, so the vocabulary here is
-    20_000*n deterministic base-7-letter words (id -> conv base 7 ->
+    100_000*n deterministic base-7-letter words (id -> conv base 7 ->
     a..g). Evidence recorded per scale:
 
     - sec / out_rows: clean uninstrumented delta run (the stress row);

@@ -170,7 +170,10 @@ def test_compact_ann_index_folds_generations_preserves_queries(spark, tmp_path):
     assert after == before and after
     assert annindex.load_ann_model(idx) == model_before
     man = annindex._load_ann_manifest(idx)
-    assert man["generations"] == [{"gen": 2, "increment_id": None}]
+    (fold,) = man["generations"]
+    assert fold["gen"] == 2 and fold["increment_id"] is None
+    # round 11: the fold records the folded population's overall drift
+    assert fold["drift_msd"] is not None
     assert man["compacted_increments"] == ["odd"]
     # old generation dirs remain (in-flight readers) until vacuum sweeps
     assert sorted(os.listdir(os.path.join(idx, "vectors"))) == [
@@ -442,3 +445,119 @@ def test_streamed_ann_search_matches_batch_and_is_incremental(spark, tmp_path):
 
     run_ann_search(spark, inbox, idx, out, ckpt, k=5, nprobe=2)  # idle
     assert read_warehouse(spark, out).count() == got2.count()
+
+
+def test_append_aborts_when_retrain_flips_model_epoch(spark, tmp_path, monkeypatch):
+    """The OTHER half of the append/retrain race (ADVICE round 10): an
+    append that reads the model, assigns its vectors, and acquires the
+    commit lock AFTER rebuild_ann_index's manifest flip passes the
+    generation-set and increment-id checks — but its vectors were
+    assigned under the superseded centroids, so queries routing by the
+    new model would silently miss them. The manifest's model_epoch must
+    reject it; the retry re-assigns under the new model and the final
+    index queries identically to a scratch build."""
+    import pytest as _pytest
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators import incremental
+
+    corpus, queries = _corpus_queries(spark)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    inc = corpus.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(base, idx, 64, cells=8, iters=2, sample_rate=1.0)
+
+    # deterministic race spelling: the retrain lands inside the append's
+    # window between its model read and its locked commit — triggered
+    # from the append's generation claim (which happens after the read)
+    real_claim = incremental._claim_generation
+    state = {"fired": False}
+
+    def claim_then_retrain(path):
+        if not state["fired"]:
+            state["fired"] = True
+            annindex.rebuild_ann_index(spark, idx, iters=2, sample_rate=1.0)
+        return real_claim(path)
+
+    monkeypatch.setattr(incremental, "_claim_generation", claim_then_retrain)
+    with _pytest.raises(RuntimeError, match="model epoch changed"):
+        annindex.append_ann_index(spark, inc, idx, "odd")
+    monkeypatch.undo()
+
+    # nothing half-landed: the increment is NOT in the ledger, the
+    # orphaned stale-assignment dir is invisible, and the retry commits
+    # a re-assignment under the NEW model
+    man = annindex._load_ann_manifest(idx)
+    assert "odd" not in {g.get("increment_id") for g in man["generations"]}
+    assert annindex.append_ann_index(spark, inc, idx, "odd") is True
+    _, new_model = annindex.load_ann_model(idx)
+    scratch = str(tmp_path / "scratch")
+    annindex.build_ann_index(corpus, scratch, 64, model=new_model)
+    got = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    want = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, scratch, 5, 2).collect())
+    )
+    assert got == want and got
+
+
+def test_drift_flag_survives_compaction(spark, tmp_path):
+    """Round-11 verdict task 3: compaction must not erase the drift
+    history. A small shifted increment trips rebuild_recommended; folding
+    it into the (much larger, well-fitted) base would dilute a naive
+    overall recompute below threshold — the folded generation's
+    carried_max_drift_msd keeps the flag raised until a RETRAIN resets
+    the baseline."""
+    corpus, queries = _corpus_queries(spark)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(base, idx, 64, cells=8, iters=2, sample_rate=1.0)
+
+    # calibrate the shift to land the increment's ratio around ~6x the
+    # baseline (64*s^2 extra squared distance per vector): far enough to
+    # trip the flag, near enough that 10 shifted rows folded into ~250
+    # base rows genuinely dilute the overall recompute below threshold
+    baseline = annindex._load_ann_manifest(idx)["baseline_msd"]
+    s = (5.0 * baseline / 64.0) ** 0.5
+    shifted = (
+        corpus.filter(F.col("vec_id") % 2 == 1)
+        .limit(10)
+        .select(
+            (F.col("vec_id") + 500_000).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, x -> CAST(x + {s} AS FLOAT))"
+            ).alias("embedding"),
+        )
+    )
+    annindex.append_ann_index(spark, shifted, idx, "shifted")
+    assert annindex.ann_drift_report(idx)["rebuild_recommended"] is True
+
+    before = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    annindex.compact_ann_index(spark, idx)
+    # queries unchanged (pure rewrite) AND the flag still raised
+    after = sorted(
+        map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())
+    )
+    assert after == before
+    rep = annindex.ann_drift_report(idx)
+    assert rep["rebuild_recommended"] is True
+    (fold,) = rep["generations"]
+    assert fold["drift_msd"] is not None  # fresh overall recompute
+    assert fold["carried_max_drift_msd"] is not None
+    # the dilution scenario is REAL here (the naive overall stays under
+    # threshold) — the carried max is what keeps the signal alive
+    assert fold["ratio"] < annindex.DRIFT_REBUILD_RATIO
+
+    # a second fold keeps carrying it; only the retrain clears it
+    annindex.append_ann_index(
+        spark,
+        corpus.filter(F.col("vec_id") % 2 == 1).limit(5),
+        idx,
+        "tiny-clean",
+    )
+    annindex.compact_ann_index(spark, idx)
+    assert annindex.ann_drift_report(idx)["rebuild_recommended"] is True
+    annindex.rebuild_ann_index(spark, idx, iters=2, sample_rate=1.0)
+    assert annindex.ann_drift_report(idx)["rebuild_recommended"] is False

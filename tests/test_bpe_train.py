@@ -176,3 +176,67 @@ def test_greedy_leftmost_run_semantics(spark):
     assert merges == [("a", "a", 3)]  # aaa contributes 2 (overlapping), aa 1
     rows = {r["text"]: list(r["tokens"]) for r in apply_bpe_merges(df, merges).collect()}
     assert rows["aaa aa"] == ["aa", "a", "aa"]
+
+
+def test_join_back_apply_matches_chained(spark):
+    """Round-11 verdict task 2: the depth-bounded join-back tokenization
+    (fold distinct words, join arrays back, flatten in word order) is
+    row-identical to the chained per-occurrence fold — with and without
+    a caller-supplied row key, including empty/whitespace-only rows."""
+    texts = TEXTS + ["", "   ", "aaa aaa aaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, _ = _ref_bpe(TEXTS, 6)
+    chained = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in apply_bpe_merges(df, merges, via_word_table=False).collect()
+    }
+    for rid in ("doc_id", None):
+        jb = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+            for r in apply_bpe_merges(
+                df, merges, via_word_table=True, row_id_col=rid
+            ).collect()
+        }
+        assert jb == chained
+    # column contract preserved (original cols..., tokens, n_tokens)
+    out = apply_bpe_merges(df, merges, via_word_table=True)
+    assert out.columns == ["doc_id", "text", "tokens", "n_tokens"]
+
+
+def test_auto_route_and_deep_fold_checkpointing(spark):
+    """At/above DEEP_APPLY_THRESHOLD merges the apply auto-routes to the
+    join-back spelling, and the chunked word-table fold (checkpoint
+    truncation) changes nothing about the result."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.bpetrain import (
+        DEEP_APPLY_THRESHOLD,
+        apply_merges_to_word_table,
+        word_symbol_table,
+    )
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    # synthesize a deep merge table: real merges then inert ones (pairs
+    # that never occur) to cross the threshold without changing tokens
+    merges, _ = _ref_bpe(TEXTS, 6)
+    deep = merges + [(f"Z{i}", f"Y{i}", 1) for i in range(DEEP_APPLY_THRESHOLD)]
+    shallow_out = {
+        (r["text"], tuple(r["tokens"]), r["n_tokens"])
+        for r in apply_bpe_merges(df, merges, via_word_table=False).collect()
+    }
+    deep_out = {
+        (r["text"], tuple(r["tokens"]), r["n_tokens"])
+        for r in apply_bpe_merges(df, deep).collect()  # auto-routes
+    }
+    assert deep_out == shallow_out
+    # chunked vs unchunked distinct-word fold parity
+    words = word_symbol_table(df)
+    a = {
+        (r["word"], tuple(r["syms"]))
+        for r in apply_merges_to_word_table(words, deep, checkpoint_every=8).collect()
+    }
+    b = {
+        (r["word"], tuple(r["syms"]))
+        for r in apply_merges_to_word_table(words, deep, checkpoint_every=None).collect()
+    }
+    assert a == b
