@@ -348,6 +348,285 @@ def a0g_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Index-served hybrid retrieval (round 11): both legs from PERSISTED
+# indexes — the lexical index's bucket-pruned postings and the ANN
+# index's cell-pruned vectors. The oracles mirror the exact routing:
+# the BM25 CTEs from a0g plus the trained-IVF CTE machinery the
+# a0e/a0f/a0g ANN oracles already hash-match (full-corpus model:
+# deterministic init, 2 Lloyd iterations, ROUND(avg, 6) centroids).
+# ---------------------------------------------------------------------------
+
+# one WITH-clause body shared by both index-served oracles: corpus c,
+# k-means iterations, full assignment fa (identical text to the proven
+# _IVF_TRAINED_ORACLE in harness/similarity.py — imported helpers keep
+# the two spellings in lockstep)
+def _ivf_model_duck() -> str:
+    from .similarity import _IVF_K, _ivf_dist_duck, _ivf_iter_duck
+
+    return f"""
+    c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    init AS (
+      SELECT cell, e AS ce FROM (
+        SELECT vec_id % {_IVF_K} AS cell, e,
+               row_number() OVER (PARTITION BY vec_id % {_IVF_K} ORDER BY vec_id) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    {_ivf_iter_duck('init', 1)},
+    {_ivf_iter_duck('cent1', 2)},
+    fa AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT c.vec_id, c.e, i.cell, {_ivf_dist_duck('c.e', 'i.ce')} AS dist,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_ivf_dist_duck('c.e', 'i.ce')}, i.cell) AS rn
+        FROM c CROSS JOIN cent2 i) WHERE rn = 1
+    )"""
+
+
+_BM25_LEG_DUCK = f"""
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)"""
+
+
+def _a0h_from_index_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    return f"""
+    WITH {_BM25_LEG_DUCK},
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {_HYBRID_DEPTH}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+      FROM bm
+    ),
+    {_ivf_model_duck()},
+    hq AS (SELECT e AS qe FROM c WHERE vec_id = {_HYBRID_QUERY_ID}),
+    qp AS (
+      SELECT cell FROM (
+        SELECT i.cell,
+               row_number() OVER (ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM hq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT fa.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell CROSS JOIN hq q
+      WHERE fa.vec_id <> {_HYBRID_QUERY_ID}
+    ),
+    vecr AS (
+      SELECT doc_id, ann_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS ann_rank
+        FROM vs) WHERE ann_rank <= {_HYBRID_DEPTH}
+    )
+    SELECT doc_id,
+           CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+           CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+           ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                 + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+               AS rrf_score
+    FROM lex FULL OUTER JOIN vecr USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+def _hybrid_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once caches for the two serving indexes. The ANN cache uses
+    the SAME tag/closure as a0e_ann_index_query, so the two queries
+    literally share one stored index."""
+    from ..operators.annindex import build_ann_index
+    from ..operators.lexindex import build_lexical_index
+    from .dedup import _ensure_cached_index
+    from .similarity import _IVF_K, _sim_queries
+
+    corpus, _ = _sim_queries(spark, sf_dir)
+
+    def _build_ann(stage: str) -> None:
+        build_ann_index(corpus, stage, 64, cells=_IVF_K, iters=2, sample_rate=1.0)
+
+    ann = _ensure_cached_index(
+        sf_dir, "annivf", _build_ann, table="embeddings.parquet"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build_lex(stage: str) -> None:
+        build_lexical_index(docs, stage)
+
+    lex = _ensure_cached_index(
+        sf_dir, "lexbm25", _build_lex, table="documents.parquet"
+    )
+    return lex, ann
+
+
+@register("a0h_hybrid_from_index", _a0h_from_index_oracle())
+def a0h_hybrid_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED FROM THE PERSISTED INDEXES (round-11
+    verdict task 1): where a0g_hybrid_search_rrf re-scans the corpus on
+    both legs per query, this probes the stored BM25 postings (term-
+    bucket partition pruning — no corpus token scan; plan pinned in
+    tests/test_plans_round11.py) and the stored IVF index (cell
+    pruning), then fuses by the same RRF arithmetic. The oracle mirrors
+    the EXACT routing — BM25 ranks to depth, IVF probes the same nprobe
+    cells under the bit-reproducible full-corpus k-means model the
+    a0e/a0f/a0g ANN oracles already pin — so ranks AND scores hash-match
+    exactly, not approximately."""
+    from ..operators.lexindex import hybrid_topk_rrf_from_index
+    from .similarity import _IVF_NPROBE
+
+    lex, ann = _hybrid_indexes(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _HYBRID_QUERY_ID)
+    out = hybrid_topk_rrf_from_index(
+        spark,
+        lex,
+        ann,
+        list(_BM25_TERMS),
+        q,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        nprobe=_IVF_NPROBE,
+        rrf_k=_HYBRID_RRF_K,
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    )
+
+
+_MULTI_QUERIES: dict[int, tuple[str, ...]] = {
+    3: ("filter", "vector"),
+    7: ("join", "filter", "vector"),
+}
+
+
+def _a0h_multi_query_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    qt_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts
+    )
+    qids = ", ".join(str(q) for q in sorted(_MULTI_QUERIES))
+    return f"""
+    WITH qt(query_id, term) AS (VALUES {qt_rows}),
+    {_BM25_LEG_DUCK},
+    bm AS (
+      SELECT qt.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, bm25_rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM bm) WHERE bm25_rank <= {_HYBRID_DEPTH}
+    ),
+    {_ivf_model_duck()},
+    qq AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id IN ({qids})),
+    qp AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, i.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM qq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT qp.query_id, fa.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> qp.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell
+      WHERE fa.vec_id <> qp.query_id
+    ),
+    vecr AS (
+      SELECT query_id, doc_id, ann_rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS ann_rank
+        FROM vs) WHERE ann_rank <= {_HYBRID_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+             CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+             ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                   + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+                 AS rrf_score
+      FROM lex FULL OUTER JOIN vecr USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, bm25_rank, ann_rank, rrf_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rk
+      FROM fused) WHERE rk <= 10
+    ORDER BY query_id, rrf_score DESC, doc_id
+    """
+
+
+@register("a0h_hybrid_multi_query", _a0h_multi_query_oracle())
+def a0h_hybrid_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries hybrid retrieval (round-11 verdict task 7,
+    operators/lexindex.hybrid_topk_rrf_batch): a queries DataFrame in —
+    two queries with DIFFERENT term lists here — per-query fused top-k
+    out, both legs from the persisted indexes, rank windows partitioned
+    by query_id. The BM25 leg still shuffles at most |batch terms| rows
+    per doc (df computed once over the pruned postings, not per query);
+    the vector leg is one multi-query IVF probe."""
+    from ..operators.lexindex import hybrid_topk_rrf_batch
+    from .similarity import _IVF_NPROBE
+
+    lex, ann = _hybrid_indexes(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
+        "query_id bigint, term string",
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id").isin(list(_MULTI_QUERIES)))
+    out = hybrid_topk_rrf_batch(
+        spark,
+        lex,
+        ann,
+        qt,
+        qv,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        nprobe=_IVF_NPROBE,
+        rrf_k=_HYBRID_RRF_K,
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    ).orderBy("query_id", F.col("rrf_score").desc(), "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------
 

@@ -678,15 +678,19 @@ def append_to_index(
         sh.unpersist()
 
 
-def compact_index(spark, path: str) -> int:
-    """Fold all committed generations into ONE — the maintenance step
-    that completes the index lifecycle (build -> append* -> compact).
-    Nightly appends accumulate one generation per increment; probes union
-    every generation's artifacts, so a year of appends means ~365 scans
-    per probe plus dead postings (grams that crossed the df-cap keep
-    their pre-crossing postings on disk, excluded only by the ledger
+def compact_index(
+    spark, path: str, max_generations_to_fold: int | None = None
+) -> int:
+    """Fold committed generations — the maintenance step that completes
+    the index lifecycle (build -> append* -> compact). Nightly appends
+    accumulate one generation per increment; probes union every
+    generation's artifacts, so a year of appends means ~365 scans per
+    probe plus dead postings (grams that crossed the df-cap keep their
+    pre-crossing postings on disk, excluded only by the ledger
     anti-join). Compaction rewrites the index FROM THE INDEX — no base
-    text is ever re-shingled:
+    text is ever re-shingled.
+
+    **Full fold** (``max_generations_to_fold=None``, the default):
 
     - hashes / sizes: unions of the generations;
     - gramdf: per-gram SUM across generations (the true cumulative df);
@@ -694,19 +698,41 @@ def compact_index(spark, path: str) -> int:
     - grams: union of postings with capped grams' dead postings
       PHYSICALLY dropped.
 
-    Probe-parity is exact: a compacted index answers identically to the
-    multi-generation one (and to a rebuild). Commit discipline matches
-    append: the folded artifacts land in a FRESH generation number and
-    the atomic manifest replace flips the generation list to just that
-    one. The OLD generation dirs are deliberately left on disk — an
-    in-flight reader that loaded the pre-flip manifest (e.g. a stream
-    probe mid-scan) is still reading them, so deleting here would fail
-    it with FileNotFound mid-query. They are now unlisted (no new reader
-    opens them) and ``vacuum_index``'s age-based sweep removes them once
-    older than the vacuum horizon — the same reader-grace discipline as
-    sinks.vacuum_versions. Returns the new generation number. Applied
-    increment_ids are preserved in the manifest under
-    ``compacted_increments`` so append idempotence survives compaction."""
+    **Tiered fold** (``max_generations_to_fold=K``, round-11 verdict
+    task 5): a full fold rewrites the WHOLE index — measured 97.5 s at
+    g64/sf0.1 vs the ANN fold's 6.3 s (SCALE_STRESS.json) — so at 100 TB
+    the nightly maintenance window would grow with INDEX size. Folding
+    only the NEWEST ``K`` listed generations (the small nightly
+    increments, LSM-style) bounds the fold by recent-increment volume;
+    repeated nightly folds geometrically merge older tiers because the
+    previous fold is itself the newest listed generation next time.
+    The partial fold is a pure rewrite of the folded slice:
+
+    - hashes / sizes / gramdf: unions/sums of the FOLDED generations
+      only (per-generation partial dfs stay partial — their total is
+      unchanged, which is all appends' cumulative-df lookup reads);
+    - capped: the folded generations' ledger entries are PRESERVED
+      verbatim (a crossing recorded there still excludes older,
+      unfolded generations' physically-present postings — recomputing
+      from the folded slice alone would lose that);
+    - grams: folded postings minus the GLOBAL capped set (physically
+      dropping rows every probe anti-joins away is free parity-wise).
+
+    Probe-parity is exact in both modes: the folded index answers
+    identically to the pre-fold one (and the full fold to a rebuild).
+    Commit discipline matches append: the folded artifacts land in a
+    FRESH generation number and the atomic manifest replace flips the
+    folded entries to just that one (unfolded entries keep their place,
+    order preserved). The OLD generation dirs are deliberately left on
+    disk — an in-flight reader that loaded the pre-flip manifest (e.g.
+    a stream probe mid-scan) is still reading them, so deleting here
+    would fail it with FileNotFound mid-query. They are now unlisted
+    (no new reader opens them) and ``vacuum_index``'s age-based sweep
+    removes them once older than the vacuum horizon — the same
+    reader-grace discipline as sinks.vacuum_versions. Returns the new
+    generation number. Applied increment_ids are preserved in the
+    manifest under ``compacted_increments`` so append idempotence
+    survives compaction."""
     import os
 
     man = _load_manifest(path)
@@ -716,24 +742,45 @@ def compact_index(spark, path: str) -> int:
             "with build_base_index (compaction is a no-op for single-"
             "generation indexes)"
         )
+    if max_generations_to_fold is not None and max_generations_to_fold < 2:
+        raise ValueError("max_generations_to_fold must be >= 2 (a 1-fold is a no-op rewrite)")
     max_df = man["max_df"]
     old_gens = [g["gen"] for g in man["generations"]]
+    entries = list(man["generations"])
+    full = (
+        max_generations_to_fold is None
+        or max_generations_to_fold >= len(entries)
+    )
+    fold_entries = entries if full else entries[-max_generations_to_fold:]
+    keep_entries = [] if full else entries[: -max_generations_to_fold]
+    fold_man = {"version": 2, "generations": fold_entries}
     gen = _claim_generation(path)
 
-    hashes = _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA)
-    sizes = _read_artifact(spark, path, "sizes", man, _SIZES_SCHEMA)
+    hashes = _read_artifact(spark, path, "hashes", fold_man, _HASHES_SCHEMA)
+    sizes = _read_artifact(spark, path, "sizes", fold_man, _SIZES_SCHEMA)
     gramdf = (
-        _read_artifact(spark, path, "gramdf", man, _GRAMDF_SCHEMA)
+        _read_artifact(spark, path, "gramdf", fold_man, _GRAMDF_SCHEMA)
         .groupBy("g", "gb")
         .agg(F.sum("df").alias("df"))
         .select("g", "df", "gb")
     )
-    grams = _read_artifact(spark, path, "grams", man, _GRAMS_SCHEMA)
-    if max_df is not None:
-        capped = gramdf.filter(F.col("df") > max_df).select("g")
-        grams = grams.join(F.broadcast(capped), "g", "left_anti")
+    grams = _read_artifact(spark, path, "grams", fold_man, _GRAMS_SCHEMA)
+    if full:
+        if max_df is not None:
+            capped = gramdf.filter(F.col("df") > max_df).select("g")
+            grams = grams.join(F.broadcast(capped), "g", "left_anti")
+        else:
+            capped = gramdf.filter(F.lit(False)).select("g")
     else:
-        capped = gramdf.filter(F.lit(False)).select("g")
+        # preserve the folded slice's ledger; drop postings dead under
+        # the GLOBAL ledger (safe: probes anti-join the global union)
+        capped = _read_artifact(
+            spark, path, "capped", fold_man, _CAPPED_SCHEMA
+        ).distinct()
+        global_capped = _read_artifact(
+            spark, path, "capped", man, _CAPPED_SCHEMA
+        )
+        grams = grams.join(F.broadcast(global_capped), "g", "left_anti")
     _write_generation(
         path,
         gen,
@@ -745,7 +792,7 @@ def compact_index(spark, path: str) -> int:
     )
     applied = [
         g["increment_id"]
-        for g in man["generations"]
+        for g in fold_entries
         if g.get("increment_id") is not None
     ]
     with _manifest_lock(path):
@@ -761,7 +808,9 @@ def compact_index(spark, path: str) -> int:
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )
-        cur["generations"] = [{"gen": gen, "increment_id": None}]
+        cur["generations"] = keep_entries + [
+            {"gen": gen, "increment_id": None}
+        ]
         _write_manifest(path, cur)
     try:
         os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))

@@ -1,0 +1,493 @@
+"""Persisted inverted (BM25) lexical index — the LEXICAL twin of the
+text dedup index (operators/incremental.py) and the ANN index
+(operators/annindex.py), completing the round-10 retrieval work: the
+scan-based ``retrieval.bm25_topk`` re-explodes every document's tokens
+per query, so one query costs a corpus scan; a query SERVICE builds the
+postings ONCE and every probe reads only the term buckets the query
+names.
+
+Layout under ``path`` (same generational manifest/claim/flock
+discipline as the sibling indexes — immutable ``gen=N`` dirs, atomic
+manifest replace as the one commit point, crash orphans invisible,
+``increment_id`` replays committed no-ops, shared ``vacuum_index``):
+
+- ``postings/gen=N`` — one row per (term, doc) pair: ``(term, doc_id,
+  tf, dl)``, hive-partitioned by ``tb = pmod(xxhash64(term),
+  TERM_BUCKETS)``. The document length ``dl`` is DENORMALIZED onto
+  every posting (one extra int) so the probe never touches a
+  corpus-sized doc-length table — everything BM25 needs for a matched
+  doc rides in the pruned partitions.
+- ``_MANIFEST.json`` — per-generation corpus stats ``{n_docs, sum_dl}``
+  (tiny driver-side integers): N and avgdl come from summing manifest
+  entries, zero scan. ``df`` per term is counted over the PRUNED
+  postings at probe time — BM25 only ever needs df for the query's own
+  terms, so a separate df artifact would buy nothing.
+
+Probe cost at 100 TB: |query terms| bucket partitions of the postings
+(≤ terms/TERM_BUCKETS of the index, and a targeted probe's terms have
+bounded df), one window + one aggregate over matched rows, TakeOrdered
+for top-k. No corpus scan, no doc-length join, no full-vocabulary
+anything. Score parity with ``retrieval.bm25_topk`` is EXACT (same
+integer tf/df/dl, same manifest-exact avgdl = sum/count, same
+round-4 discipline) — pinned by tests/test_lexindex.py and the
+``a0h_hybrid_from_index`` oracle.
+
+Tokenization contract: whitespace split, empty tokens dropped from the
+postings but COUNTED in ``dl`` (``size(split(text, ' '))``) — exactly
+``bm25_topk``'s accounting, so the two spellings rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .incremental import (
+    _claim_generation,
+    _manifest_lock,
+)
+
+TERM_BUCKETS = 64
+_MANIFEST = "_MANIFEST.json"
+
+_POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl int, tb int"
+
+
+def _tb(col: str):
+    return F.pmod(F.xxhash64(col), F.lit(TERM_BUCKETS)).cast("int")
+
+
+def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf, dl, tb) for one corpus slice — one explode +
+    one partially-aggregated (doc, term) shuffle; dl is computed map-side
+    BEFORE the explode so it rides the shuffle as a grouping column
+    instead of needing a join back."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ", -1)).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", F.col("dl").cast("int").alias("dl"), _tb("term").alias("tb"))
+    )
+
+
+def _corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) — one tiny aggregate, single-row collect (the
+    same bounded-gate class as the quality gates)."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.col(text_col), " ", -1))).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def _write_postings_gen(postings: DataFrame, path: str, gen: int) -> None:
+    import os
+
+    (
+        postings.repartition(TERM_BUCKETS, F.col("tb"))
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(path, "postings", f"gen={gen}"))
+    )
+
+
+def _write_lex_manifest(path: str, man: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def _load_lex_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def build_lexical_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Tokenize and invert ``docs`` ONCE; persist postings as generation
+    0 of an appendable index. One corpus pass for the postings, one tiny
+    aggregate for the stats; the manifest replace is the commit point."""
+    _write_postings_gen(_postings_of(docs, id_col, text_col), path, 0)
+    n_docs, sum_dl = _corpus_stats(docs, text_col)
+    _write_lex_manifest(
+        path,
+        {
+            # version 2 = the shared generational layout contract: the
+            # cross-index vacuum treats <2 as a flat pre-append layout
+            # and skips it, and this index is generational from birth
+            "version": 2,
+            "term_buckets": TERM_BUCKETS,
+            "generations": [
+                {
+                    "gen": 0,
+                    "increment_id": None,
+                    "n_docs": n_docs,
+                    "sum_dl": sum_dl,
+                }
+            ],
+        },
+    )
+
+
+def append_lexical_index(
+    spark,
+    increment: DataFrame,
+    path: str,
+    increment_id: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Extend the index with newly merged documents WITHOUT touching the
+    existing postings — the nightly-loop step, same contract as the
+    sibling indexes: cost tracks increment size; the new postings land
+    as an immutable generation committed by one atomic manifest replace;
+    ``increment_id`` replays are committed no-ops (returns False);
+    concurrent appenders claim distinct generation numbers and the
+    locked commit drops neither. Corpus stats ride the generation entry,
+    so N/avgdl stay exact without any rescan."""
+    import os
+
+    man = _load_lex_manifest(path)
+    applied = {
+        g.get("increment_id") for g in man["generations"]
+    } | set(man.get("compacted_increments", []))
+    if increment_id is not None and increment_id in applied:
+        return False
+    if increment.limit(1).count() == 0:
+        return False
+    gen = _claim_generation(path)
+    _write_postings_gen(_postings_of(increment, id_col, text_col), path, gen)
+    n_docs, sum_dl = _corpus_stats(increment, text_col)
+    from .incremental import _GENCLAIM_PREFIX
+
+    with _manifest_lock(path):
+        cur = _load_lex_manifest(path)
+        applied_now = {
+            g.get("increment_id") for g in cur["generations"]
+        } | set(cur.get("compacted_increments", []))
+        if increment_id is not None and increment_id in applied_now:
+            try:
+                os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+            except OSError:
+                pass
+            return False
+        if any(g["gen"] == gen for g in cur["generations"]):
+            raise RuntimeError(
+                f"generation {gen} already committed at {path}; "
+                "claim was lost mid-append — retry the append"
+            )
+        cur["generations"].append(
+            {
+                "gen": gen,
+                "increment_id": increment_id,
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+            }
+        )
+        _write_lex_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
+    return True
+
+
+def compact_lexical_index(spark, path: str) -> int:
+    """Fold all committed posting generations into ONE scan — same
+    discipline as the sibling compactors: fresh claimed generation,
+    artifacts first, locked flip, abort if a concurrent append landed,
+    old dirs left for in-flight readers (vacuum_index sweeps them),
+    applied increment_ids preserved under ``compacted_increments``.
+    Postings are immutable facts (a doc's tf/dl never change), so the
+    fold is a pure rewrite — probe-after == probe-before."""
+    import os
+
+    from .incremental import _GENCLAIM_PREFIX
+
+    man = _load_lex_manifest(path)
+    old_gens = [g["gen"] for g in man["generations"]]
+    n_docs = sum(int(g["n_docs"]) for g in man["generations"])
+    sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
+    gen = _claim_generation(path)
+    _write_postings_gen(_read_postings(spark, path, man), path, gen)
+    applied = [
+        g["increment_id"]
+        for g in man["generations"]
+        if g.get("increment_id") is not None
+    ]
+    with _manifest_lock(path):
+        cur = _load_lex_manifest(path)
+        if {g["gen"] for g in cur["generations"]} != set(old_gens):
+            raise RuntimeError(
+                f"concurrent append landed during compaction of {path}; "
+                "re-run compact_lexical_index"
+            )
+        cur["compacted_increments"] = sorted(
+            set(cur.get("compacted_increments", [])) | set(applied)
+        )
+        cur["generations"] = [
+            {
+                "gen": gen,
+                "increment_id": None,
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+            }
+        ]
+        _write_lex_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
+    return gen
+
+
+def _read_postings(spark, path: str, man: dict) -> DataFrame:
+    """Union of the committed posting generations (manifest-listed only;
+    crash orphans invisible). Explicit schema so an empty generation
+    reads as zero rows; ``tb`` resolves from the partition dirs."""
+    import os
+
+    out = None
+    for g in man["generations"]:
+        d = os.path.join(path, "postings", f"gen={g['gen']}")
+        part = (
+            spark.read.schema(_POSTINGS_SCHEMA)
+            .option("basePath", d)
+            .parquet(d)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``retrieval.bm25_topk`` served from the stored postings — result-
+    identical (same schema (doc_id, n_terms, score), same integer
+    inputs, same rounding), but the only data read is the ≤|terms|
+    bucket partitions the query's terms hash into (static partition
+    pruning from a driver-side bucket list computed over the TERMS, not
+    the corpus) — per-query cost tracks matched-postings size, never
+    corpus size. N/avgdl come from the manifest's per-generation stats;
+    df per query term is a count-window over the pruned postings."""
+    man = _load_lex_manifest(path)
+    n_docs = sum(int(g["n_docs"]) for g in man["generations"])
+    sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
+    if n_docs == 0:
+        raise ValueError(f"lexical index at {path} is empty")
+    # exactly Spark's avg-of-int semantics (sum/count in double), which
+    # is also what the scan-based bm25_topk and the DuckDB oracle compute
+    avgdl = float(sum_dl) / float(n_docs)
+    nb = int(man.get("term_buckets", TERM_BUCKETS))
+    # bucket list from the query terms themselves — a len(terms)-row
+    # local job, not a corpus job (xxhash64 must match the writer's, so
+    # it is computed BY Spark, not reimplemented driver-side)
+    tq = spark.createDataFrame([(t,) for t in terms], "term string")
+    tbs = [r["tb"] for r in tq.select(_tb("term").alias("tb")).distinct().collect()]
+    post = _read_postings(spark, path, man)
+    if len(tbs) < nb:
+        post = post.filter(F.col("tb").isin(tbs))
+    post = post.filter(F.col("term").isin(list(terms)))
+    tfdf = post.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tfdf.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(idf * norm), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_topk_rrf_from_index(
+    spark,
+    lex_path: str,
+    ann_path: str,
+    terms: list[str],
+    query: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    nprobe: int = 3,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """``retrieval.hybrid_topk_rrf`` in its SERVING shape (round-11
+    verdict task 1): the BM25 leg probes the persisted lexical index
+    (bucket-pruned postings — no corpus token scan) and the vector leg
+    probes the persisted IVF index (cell-pruned vectors — no full
+    embedding scan); the legs rank to ``depth`` and fuse by Reciprocal
+    Rank Fusion exactly as the scan-based spelling. Per-query cost
+    tracks matched postings + probed cells — independent of corpus
+    size, the build-once-serve-many shape the other indexes already
+    have.
+
+    ``query`` is a 1-row (vec_id, embedding) frame (its vec_id is
+    excluded from the vector leg, matching hybrid_topk_rrf). The vector
+    leg is IVF-approximate at ``nprobe`` < cells — rank parity with the
+    brute-force leg holds whenever the true top-``depth`` lives in the
+    probed cells (the a0h oracle mirrors the IVF routing exactly, so
+    the parity pinned there is EXACT, not approximate).
+
+    Returns (doc_id, bm25_rank, ann_rank, rrf_score) — top ``k`` by
+    (rrf_score desc, doc_id); absent-leg ranks are NULL."""
+    from .annindex import query_ann_index
+
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        bm25_topk_from_index(spark, lex_path, terms, k=depth)
+        .withColumn("bm25_rank", F.row_number().over(w_lex))
+        .select("doc_id", "bm25_rank")
+    )
+    # the stored probe already ranks with the index's tie discipline
+    # (row_number over unrounded score desc, neighbor_id) — reuse it
+    vec = query_ann_index(spark, query, ann_path, k=depth, nprobe=nprobe).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("ann_rank")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("ann_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "ann_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def hybrid_topk_rrf_batch(
+    spark,
+    lex_path: str,
+    ann_path: str,
+    query_terms: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    nprobe: int = 3,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch-of-queries hybrid retrieval (round-11 verdict task 7) — the
+    serving shape: a QUERIES DataFrame in, per-query fused top-k out,
+    both legs from the persisted indexes.
+
+    ``query_terms``: (query_id, term) — one row per query keyword.
+    ``query_vecs``: (vec_id, embedding) — the queries' vectors
+    (vec_id == query_id; each query's own vec_id is excluded from its
+    vector leg, as in the single-query spelling).
+
+    Leg shapes: the BM25 leg prunes the postings to the UNION of the
+    batch's term buckets (one driver-side collect of the distinct query
+    terms — bounded by the batch's own vocabulary, the same gate class
+    as the single-query bucket list), computes per-term df ONCE over the
+    pruned postings (df is a corpus fact, not a per-query one — joining
+    queries first would double-count docs for shared terms), scores per
+    (query_id, doc) and ranks to ``depth`` with a window PARTITIONED BY
+    query_id. The vector leg is one ``query_ann_index`` batch probe —
+    cell-pruned to the union of the batch's probe lists. Fusion is a
+    per-(query_id, doc_id) full outer join over ≤ 2·depth rows per
+    query. Nothing anywhere scales with corpus size beyond the matched
+    postings and probed cells.
+
+    Returns (query_id, doc_id, bm25_rank, ann_rank, rrf_score) — top
+    ``k`` per query by (rrf_score desc, doc_id); absent-leg ranks NULL."""
+    from .annindex import query_ann_index
+
+    man = _load_lex_manifest(lex_path)
+    n_docs = sum(int(g["n_docs"]) for g in man["generations"])
+    sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
+    if n_docs == 0:
+        raise ValueError(f"lexical index at {lex_path} is empty")
+    avgdl = float(sum_dl) / float(n_docs)
+    nb = int(man.get("term_buckets", TERM_BUCKETS))
+    terms = [
+        r["term"]
+        for r in query_terms.select("term").distinct().collect()
+    ]
+    tq = spark.createDataFrame([(t,) for t in terms], "term string")
+    tbs = [
+        r["tb"] for r in tq.select(_tb("term").alias("tb")).distinct().collect()
+    ]
+    post = _read_postings(spark, lex_path, man)
+    if len(tbs) < nb:
+        post = post.filter(F.col("tb").isin(tbs))
+    post = post.filter(F.col("term").isin(terms))
+    dfx = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        query_terms.select("query_id", "term")
+        .join(post, "term")
+        .join(F.broadcast(dfx), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * norm), 4).alias("score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    lex = (
+        scored.withColumn("bm25_rank", F.row_number().over(w_lex))
+        .filter(F.col("bm25_rank") <= depth)
+        .select("query_id", "doc_id", "bm25_rank")
+    )
+    vec = query_ann_index(
+        spark, query_vecs, ann_path, k=depth, nprobe=nprobe
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("ann_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("ann_rank")), F.lit(0.0)),
+        6,
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id", "doc_id", "bm25_rank", "ann_rank", rrf.alias("rrf_score")
+        )
+        .withColumn("rk", F.row_number().over(w_fused))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -144,6 +144,7 @@ def run_nightly_loop(
     threshold: float = 0.8,
     compact_every: int | None = None,
     vacuum_min_age_seconds: float | None = None,
+    max_generations_to_fold: int | None = None,
 ) -> dict:
     """One iteration of the FULL nightly dedup loop — the composition
     tests/test_nightly_loop.py drives by hand, as one idempotent call:
@@ -176,6 +177,14 @@ def run_nightly_loop(
     the compact boundary still skips every absorbed epoch, and a crash
     DURING compaction leaves an orphan fold no reader sees (the next
     loop call simply compacts again).
+
+    ``max_generations_to_fold`` bounds the policy's maintenance window
+    (round-11 verdict task 5): a full fold rewrites the whole index —
+    at 100 TB that grows with INDEX size — while folding only the
+    newest K generations (LSM-style; the previous fold is itself the
+    newest generation next time, so tiers merge geometrically) costs
+    recent-increment volume. Probe parity is exact either way
+    (compact_index's contract). None = full fold.
 
     ``vacuum_min_age_seconds`` completes the hygiene side: after the
     merges (and any compaction), ``vacuum_index`` sweeps generation
@@ -270,7 +279,9 @@ def run_nightly_loop(
         compact_every is not None
         and len(_load_manifest(index_path)["generations"]) >= compact_every
     ):
-        compacted = compact_index(spark, index_path)
+        compacted = compact_index(
+            spark, index_path, max_generations_to_fold=max_generations_to_fold
+        )
     vacuumed: list[str] = []
     if vacuum_min_age_seconds is not None:
         vacuumed = vacuum_index(index_path, vacuum_min_age_seconds)

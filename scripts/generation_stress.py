@@ -125,9 +125,27 @@ def main() -> None:
         ann_rows[f"g{n}"] = {"probe_sec": sec}
         print(f"ann g{n}: probe {sec}s", file=sys.stderr)
 
+    # tiered folds (round-11 verdict task 5): the nightly maintenance
+    # window under max_generations_to_fold=K vs the full rewrite — each
+    # K runs on a fresh copy of the 64-generation layout (compaction
+    # mutates the index), so the rows are directly comparable. Probe
+    # parity for partial folds is pinned by
+    # tests/test_index_append.py::test_tiered_fold_preserves_probes...;
+    # what's measured here is the WALL the policy pays per night.
+    t64 = os.path.join(root, "tidx_g64")
+    tiered: dict[str, float] = {}
+    for K in (4, 8, 16):
+        work = os.path.join(root, f"tidx_g64_k{K}")
+        shutil.copytree(t64, work)
+        t0 = time.perf_counter()
+        incremental.compact_index(spark, work, max_generations_to_fold=K)
+        tiered[f"fold_k{K}_sec"] = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(work, ignore_errors=True)
+        print(f"text g64 tiered K={K}: {tiered[f'fold_k{K}_sec']}s", file=sys.stderr)
+    text_rows["g64_tiered_fold"] = tiered
+
     # compaction folds the worst layout back to one generation — probe
     # cost must return to ~g1
-    t64 = os.path.join(root, "tidx_g64")
     t0 = time.perf_counter()
     incremental.compact_index(spark, t64)
     text_compact_sec = round(time.perf_counter() - t0, 2)

@@ -638,10 +638,124 @@ def _stress_bpe_delta_merges(
     }
 
 
+def _stress_lexindex_query(spark: SparkSession, path: str, n: int) -> dict:
+    """BM25 probe wall vs corpus size (round-11 verdict task 1): the
+    lexical index is built once per scale (off-clock, cached like the
+    dedup base index) and the SAME 3-term query probes it at every
+    scale. The replica word-tagging makes replica-0 vocabulary terms'
+    document frequency CONSTANT as the corpus grows — the targeted-probe
+    case, where the matched-postings volume is flat and so must be the
+    probe wall. The honest other side is also recorded: a query naming
+    a boilerplate term (shared untagged across replicas, df ~ linear in
+    N) pays for its own df growth — per-query cost tracks MATCHED
+    POSTINGS, which is the design claim, not magic."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lexindex import (
+        bm25_topk_from_index,
+        build_lexical_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    idx = os.path.join(path, "lex_index")
+    if not os.path.exists(os.path.join(idx, "_MANIFEST.json")):
+        t0 = time.time()
+        build_lexical_index(docs, idx)
+        print(
+            f"-- built lex index at {idx} in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    def _probe(terms):
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            bm25_topk_from_index(spark, idx, terms, k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            e = round(time.perf_counter() - start, 2)
+            best = e if best is None else min(best, e)
+        return best
+
+    flat = _probe(["join", "filter", "vector"])  # replica-0 terms, df flat
+    hot = _probe(["boilerplate", "footer", "shared"])  # df ~ linear in N
+    return {"sec": flat, "out_rows": 10, "hot_term_probe_sec": hot}
+
+
+def _deep_merge_table(depth: int) -> list[tuple[str, str, int]]:
+    """A deterministic well-formed merge table over the base-7-letter
+    vocabulary: for growing L, merge every length-L string's prefix with
+    its last letter (prefixes are merged before they are referenced) —
+    the apply path doesn't care how the table was trained, only how
+    DEEP it is."""
+    letters = "abcdefg"
+    merges: list[tuple[str, str, int]] = []
+    frontier = list(letters)
+    while len(merges) < depth:
+        nxt = []
+        for s in frontier:
+            for c in letters:
+                merges.append((s, c, 1))
+                nxt.append(s + c)
+                if len(merges) >= depth:
+                    return merges
+        frontier = nxt
+    return merges
+
+
+def _stress_bpe_deep_apply(spark: SparkSession, path: str, n: int) -> dict:
+    """Tokenization at REAL merge depth (round-11 verdict task 2): apply
+    a 1024-merge table to the synthetic real-vocabulary corpus
+    (100_000*n distinct words). The join-back spelling (distinct-word
+    fold + regroup) is the timed row; the chained per-occurrence
+    spelling is probed at shallower depths on a FIXED 1000-word corpus —
+    its cost there is pure plan analysis/codegen (data is negligible),
+    and the superlinear growth of those numbers is the measured
+    'unusable at 1024' evidence without hanging the harness."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.bpetrain import (
+        apply_bpe_merges,
+    )
+
+    vocab = 100_000 * n
+    words = spark.range(vocab).select(
+        F.expr(
+            "translate(conv(CAST(id AS STRING), 10, 7), '0123456', 'abcdefg')"
+        ).alias("text")
+    )
+    deep = _deep_merge_table(1024)
+    best = None
+    out_rows = 0
+    for _ in range(2):
+        start = time.perf_counter()
+        out_rows = (
+            apply_bpe_merges(words, deep)
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+        e = round(time.perf_counter() - start, 2)
+        best = e if best is None else min(best, e)
+    entry: dict = {"sec": best, "out_rows": int(out_rows), "merges": 1024}
+    if n == 1:  # depth curve is scale-independent; measure once
+        tiny = spark.range(1_000).select(
+            F.expr(
+                "translate(conv(CAST(id AS STRING), 10, 7), '0123456', 'abcdefg')"
+            ).alias("text")
+        )
+        for depth in (64, 128, 256):
+            start = time.perf_counter()
+            apply_bpe_merges(
+                tiny, _deep_merge_table(depth), via_word_table=False
+            ).agg(F.sum("n_tokens")).collect()
+            entry[f"chained_tiny_{depth}_sec"] = round(
+                time.perf_counter() - start, 2
+            )
+    return entry
+
+
 SIDE_OPS = {
     "index_append": _stress_index_append,
     "bpe_train": _stress_bpe_train,
     "bpe_delta_merges256": _stress_bpe_delta_merges,
+    "lexindex_query": _stress_lexindex_query,
+    "bpe_deep_apply": _stress_bpe_deep_apply,
 }
 
 

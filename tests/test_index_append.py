@@ -388,3 +388,73 @@ def test_same_increment_id_race_commits_exactly_once(spark, tmp_path):
     incremental.build_base_index(docs, rebuilt, max_df=MAX_DF)
     batch = _split(spark)[2]
     assert _probe_all(spark, batch, idx) == _probe_all(spark, batch, rebuilt)
+
+
+def test_tiered_fold_preserves_probes_and_ledger(spark, tmp_path):
+    """Round-11 verdict task 5: compact_index(max_generations_to_fold=K)
+    folds only the NEWEST K generations. Probe parity must hold exactly —
+    including for grams whose df-cap crossing is recorded in a FOLDED
+    generation's ledger while their dead postings live in an UNFOLDED
+    one (the case a recomputed ledger would get wrong) — and a second
+    tiered fold plus a final full fold must keep converging to the
+    rebuilt index."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    incs = [docs.filter(F.col("doc_id") % 4 == r) for r in (1, 2, 3)]
+    _, _, batch = _split(spark)
+
+    idx = str(tmp_path / "tiered")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    for i, inc in enumerate(incs):
+        assert incremental.append_to_index(spark, inc, idx, f"inc-{i}") is True
+    man = incremental._load_manifest(idx)
+    assert len(man["generations"]) == 4
+    # the scenario is only exercised if a later generation's ledger
+    # excludes earlier generations' postings
+    total_capped = sum(
+        spark.read.parquet(os.path.join(idx, "capped", f"gen={g['gen']}")).count()
+        for g in man["generations"][1:]
+    )
+    assert total_capped > 0, "fixture produced no cap crossings in appends"
+
+    before = _probe_all(spark, batch, idx)
+
+    # fold newest 2 (gens of inc-1, inc-2) -> [base, inc-0, fold]
+    incremental.compact_index(spark, idx, max_generations_to_fold=2)
+    man = incremental._load_manifest(idx)
+    assert len(man["generations"]) == 3
+    assert [g.get("increment_id") for g in man["generations"][:2]] == [
+        None,
+        "inc-0",
+    ]
+    assert set(man["compacted_increments"]) == {"inc-1", "inc-2"}
+    assert _probe_all(spark, batch, idx) == before
+
+    # replayed appends stay committed no-ops across the tiered fold
+    for i, inc in enumerate(incs):
+        assert incremental.append_to_index(spark, inc, idx, f"inc-{i}") is False
+
+    # second tiered fold merges the previous fold with its neighbor
+    # (LSM-style geometric merging), then a FULL fold converges to one
+    incremental.compact_index(spark, idx, max_generations_to_fold=2)
+    assert len(incremental._load_manifest(idx)["generations"]) == 2
+    assert _probe_all(spark, batch, idx) == before
+    incremental.compact_index(spark, idx)
+    assert len(incremental._load_manifest(idx)["generations"]) == 1
+    assert _probe_all(spark, batch, idx) == before
+
+    # ...and everything still equals the from-scratch rebuild
+    rebuilt = str(tmp_path / "rebuilt")
+    merged = base
+    for inc in incs:
+        merged = merged.unionAll(inc)
+    incremental.build_base_index(merged, rebuilt, max_df=MAX_DF)
+    assert _probe_all(spark, batch, idx) == _probe_all(spark, batch, rebuilt)
+
+
+def test_tiered_fold_rejects_k_below_two(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    incremental.build_base_index(docs, idx, max_df=MAX_DF)
+    with pytest.raises(ValueError, match="max_generations_to_fold"):
+        incremental.compact_index(spark, idx, max_generations_to_fold=1)

@@ -325,3 +325,67 @@ def test_nightly_loop_at_least_once_inbox_indexes_once(spark, tmp_path):
         sizes.groupBy("base_id").count().filter(F.col("count") > 1).count()
     )
     assert dup_sizes == 0
+
+
+def test_nightly_loop_partial_fold_policy(spark, tmp_path):
+    """max_generations_to_fold in the loop (round-11 verdict task 5):
+    the policy's compaction folds only the newest K generations — the
+    base generation is left untouched (bounded maintenance window) —
+    and the loop keeps converging to a rebuild afterwards."""
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.dedup_stream import (
+        run_nightly_loop,
+    )
+
+    base, pool1, pool2 = _pools(spark)
+    idx = str(tmp_path / "idx")
+    merged_dir = str(tmp_path / "merged")
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    incremental.build_base_index(base, idx, max_df=MAX_DF)
+    gen0_mtime = os.path.getmtime(
+        os.path.join(idx, "grams", "gen=0", "_SUCCESS")
+    )
+
+    pool1.coalesce(1).write.mode("append").parquet(inbox)
+    run_nightly_loop(
+        spark, inbox, idx, merged_dir, out, ckpt, THRESH
+    )
+    pool2.coalesce(1).write.mode("append").parquet(inbox)
+    s2 = run_nightly_loop(
+        spark, inbox, idx, merged_dir, out, ckpt, THRESH,
+        compact_every=3, max_generations_to_fold=2,
+    )
+    assert s2["compacted_generation"] is not None
+    man = incremental._load_manifest(idx)
+    # base gen stays listed and physically untouched; the two epoch
+    # generations folded into one
+    assert [g.get("increment_id") for g in man["generations"]] == [None, None]
+    assert man["generations"][0]["gen"] == 0
+    assert set(man["compacted_increments"]) == {"epoch-0", "epoch-1"}
+    assert (
+        os.path.getmtime(os.path.join(idx, "grams", "gen=0", "_SUCCESS"))
+        == gen0_mtime
+    ), "partial fold rewrote the base generation"
+
+    # replays stay no-ops; probes converge to the rebuild
+    s3 = run_nightly_loop(
+        spark, inbox, idx, merged_dir, out, ckpt, THRESH,
+        compact_every=3, max_generations_to_fold=2,
+    )
+    assert s3["merged_epochs"] == [] and s3["compacted_generation"] is None
+    from gcp_serverless_etl_pipeline_lab_spark.sinks import read_warehouse
+
+    full = base.unionAll(
+        read_warehouse(spark, merged_dir).select("doc_id", "text")
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    incremental.build_base_index(full, rebuilt, max_df=MAX_DF)
+    probe = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    )
+    via_loop = incremental.classify_batch_vs_index(spark, probe, idx)
+    via_rebuilt = incremental.classify_batch_vs_index(spark, probe, rebuilt)
+    assert sorted(map(tuple, via_loop.collect())) == sorted(
+        map(tuple, via_rebuilt.collect())
+    )
