@@ -441,9 +441,16 @@ def _apply_bpe_join_back(
     base = base.withColumn(
         "_words", F.expr(f"filter(split({text_col}, ' ', -1), w -> w != '')")
     )
+    # pin the fold's width to the session's core count: the distinct's
+    # shuffle output is BYTE-small (short words), so AQE coalesces it to
+    # ~1 partition — but the per-merge HOF folds are CPU-per-ROW bound,
+    # and a single-partition word table serializes the whole fold onto
+    # one core (measured 40 s/chunk single-task vs seconds wide)
+    spark = corpus.sparkSession
     words = (
         base.select(F.explode("_words").alias("word"))
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("word", F.expr(_CHARS).alias("syms"))
     )
     folded = apply_merges_to_word_table(words, merges).select(
