@@ -472,8 +472,10 @@ def _hybrid_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     def _build_lex(stage: str) -> None:
         build_lexical_index(docs, stage)
 
+    # tag v2: round 12 added the doclist membership artifact to the
+    # build — a bumped tag rebuilds stale pre-doclist caches once
     lex = _ensure_cached_index(
-        sf_dir, "lexbm25", _build_lex, table="documents.parquet"
+        sf_dir, "lexbm25v2", _build_lex, table="documents.parquet"
     )
     return lex, ann
 
@@ -624,6 +626,46 @@ def a0h_hybrid_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
         "rrf_score",
     ).orderBy("query_id", F.col("rrf_score").desc(), "doc_id")
+
+
+@register(
+    "a0i_lex_doc_membership",
+    """
+    SELECT doc_id, 1 AS indexed FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, 0 AS indexed FROM documents
+    ORDER BY doc_id
+    """,
+)
+def a0i_lex_doc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-membership probe of the persisted lexical index (round 12:
+    operators/lexindex.indexed_doc_ids) — the primitive behind the
+    nightly retrieval loop's cross-increment dedup guard and the
+    hybrid-consistency invariant (streaming/retrieval_stream.py). The
+    asked set mixes every indexed doc_id with a shifted copy guaranteed
+    absent, so both answers are exercised; the probe reads only the
+    asked ids' ``db`` bucket partitions of the doclist artifact (plan
+    pinned in tests/test_plans_round12.py), never the postings. The
+    oracle is the closed-form truth: the index holds exactly the
+    documents table."""
+    from ..operators.lexindex import indexed_doc_ids
+
+    lex, _ = _hybrid_indexes(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    asked = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"))
+    )
+    member = indexed_doc_ids(spark, lex, asked).withColumn(
+        "indexed", F.lit(1)
+    )
+    return (
+        asked.join(member, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("indexed"), F.lit(0)).alias("indexed"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,16 @@ _MANIFEST = "_MANIFEST.json"
 DRIFT_REBUILD_RATIO = 2.0
 
 
+class ModelEpochChangedError(RuntimeError):
+    """A retrain flipped the index's coarse quantizer between an
+    append's model read and its manifest commit — the appended vectors
+    are assigned under superseded centroids, so the append aborted
+    (its generation dir stays an orphan for ``vacuum_index``). Retrying
+    the append re-reads the NEW model and re-assigns. A dedicated type
+    (round-11 advice) so retry logic catches the CLASS, not a message
+    substring that a reworded error would silently stop matching."""
+
+
 def _mean_assign_msd(df: DataFrame, model) -> float | None:
     """Mean squared distance of each vector to its NEAREST pinned
     centroid — the quantization error the IVF probe's recall rides on.
@@ -226,7 +236,7 @@ def append_ann_index(
             # commit: our vectors are assigned under superseded centroids
             # and queries would route by the NEW model straight past them.
             # The written generation stays an orphan for vacuum_index.
-            raise RuntimeError(
+            raise ModelEpochChangedError(
                 f"model epoch changed during append at {path} "
                 f"(read {model_epoch}, now {cur.get('model_epoch', 0)}); "
                 "retry the append to re-assign against the new model"

@@ -67,12 +67,22 @@ _HAS_PAIR = (
 )
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    """Ids of every RDD currently pinned in the block store — the
-    diff-based handle for freeing superseded localCheckpoints (their
-    DataFrames expose no unpersist; the blocks live until session end
-    otherwise)."""
-    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+def _checkpointed_rdd_id(df: DataFrame) -> int | None:
+    """Persisted-block id of an eager ``localCheckpoint`` result,
+    captured from the frame ITSELF: the checkpointed Dataset's analyzed
+    plan is the LogicalRDD wrapping exactly the RDD that
+    ``localCheckpoint`` pinned, so its ``rdd().id()`` is the block
+    store handle. Direct capture (round-11 advice) — the previous
+    getPersistentRDDs set-diff could claim an RDD persisted by a
+    CONCURRENT thread/stream between snapshot and diff, and unpersisting
+    a localCheckpoint someone else still references destroys it
+    (lineage is truncated; the victim job fails). Returns None if the
+    internal shape ever changes — callers then skip freeing (a bounded
+    leak, never a kill)."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
 
 
 def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
@@ -153,17 +163,14 @@ def train_bpe_merges(
     # derive ONLY from the latest checkpoints, but localCheckpoint pins
     # its blocks until session end — across 256 delta rounds the
     # accumulated storage was measured as the 0.84->3.3 s late-round
-    # creep in the x10 bpe_delta_merges256 stress. Track the persistent
-    # RDD ids each checkpoint batch creates (diff-based, so caches owned
-    # by the caller are never touched) and free the previous batch once
-    # the new one is materialized.
-    def _persistent_ids() -> set[int]:
-        return _persistent_rdd_ids(sc)
-
+    # creep in the x10 bpe_delta_merges256 stress. Each checkpoint's own
+    # persisted-RDD id is captured directly off the frame
+    # (_checkpointed_rdd_id — never a global set-diff, so concurrent
+    # persists in the same session are untouchable) and the previous
+    # round's batch is freed once the new one is materialized.
     def _free(ids: set[int]) -> None:
         _unpersist_rdd_ids(sc, ids)
 
-    _pre = _persistent_ids()
     words = word_symbol_table(corpus, text_col).localCheckpoint(eager=True)
     # the delta rounds rebuild words as union(untouched, folded) with no
     # shuffle in between, which would DOUBLE the partition count every
@@ -171,7 +178,10 @@ def train_bpe_merges(
     n_part = max(words.rdd.getNumPartitions(), 1)
     merges: list[tuple[str, str, int]] = []
     pc = _pair_counts(words).localCheckpoint(eager=True) if incremental else None
-    _live = _persistent_ids() - _pre
+    _live = {_checkpointed_rdd_id(words)}
+    if pc is not None:
+        _live.add(_checkpointed_rdd_id(pc))
+    _live.discard(None)
     for _ in range(n_merges):
         _t0 = _time.perf_counter()
         top = (
@@ -184,7 +194,6 @@ def train_bpe_merges(
             break
         a, b, w = top[0]["a"], top[0]["b"], int(top[0]["w"])
         merges.append((a, b, w))
-        _snap = _persistent_ids()
         merge_row = spark.createDataFrame([(a, b)], "ma string, mb string")
         if incremental:
             # ONE V-sized pass per round: evaluate the touched predicate
@@ -231,16 +240,21 @@ def train_bpe_merges(
                 .localCheckpoint(eager=True)
             )
             words = combined.select("word", "syms", "cnt")
+            _new = {
+                _checkpointed_rdd_id(combined),
+                _checkpointed_rdd_id(pc),
+            }
         else:
             words = (
                 words.crossJoin(F.broadcast(merge_row))
                 .select("word", F.expr(_APPLY).alias("syms"), "cnt")
                 .localCheckpoint(eager=True)
             )
+            _new = {_checkpointed_rdd_id(words)}
         # this round's checkpoints are materialized (eager) and every
         # later round derives only from them — the previous batch's
         # blocks are dead weight from here on
-        _new = _persistent_ids() - _snap
+        _new.discard(None)
         _free(_live)
         _live = _new
         if round_stats is not None:
@@ -307,10 +321,27 @@ def tokenize_with_stored_model(
     return apply_bpe_merges(corpus, load_bpe_model(path), text_col)
 
 
+# fold the WHOLE merge table over one word's syms inside a single
+# expression: the outer aggregate walks the merges (column `mt`, an
+# array<struct<a,b>> from a broadcast 1-row frame — no literal escaping
+# games), the inner aggregate is _APPLY's greedy-leftmost fold with the
+# pair taken from the outer lambda's struct. Constant plan size at ANY
+# merge depth — the alternative chained spelling adds one join+HOF node
+# per merge and sinks in Catalyst analysis long before data cost.
+_APPLY_ALL = (
+    "aggregate(mt, syms, (cur, mm) -> aggregate(cur,"
+    " CAST(array() AS array<string>),"
+    " (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = mm.a AND s = mm.b,"
+    "                concat(slice(acc, 1, size(acc) - 1), array(concat(mm.a, mm.b))),"
+    "                concat(acc, array(s)))))"
+)
+
+
 def apply_merges_to_word_table(
     words: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     checkpoint_every: int | None = 64,
+    single_pass: bool | None = None,
 ) -> DataFrame:
     """Fold a merge table into a (word, syms, ...) table — one greedy
     fold per DISTINCT word per merge. This is the cheap spelling for
@@ -320,18 +351,37 @@ def apply_merges_to_word_table(
     than folding the distinct-word table and joining counts back
     (measured 12.4 s vs 4.5 s for the sf0.1 compression report).
 
-    The plan is TRUNCATED with an eager localCheckpoint every
-    ``checkpoint_every`` merges (round-11 verdict task 2): a real
-    vocabulary is 10k-50k merges deep, and one chained join+HOF node
-    per merge makes the expression tree itself the bottleneck (Catalyst
-    analysis/codegen cost grows superlinearly with plan size) long
-    before any data cost — with truncation every chunk re-plans from a
-    flat scan, so analysis stays bounded however deep the table.
-    Superseded chunk checkpoints are freed as the fold advances; the
-    LAST one stays pinned until session end (one distinct-word table —
-    the bounded cost of lineage truncation). ``None`` disables
-    truncation (the pre-round-11 behavior)."""
+    Two spellings, identical output (parity pinned in
+    tests/test_bpe_train.py):
+
+    - **single-pass** (default, round-12 verdict task 3): the ENTIRE
+      merge table rides one broadcast array<struct> column and a nested
+      ``aggregate`` HOF folds it per word — ONE job, constant plan size
+      at any depth, zero checkpoints, zero per-merge driver round-trips.
+      The per-element work is the same interpreted fold the chained
+      spelling runs; what disappears is everything around it (the x1
+      1024-merge stress read 299 s chunked vs the single job here — see
+      SCALE_STRESS.json ``bpe_deep_apply``).
+    - **chunked-chained** (``single_pass=False``): one join+HOF plan
+      node per merge, TRUNCATED with an eager localCheckpoint every
+      ``checkpoint_every`` merges (round-11 task 2) so Catalyst analysis
+      stays bounded however deep the table; superseded chunk
+      checkpoints are freed as the fold advances. Kept as the
+      measurement baseline and for callers that want bounded-size plans
+      WITHOUT a broadcast merge table in flight."""
+    if single_pass is None:
+        single_pass = True
     spark = words.sparkSession
+    if single_pass:
+        mframe = spark.createDataFrame(
+            [([(a, b) for a, b, *_ in merges],)],
+            "mt array<struct<a: string, b: string>>",
+        )
+        return (
+            words.crossJoin(F.broadcast(mframe))
+            .withColumn("syms", F.expr(_APPLY_ALL))
+            .drop("mt")
+        )
     sc = spark.sparkContext
     out = words
     live: set[int] = set()
@@ -347,9 +397,8 @@ def apply_merges_to_word_table(
             and (i + 1) % checkpoint_every == 0
             and (i + 1) < len(merges)
         ):
-            snap = _persistent_rdd_ids(sc)
             out = out.localCheckpoint(eager=True)
-            new = _persistent_rdd_ids(sc) - snap
+            new = {_checkpointed_rdd_id(out)} - {None}
             _unpersist_rdd_ids(sc, live)
             live = new
     return out

@@ -765,10 +765,16 @@ def compact_index(
         .select("g", "df", "gb")
     )
     grams = _read_artifact(spark, path, "grams", fold_man, _GRAMS_SCHEMA)
+    # The capped (over-df-cap) gram set grows with corpus VOCABULARY —
+    # heavy hitters accumulate forever — so a forced broadcast of it is
+    # an unbounded driver/executor-memory object at 100 TB (the same
+    # round-10 fix append_to_index got; round-12 verdict task 4 removes
+    # the last two). No hint: AQE picks broadcast while the set is
+    # actually small and degrades to a shuffled anti-join when it isn't.
     if full:
         if max_df is not None:
             capped = gramdf.filter(F.col("df") > max_df).select("g")
-            grams = grams.join(F.broadcast(capped), "g", "left_anti")
+            grams = grams.join(capped, "g", "left_anti")
         else:
             capped = gramdf.filter(F.lit(False)).select("g")
     else:
@@ -780,7 +786,7 @@ def compact_index(
         global_capped = _read_artifact(
             spark, path, "capped", man, _CAPPED_SCHEMA
         )
-        grams = grams.join(F.broadcast(global_capped), "g", "left_anti")
+        grams = grams.join(global_capped, "g", "left_anti")
     _write_generation(
         path,
         gen,

@@ -17,6 +17,15 @@ manifest replace as the one commit point, crash orphans invisible,
   every posting (one extra int) so the probe never touches a
   corpus-sized doc-length table — everything BM25 needs for a matched
   doc rides in the pruned partitions.
+- ``doclist/gen=N`` — one row per indexed document: ``(doc_id)``,
+  hive-partitioned by ``db = pmod(doc_id, DOC_BUCKETS)`` (round 12).
+  The membership artifact: "are these doc_ids already indexed?" probes
+  read only the asked ids' buckets — never the postings, whose doc_id
+  column is |postings|-sized and term-bucketed (every bucket would
+  scan). Feeds the nightly loop's cross-increment dedup guard and the
+  hybrid-consistency check (streaming/retrieval_stream.py); includes
+  tokenless docs (zero postings but counted in ``n_docs``). Pre-round-12
+  indexes lack it — readers fall back to a postings scan.
 - ``_MANIFEST.json`` — per-generation corpus stats ``{n_docs, sum_dl}``
   (tiny driver-side integers): N and avgdl come from summing manifest
   entries, zero scan. ``df`` per term is counted over the PRUNED
@@ -48,13 +57,19 @@ from .incremental import (
 )
 
 TERM_BUCKETS = 64
+DOC_BUCKETS = 64
 _MANIFEST = "_MANIFEST.json"
 
 _POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl int, tb int"
+_DOCLIST_SCHEMA = "doc_id bigint, db int"
 
 
 def _tb(col: str):
     return F.pmod(F.xxhash64(col), F.lit(TERM_BUCKETS)).cast("int")
+
+
+def _db(col: str):
+    return F.pmod(F.col(col), F.lit(DOC_BUCKETS)).cast("int")
 
 
 def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -95,6 +110,24 @@ def _write_postings_gen(postings: DataFrame, path: str, gen: int) -> None:
     )
 
 
+def _write_doclist_gen(docs: DataFrame, path: str, gen: int, id_col: str) -> None:
+    """Membership rows (doc_id, db) for one corpus slice — EVERY doc of
+    the slice (tokenless ones included: they carry no postings but are
+    in ``n_docs``, and the membership question is about documents, not
+    terms)."""
+    import os
+
+    (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("db", _db("doc_id"))
+        .repartition(DOC_BUCKETS, F.col("db"))
+        .write.mode("overwrite")
+        .partitionBy("db")
+        .parquet(os.path.join(path, "doclist", f"gen={gen}"))
+    )
+
+
 def _write_lex_manifest(path: str, man: dict) -> None:
     import json
     import os
@@ -124,6 +157,7 @@ def build_lexical_index(
     0 of an appendable index. One corpus pass for the postings, one tiny
     aggregate for the stats; the manifest replace is the commit point."""
     _write_postings_gen(_postings_of(docs, id_col, text_col), path, 0)
+    _write_doclist_gen(docs, path, 0, id_col)
     n_docs, sum_dl = _corpus_stats(docs, text_col)
     _write_lex_manifest(
         path,
@@ -152,15 +186,27 @@ def append_lexical_index(
     increment_id: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    assert_new_doc_ids: bool = False,
 ) -> bool:
-    """Extend the index with newly merged documents WITHOUT touching the
+    """Extend the index with NEWLY MERGED documents WITHOUT touching the
     existing postings — the nightly-loop step, same contract as the
     sibling indexes: cost tracks increment size; the new postings land
     as an immutable generation committed by one atomic manifest replace;
     ``increment_id`` replays are committed no-ops (returns False);
     concurrent appenders claim distinct generation numbers and the
     locked commit drops neither. Corpus stats ride the generation entry,
-    so N/avgdl stay exact without any rescan."""
+    so N/avgdl stay exact without any rescan.
+
+    CONTRACT — the increment must contain only doc_ids NOT already in
+    the index (round-11 advice): a replayed doc would double-count its
+    tf/df and inflate ``n_docs``, silently skewing every later BM25
+    score. The ledger makes whole-increment replays no-ops, but a doc_id
+    arriving inside TWO DIFFERENT increments is the caller's to exclude —
+    ``indexed_doc_ids`` is the bounded probe for exactly this, and
+    ``streaming/retrieval_stream.run_nightly_retrieval_loop`` applies it
+    before every append. ``assert_new_doc_ids=True`` makes this append
+    verify the contract itself (one doc-bucket-pruned anti-probe; off by
+    default — the loop already guards, and a double probe buys nothing)."""
     import os
 
     man = _load_lex_manifest(path)
@@ -171,8 +217,21 @@ def append_lexical_index(
         return False
     if increment.limit(1).count() == 0:
         return False
+    if assert_new_doc_ids:
+        dup = indexed_doc_ids(spark, path, increment.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ))
+        hit = dup.limit(1).collect()
+        if hit:
+            raise ValueError(
+                f"increment {increment_id!r} contains doc_ids already "
+                f"indexed at {path} (e.g. {hit[0]['doc_id']}); appending "
+                "would double-count tf/df/n_docs — exclude them first "
+                "(indexed_doc_ids gives the overlap)"
+            )
     gen = _claim_generation(path)
     _write_postings_gen(_postings_of(increment, id_col, text_col), path, gen)
+    _write_doclist_gen(increment, path, gen, id_col)
     n_docs, sum_dl = _corpus_stats(increment, text_col)
     from .incremental import _GENCLAIM_PREFIX
 
@@ -226,6 +285,16 @@ def compact_lexical_index(spark, path: str) -> int:
     sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
     gen = _claim_generation(path)
     _write_postings_gen(_read_postings(spark, path, man), path, gen)
+    dl = _read_doclist(spark, path, man)
+    if dl is not None:
+        import os as _os
+
+        (
+            dl.repartition(DOC_BUCKETS, F.col("db"))
+            .write.mode("overwrite")
+            .partitionBy("db")
+            .parquet(_os.path.join(path, "doclist", f"gen={gen}"))
+        )
     applied = [
         g["increment_id"]
         for g in man["generations"]
@@ -273,6 +342,69 @@ def _read_postings(spark, path: str, man: dict) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _read_doclist(spark, path: str, man: dict) -> DataFrame | None:
+    """Union of the committed doclist generations, or None when any
+    listed generation predates the artifact (pre-round-12 index) —
+    callers then fall back to a postings scan."""
+    import os
+
+    out = None
+    for g in man["generations"]:
+        d = os.path.join(path, "doclist", f"gen={g['gen']}")
+        if not os.path.isdir(d):
+            return None
+        part = (
+            spark.read.schema(_DOCLIST_SCHEMA)
+            .option("basePath", d)
+            .parquet(d)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def indexed_doc_ids(
+    spark,
+    path: str,
+    ids: DataFrame,
+    exclude_increment_id: str | None = None,
+) -> DataFrame:
+    """Which of ``ids`` (a 1-column (doc_id) frame) are ALREADY indexed —
+    the nightly loop's cross-increment dedup guard and the hybrid-
+    consistency probe. Reads only the asked ids' ``db`` bucket partitions
+    of the doclist (the bucket list is a ≤DOC_BUCKETS-value driver-side
+    collect over the IDS, the same bounded-gate class as the term-bucket
+    list), so probe cost tracks |ids| x bucket share, never index size.
+
+    ``exclude_increment_id``: skip the generation that THIS increment
+    itself committed — a crash-replay re-resolves an increment whose lex
+    append already landed, and without the exclusion the guard would see
+    the increment's own docs as "already indexed" and starve the ANN leg
+    (the retrieval loop's replay contract depends on this).
+
+    Pre-round-12 indexes (no doclist artifact) fall back to a distinct
+    over the postings' doc_id column — correct but unpruned, and blind
+    to tokenless docs; rebuild or compact the index to materialize the
+    doclist."""
+    man = _load_lex_manifest(path)
+    gens = [
+        g for g in man["generations"]
+        if exclude_increment_id is None
+        or g.get("increment_id") != exclude_increment_id
+    ]
+    if not gens:
+        return ids.select(F.col("doc_id").cast("long").alias("doc_id")).limit(0)
+    sub = dict(man, generations=gens)
+    want = ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+    dl = _read_doclist(spark, path, sub)
+    if dl is None:
+        member = _read_postings(spark, path, sub).select("doc_id").distinct()
+        return want.join(member, "doc_id", "left_semi")
+    dbs = [r["db"] for r in want.select(_db("doc_id").alias("db")).distinct().collect()]
+    if len(dbs) < DOC_BUCKETS:
+        dl = dl.filter(F.col("db").isin(dbs))
+    return want.join(dl.select("doc_id"), "doc_id", "left_semi")
 
 
 def bm25_topk_from_index(

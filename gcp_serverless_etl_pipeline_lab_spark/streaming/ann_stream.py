@@ -104,6 +104,7 @@ def run_nightly_ann_loop(
     import os
 
     from ..operators.annindex import (
+        ModelEpochChangedError,
         _load_ann_manifest,
         ann_drift_report,
         append_ann_index,
@@ -132,9 +133,10 @@ def run_nightly_ann_loop(
         )
         try:
             did = append_ann_index(spark, inc, index_path, increment_id=name)
-        except RuntimeError as e:
-            if "model epoch changed" not in str(e):
-                raise
+        except ModelEpochChangedError:
+            # retry once: the benign append/retrain race — the retry
+            # re-reads the NEW model and re-assigns (typed catch, so a
+            # reworded message can't silently disable the recovery)
             did = append_ann_index(spark, inc, index_path, increment_id=name)
         if did:
             appended.append(name)

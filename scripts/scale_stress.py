@@ -704,7 +704,8 @@ def _deep_merge_table(depth: int) -> list[tuple[str, str, int]]:
 def _stress_bpe_deep_apply(spark: SparkSession, path: str, n: int) -> dict:
     """Tokenization at REAL merge depth (round-11 verdict task 2): apply
     a 1024-merge table to the synthetic real-vocabulary corpus
-    (100_000*n distinct words). The join-back spelling (distinct-word
+    (20_000*n distinct words — moderated vs the delta-train stress's
+    100k*n; see the inline comment). The join-back spelling (distinct-word
     fold + regroup) is the timed row; the chained per-occurrence
     spelling is probed at shallower depths on a FIXED 1000-word corpus —
     its cost there is pure plan analysis/codegen (data is negligible),

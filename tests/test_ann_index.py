@@ -479,7 +479,9 @@ def test_append_aborts_when_retrain_flips_model_epoch(spark, tmp_path, monkeypat
         return real_claim(path)
 
     monkeypatch.setattr(incremental, "_claim_generation", claim_then_retrain)
-    with _pytest.raises(RuntimeError, match="model epoch changed"):
+    with _pytest.raises(
+        annindex.ModelEpochChangedError, match="model epoch changed"
+    ):
         annindex.append_ann_index(spark, inc, idx, "odd")
     monkeypatch.undo()
 

@@ -229,14 +229,60 @@ def test_auto_route_and_deep_fold_checkpointing(spark):
         for r in apply_bpe_merges(df, deep).collect()  # auto-routes
     }
     assert deep_out == shallow_out
-    # chunked vs unchunked distinct-word fold parity
+    # three fold spellings, one output: single-pass nested-HOF (default,
+    # round-12), chunk-checkpointed chained, unchunked chained
     words = word_symbol_table(df)
     a = {
         (r["word"], tuple(r["syms"]))
-        for r in apply_merges_to_word_table(words, deep, checkpoint_every=8).collect()
+        for r in apply_merges_to_word_table(words, deep).collect()
     }
     b = {
         (r["word"], tuple(r["syms"]))
-        for r in apply_merges_to_word_table(words, deep, checkpoint_every=None).collect()
+        for r in apply_merges_to_word_table(
+            words, deep, checkpoint_every=8, single_pass=False
+        ).collect()
     }
-    assert a == b
+    c = {
+        (r["word"], tuple(r["syms"]))
+        for r in apply_merges_to_word_table(
+            words, deep, checkpoint_every=None, single_pass=False
+        ).collect()
+    }
+    assert a == b == c
+
+
+def test_checkpoint_freeing_targets_only_its_own_rdds(spark):
+    """Round-12 advice fix: superseded-checkpoint freeing captures each
+    localCheckpoint's OWN persisted-RDD id off the frame
+    (_checkpointed_rdd_id) instead of diffing the global persistent-RDD
+    map — a bystander frame persisted by a concurrent thread can never
+    be claimed and unpersisted mid-training. Deterministic stand-in for
+    the race: a bystander persisted BEFORE training (inside any
+    hypothetical snapshot/diff window) must survive the whole run with
+    its blocks intact."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.bpetrain import (
+        _checkpointed_rdd_id,
+    )
+
+    sc = spark.sparkContext
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+
+    # direct capture returns exactly the persisted block id
+    pre = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    cp = df.localCheckpoint(eager=True)
+    post = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    cid = _checkpointed_rdd_id(cp)
+    assert cid in (post - pre)
+    # non-checkpointed plans have no LogicalRDD: capture declines (None)
+    assert _checkpointed_rdd_id(df.select("text")) is None
+    cp.unpersist() if hasattr(cp, "unpersist") else None
+    sc._jsc.getPersistentRDDs().get(cid).unpersist(False)
+
+    bystander = df.localCheckpoint(eager=True)
+    bid = _checkpointed_rdd_id(bystander)
+    got = train_bpe_merges(df, n_merges=4, incremental=True)
+    assert len(got) == 4
+    live = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert bid in live, "training freed a checkpoint it does not own"
+    assert bystander.count() == len(TEXTS)  # blocks intact, not just listed
+    sc._jsc.getPersistentRDDs().get(bid).unpersist(False)

@@ -79,7 +79,12 @@ def test_compact_folds_generations_pure_rewrite(spark, tmp_path):
     # old dirs stay for in-flight readers until the shared vacuum sweeps
     assert len(os.listdir(os.path.join(idx, "postings"))) == 3
     swept = vacuum_index(idx, min_age_seconds=0.0)
-    assert swept == ["postings/gen=0", "postings/gen=1"]
+    assert swept == [
+        "doclist/gen=0",
+        "doclist/gen=1",
+        "postings/gen=0",
+        "postings/gen=1",
+    ]
     assert _rows(lexindex.bm25_topk_from_index(spark, idx, TERMS, k=10)) == before
     # replayed append still a committed no-op after compaction
     assert (
