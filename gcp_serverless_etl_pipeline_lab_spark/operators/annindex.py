@@ -340,7 +340,9 @@ def query_ann_index(
     return _rank_topk(scored, k)
 
 
-def compact_ann_index(spark, path: str) -> int:
+def compact_ann_index(
+    spark, path: str, max_generations_to_fold: int | None = None
+) -> int:
     """Fold all committed vector generations into ONE — the maintenance
     step that completes the ANN lifecycle (build -> append* -> compact),
     mirroring the text index's compact_index. A year of nightly appends
@@ -362,7 +364,17 @@ def compact_ann_index(spark, path: str) -> int:
     vacuum's business, the caller re-runs), old generation dirs LEFT on
     disk for in-flight readers until ``vacuum_index``'s age-based sweep.
     Applied increment_ids move into ``compacted_increments`` so append
-    idempotence survives. Returns the new generation number."""
+    idempotence survives. Returns the new generation number.
+
+    **Tiered fold** (``max_generations_to_fold=K``, round 12): fold
+    only the NEWEST ``K`` listed generations — the same LSM discipline
+    as the text and lexical indexes, bounding the nightly fold by
+    recent-increment volume instead of index size. The folded entry
+    records a fresh ``drift_msd`` over the folded population ONLY plus
+    the ``carried_max_drift_msd`` of what it folded; KEPT generations
+    keep their own entries, so ``ann_drift_report`` still sees every
+    recorded drift stat — a partial fold can neither clear nor dilute
+    the rebuild flag."""
     import os
 
     from .incremental import (
@@ -377,9 +389,24 @@ def compact_ann_index(spark, path: str) -> int:
             f"ANN index at {path} predates generations; rebuild with "
             "build_ann_index (compaction is a no-op for flat layouts)"
         )
-    old_gens = [g["gen"] for g in man["generations"]]
+    if (
+        max_generations_to_fold is not None
+        and max_generations_to_fold < 2
+    ):
+        raise ValueError(
+            "max_generations_to_fold must be >= 2 (a 1-fold is a no-op rewrite)"
+        )
+    entries = list(man["generations"])
+    old_gens = [g["gen"] for g in entries]
+    full = (
+        max_generations_to_fold is None
+        or max_generations_to_fold >= len(entries)
+    )
+    fold_entries = entries if full else entries[-max_generations_to_fold:]
+    keep_entries = [] if full else entries[: -max_generations_to_fold]
+    fold_man = dict(man, generations=fold_entries)
     gen = _claim_generation(path)
-    vec = _read_vectors(spark, path, man)
+    vec = _read_vectors(spark, path, fold_man)
     (
         vec.select("vec_id", "embedding", "cell")
         .repartition(len(man["model"]), F.col("cell"))
@@ -402,13 +429,13 @@ def compact_ann_index(spark, path: str) -> int:
     fold_msd = _mean_assign_msd(vec.select("vec_id", "embedding"), model_t)
     carried = [
         m
-        for g in man["generations"]
+        for g in fold_entries
         for m in (g.get("drift_msd"), g.get("carried_max_drift_msd"))
         if m is not None
     ]
     applied = [
         g["increment_id"]
-        for g in man["generations"]
+        for g in fold_entries
         if g.get("increment_id") is not None
     ]
     with _manifest_lock(path):
@@ -428,7 +455,7 @@ def compact_ann_index(spark, path: str) -> int:
         }
         if carried:
             entry["carried_max_drift_msd"] = max(carried)
-        cur["generations"] = [entry]
+        cur["generations"] = keep_entries + [entry]
         _write_ann_manifest(path, cur)
     try:
         os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))

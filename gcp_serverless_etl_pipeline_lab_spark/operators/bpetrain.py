@@ -359,9 +359,14 @@ def apply_merges_to_word_table(
       ``aggregate`` HOF folds it per word — ONE job, constant plan size
       at any depth, zero checkpoints, zero per-merge driver round-trips.
       The per-element work is the same interpreted fold the chained
-      spelling runs; what disappears is everything around it (the x1
-      1024-merge stress read 299 s chunked vs the single job here — see
-      SCALE_STRESS.json ``bpe_deep_apply``).
+      spelling runs; what disappears is everything around it. Measured
+      (SCALE_STRESS.json ``bpe_deep_apply``, 1024 merges, warm
+      min-of-2): **3.9 / 9.6 / 27.4 s at 20k/60k/200k distinct words**
+      — linear in vocabulary — vs the chunked per-merge loop's
+      299.6/311.5/530.7 s on the same corpora (77x at x1). The one-time
+      cost the stress also recorded: a COLD first run pays ~80 s of
+      plan compile/codegen for the deep nested expression — per
+      session, not per data.
     - **chunked-chained** (``single_pass=False``): one join+HOF plan
       node per merge, TRUNCATED with an eager localCheckpoint every
       ``checkpoint_every`` merges (round-11 task 2) so Catalyst analysis

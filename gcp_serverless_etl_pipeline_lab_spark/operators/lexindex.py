@@ -267,37 +267,66 @@ def append_lexical_index(
     return True
 
 
-def compact_lexical_index(spark, path: str) -> int:
-    """Fold all committed posting generations into ONE scan — same
-    discipline as the sibling compactors: fresh claimed generation,
-    artifacts first, locked flip, abort if a concurrent append landed,
-    old dirs left for in-flight readers (vacuum_index sweeps them),
-    applied increment_ids preserved under ``compacted_increments``.
-    Postings are immutable facts (a doc's tf/dl never change), so the
-    fold is a pure rewrite — probe-after == probe-before."""
+def compact_lexical_index(
+    spark, path: str, max_generations_to_fold: int | None = None
+) -> int:
+    """Fold committed posting generations — same discipline as the
+    sibling compactors: fresh claimed generation, artifacts first,
+    locked flip, abort if a concurrent append landed, old dirs left for
+    in-flight readers (vacuum_index sweeps them), applied increment_ids
+    preserved under ``compacted_increments``. Postings are immutable
+    facts (a doc's tf/dl never change), so the fold is a pure rewrite —
+    probe-after == probe-before.
+
+    **Tiered fold** (``max_generations_to_fold=K``, round 12 — the
+    round-11 lever the text index got, completed across the family): a
+    full fold rewrites the WHOLE postings set, so at 100 TB the nightly
+    maintenance window would grow with INDEX size. Folding only the
+    NEWEST ``K`` listed generations (the small nightly increments,
+    LSM-style) bounds the fold by recent-increment volume; repeated
+    nightly folds geometrically merge older tiers because the previous
+    fold is itself the newest listed generation next time. The folded
+    entry's manifest stats are the SUM of the folded entries' (n_docs,
+    sum_dl) — total corpus stats are unchanged, which is all any probe
+    reads. Unfolded entries keep their place and order. The lexical
+    index has no capped ledger (postings never die), so the partial
+    fold is a plain union-rewrite of the folded slice."""
     import os
 
     from .incremental import _GENCLAIM_PREFIX
 
     man = _load_lex_manifest(path)
-    old_gens = [g["gen"] for g in man["generations"]]
-    n_docs = sum(int(g["n_docs"]) for g in man["generations"])
-    sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
+    if (
+        max_generations_to_fold is not None
+        and max_generations_to_fold < 2
+    ):
+        raise ValueError(
+            "max_generations_to_fold must be >= 2 (a 1-fold is a no-op rewrite)"
+        )
+    entries = list(man["generations"])
+    old_gens = [g["gen"] for g in entries]
+    full = (
+        max_generations_to_fold is None
+        or max_generations_to_fold >= len(entries)
+    )
+    fold_entries = entries if full else entries[-max_generations_to_fold:]
+    keep_entries = [] if full else entries[: -max_generations_to_fold]
+    fold_man = dict(man, generations=fold_entries)
+    n_docs = sum(int(g["n_docs"]) for g in fold_entries)
+    sum_dl = sum(int(g["sum_dl"]) for g in fold_entries)
     gen = _claim_generation(path)
-    _write_postings_gen(_read_postings(spark, path, man), path, gen)
-    dl = _read_doclist(spark, path, man)
+    _write_postings_gen(_read_postings(spark, path, fold_man), path, gen)
+    dl = _read_doclist(spark, path, fold_man)
     if dl is not None:
-        import os as _os
-
         (
             dl.repartition(DOC_BUCKETS, F.col("db"))
             .write.mode("overwrite")
             .partitionBy("db")
-            .parquet(_os.path.join(path, "doclist", f"gen={gen}"))
+            .parquet(os.path.join(path, "doclist", f"gen={gen}"))
         )
     applied = [
         g["increment_id"]
-        for g in man["generations"]
+        for g in fold_entries
         if g.get("increment_id") is not None
     ]
     with _manifest_lock(path):
@@ -310,7 +339,7 @@ def compact_lexical_index(spark, path: str) -> int:
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )
-        cur["generations"] = [
+        cur["generations"] = keep_entries + [
             {
                 "gen": gen,
                 "increment_id": None,
@@ -381,7 +410,13 @@ def indexed_doc_ids(
     itself committed — a crash-replay re-resolves an increment whose lex
     append already landed, and without the exclusion the guard would see
     the increment's own docs as "already indexed" and starve the ANN leg
-    (the retrieval loop's replay contract depends on this).
+    (the retrieval loop's replay contract depends on this). The
+    exclusion requires that generation to still be LISTED: a compaction
+    folds it into an ``increment_id=None`` entry and the exclusion stops
+    matching. The nightly loop guarantees the ordering (every pending
+    increment's BOTH legs are appended before it ever compacts); do not
+    hand-run ``compact_lexical_index`` between a mid-night crash and its
+    replay.
 
     Pre-round-12 indexes (no doclist artifact) fall back to a distinct
     over the postings' doc_id column — correct but unpruned, and blind
@@ -489,6 +524,15 @@ def hybrid_topk_rrf_from_index(
     brute-force leg holds whenever the true top-``depth`` lives in the
     probed cells (the a0h oracle mirrors the IVF routing exactly, so
     the parity pinned there is EXACT, not approximate).
+
+    Measured overlap@10 vs the exact scan spelling (round-12 task 5;
+    floors asserted in tests/test_hybrid_recall.py, stress rows in
+    SCALE_STRESS.json ``hybrid_batch``): sf0.01 full-corpus model,
+    cells=8 — nprobe=2/3/4 = 0.77/0.80/0.83 mean over 3 queries;
+    stress corpus sampled model (sample_rate=0.1, nprobe=3) — 0.68 at
+    x1, 0.84 at x3, 0.90 at x10. Approximation comes from the IVF leg
+    only: the BM25 leg is probe-exact (test_lexindex.py), so overlap
+    tracks whether the probed cells cover the true top-``depth``.
 
     Returns (doc_id, bm25_rank, ann_rank, rrf_score) — top ``k`` by
     (rrf_score desc, doc_id); absent-leg ranks are NULL."""

@@ -66,6 +66,7 @@ def run_nightly_ann_loop(
     index_path: str,
     compact_every: int | None = None,
     vacuum_min_age_seconds: float | None = None,
+    max_generations_to_fold: int | None = None,
 ) -> dict:
     """One iteration of the ANN index's nightly MAINTENANCE loop — the
     vector twin of dedup_stream.run_nightly_loop (round-11 verdict task
@@ -92,6 +93,9 @@ def run_nightly_ann_loop(
     generations after the night's appends, fold them to one scan
     (probe cost flat in nights elapsed — the measured g64 justification
     in SCALE_STRESS.json). Drift SURVIVES the fold (carried max).
+    ``max_generations_to_fold``: bound each fold to the newest K listed
+    generations (LSM-style tiered compaction, round 12) so the nightly
+    maintenance window tracks recent-increment volume, not index size.
 
     ``vacuum_min_age_seconds``: age-horizon sweep of unlisted
     generation debris, same reader-grace contract as the text loop.
@@ -148,7 +152,9 @@ def run_nightly_ann_loop(
         compact_every is not None
         and len(_load_ann_manifest(index_path)["generations"]) >= compact_every
     ):
-        compacted = compact_ann_index(spark, index_path)
+        compacted = compact_ann_index(
+            spark, index_path, max_generations_to_fold=max_generations_to_fold
+        )
     rep = ann_drift_report(index_path)
     vacuumed: list[str] = []
     if vacuum_min_age_seconds is not None:

@@ -37,6 +37,7 @@ def run_nightly_retrieval_loop(
     ann_index_path: str | None = None,
     compact_every: int | None = None,
     vacuum_min_age_seconds: float | None = None,
+    max_generations_to_fold: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     embedding_col: str = "embedding",
@@ -76,9 +77,15 @@ def run_nightly_retrieval_loop(
        race) and re-raises a second flip loudly.
 
     ``compact_every``: when a manifest lists at least this many
-    generations after the night's appends, fold that index to one scan
-    (each index on its own policy clock — they share the threshold here
-    because the loop feeds them in lockstep).
+    generations after the night's appends, fold that index (each index
+    on its own policy clock — they share the threshold here because the
+    loop feeds them in lockstep). ``max_generations_to_fold`` bounds
+    each fold to the newest K listed generations (LSM-style tiered
+    compaction, round 12): the nightly maintenance window tracks
+    recent-increment volume, not index size — the same lever the text
+    dedup loop got in round 11, measured for the text index at
+    6.1/9.0/15.8 s for K=4/8/16 vs 70 s full rewrite on a g64 sf0.1
+    index (SCALE_STRESS.json generation_growth.g64_tiered_fold).
 
     Consistency check (``consistency_scope``): the ANN index's vec_ids
     anti-joined against the lexical doclist must be EMPTY; a non-empty
@@ -233,7 +240,10 @@ def run_nightly_retrieval_loop(
         and len(_load_lex_manifest(lex_index_path)["generations"])
         >= compact_every
     ):
-        compacted_lex = compact_lexical_index(spark, lex_index_path)
+        compacted_lex = compact_lexical_index(
+            spark, lex_index_path,
+            max_generations_to_fold=max_generations_to_fold,
+        )
     compacted_ann = None
     rebuild = None
     drift = None
@@ -252,7 +262,10 @@ def run_nightly_retrieval_loop(
             and len(_load_ann_manifest(ann_index_path)["generations"])
             >= compact_every
         ):
-            compacted_ann = compact_ann_index(spark, ann_index_path)
+            compacted_ann = compact_ann_index(
+                spark, ann_index_path,
+                max_generations_to_fold=max_generations_to_fold,
+            )
         rep = ann_drift_report(ann_index_path)
         rebuild = rep["rebuild_recommended"]
         drift = rep["max_ratio"]

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from gcp_serverless_etl_pipeline_lab_spark.operators import (  # noqa: E402
     annindex,
     incremental,
+    lexindex,
 )
 from gcp_serverless_etl_pipeline_lab_spark.session import get_session  # noqa: E402
 from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table  # noqa: E402
@@ -87,6 +88,21 @@ def _ann_index_with_gens(spark, emb, model, n_gens: int, root: str) -> str:
     return path
 
 
+def _lex_index_with_gens(spark, docs, n_gens: int, root: str) -> str:
+    path = os.path.join(root, f"lidx_g{n_gens}")
+    lexindex.build_lexical_index(
+        docs.filter(F.pmod(F.col("doc_id"), n_gens) == 0), path
+    )
+    for g in range(1, n_gens):
+        lexindex.append_lexical_index(
+            spark,
+            docs.filter(F.pmod(F.col("doc_id"), n_gens) == g),
+            path,
+            increment_id=f"slice-{g}",
+        )
+    return path
+
+
 def main() -> None:
     spark = get_session(app_name="generation_stress")
     root = tempfile.mkdtemp(prefix="gen_stress_")
@@ -106,6 +122,7 @@ def main() -> None:
 
     text_rows: dict[str, dict] = {}
     ann_rows: dict[str, dict] = {}
+    lex_rows: dict[str, dict] = {}
     for n in GENS:
         tpath = _text_index_with_gens(spark, docs, n, root)
         sec = _min2(
@@ -124,6 +141,15 @@ def main() -> None:
         )
         ann_rows[f"g{n}"] = {"probe_sec": sec}
         print(f"ann g{n}: probe {sec}s", file=sys.stderr)
+
+        lpath = _lex_index_with_gens(spark, docs, n, root)
+        sec = _min2(
+            lambda: lexindex.bm25_topk_from_index(
+                spark, lpath, ["join", "filter", "vector"], k=10
+            ).write.format("noop").mode("overwrite").save()
+        )
+        lex_rows[f"g{n}"] = {"probe_sec": sec}
+        print(f"lex g{n}: probe {sec}s", file=sys.stderr)
 
     # tiered folds (round-11 verdict task 5): the nightly maintenance
     # window under max_generations_to_fold=K vs the full rewrite — each
@@ -160,7 +186,47 @@ def main() -> None:
     }
     print(f"text g64 compacted: probe {sec}s", file=sys.stderr)
 
+    # round-12: tiered folds for the OTHER two compactors (the family
+    # completion) — same fresh-copy-per-K discipline; parity pinned by
+    # tests/test_tiered_folds_round12.py, measured here is the wall
+    l64 = os.path.join(root, "lidx_g64")
+    lex_tiered: dict[str, float] = {}
+    for K in (4, 8, 16):
+        work = os.path.join(root, f"lidx_g64_k{K}")
+        shutil.copytree(l64, work)
+        t0 = time.perf_counter()
+        lexindex.compact_lexical_index(spark, work, max_generations_to_fold=K)
+        lex_tiered[f"fold_k{K}_sec"] = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(work, ignore_errors=True)
+        print(f"lex g64 tiered K={K}: {lex_tiered[f'fold_k{K}_sec']}s", file=sys.stderr)
+    lex_rows["g64_tiered_fold"] = lex_tiered
+
+    t0 = time.perf_counter()
+    lexindex.compact_lexical_index(spark, l64)
+    lex_compact_sec = round(time.perf_counter() - t0, 2)
+    sec = _min2(
+        lambda: lexindex.bm25_topk_from_index(
+            spark, l64, ["join", "filter", "vector"], k=10
+        ).write.format("noop").mode("overwrite").save()
+    )
+    lex_rows["g64_compacted"] = {
+        "probe_sec": sec,
+        "compact_sec": lex_compact_sec,
+    }
+    print(f"lex g64 compacted: probe {sec}s", file=sys.stderr)
+
     a64 = os.path.join(root, "aidx_g64")
+    ann_tiered: dict[str, float] = {}
+    for K in (4, 8, 16):
+        work = os.path.join(root, f"aidx_g64_k{K}")
+        shutil.copytree(a64, work)
+        t0 = time.perf_counter()
+        annindex.compact_ann_index(spark, work, max_generations_to_fold=K)
+        ann_tiered[f"fold_k{K}_sec"] = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(work, ignore_errors=True)
+        print(f"ann g64 tiered K={K}: {ann_tiered[f'fold_k{K}_sec']}s", file=sys.stderr)
+    ann_rows["g64_tiered_fold"] = ann_tiered
+
     t0 = time.perf_counter()
     annindex.compact_ann_index(spark, a64)
     ann_compact_sec = round(time.perf_counter() - t0, 2)
@@ -184,6 +250,7 @@ def main() -> None:
         ),
         "text_index_probe": text_rows,
         "ann_index_probe": ann_rows,
+        "lex_index_probe": lex_rows,
     }
     if os.path.isfile(out_path):
         with open(out_path) as fh:

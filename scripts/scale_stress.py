@@ -727,16 +727,23 @@ def _stress_bpe_deep_apply(spark: SparkSession, path: str, n: int) -> dict:
         ).alias("text")
     )
     deep = _deep_merge_table(1024)
-    start = time.perf_counter()
-    out_rows = (
-        apply_bpe_merges(words, deep)
-        .agg(F.sum("n_tokens"))
-        .collect()[0][0]
+    # warm pass (records out_rows) + min-of-2 timed, the same discipline
+    # as every other op: the round-12 single-pass fold is one job with a
+    # large nested-HOF expression, so a COLD first run is dominated by
+    # plan compile/codegen (measured 85 s cold vs 8-35 s warm at x1),
+    # which is per-session cost, not per-data cost
+    out_rows = int(
+        apply_bpe_merges(words, deep).agg(F.sum("n_tokens")).collect()[0][0]
     )
-    best = round(time.perf_counter() - start, 2)
+    best = None
+    for _ in range(2):
+        start = time.perf_counter()
+        apply_bpe_merges(words, deep).agg(F.sum("n_tokens")).collect()
+        e = round(time.perf_counter() - start, 2)
+        best = e if best is None else min(best, e)
     entry: dict = {
         "sec": best,
-        "out_rows": int(out_rows),
+        "out_rows": out_rows,
         "merges": 1024,
         "vocab_words": vocab,
     }
@@ -774,12 +781,130 @@ def _stress_bpe_deep_apply(spark: SparkSession, path: str, n: int) -> dict:
     return entry
 
 
+def _stress_hybrid_batch(spark: SparkSession, path: str, n: int) -> dict:
+    """Batch hybrid retrieval wall vs BATCH SIZE at each corpus scale
+    (round-12 verdict task 7), plus the served-vs-scan overlap@10 row
+    (task 5's 1x/10x measured table). Both persisted indexes are built
+    once per scale (off-clock, cached on disk like the dedup base
+    index); the timed rows are ``hybrid_topk_rrf_batch`` at B =
+    10/100/1000 queries — per-query cost must FLATTEN as B grows (the
+    postings pruning, per-term df, and cell probes are shared across
+    the batch), and the B=1000 row must not blow up with corpus size.
+    Each query carries two corpus-sampled terms plus one shared common
+    term, so lexical legs overlap partially — the df-shared case the
+    batch spelling exists for."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.annindex import (
+        build_ann_index,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lexindex import (
+        build_lexical_index,
+        hybrid_topk_rrf_batch,
+        hybrid_topk_rrf_from_index,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.operators.retrieval import (
+        hybrid_topk_rrf,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    emb = spark.read.parquet(os.path.join(path, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    lex = os.path.join(path, "lex_index")  # shared with _stress_lexindex_query
+    if not os.path.exists(os.path.join(lex, "_MANIFEST.json")):
+        t0 = time.time()
+        build_lexical_index(docs, lex)
+        print(
+            f"-- built lex index at {lex} in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    ann = os.path.join(path, "ann_index")
+    if not os.path.exists(os.path.join(ann, "_MANIFEST.json")):
+        t0 = time.time()
+        build_ann_index(emb, ann, EMB_DIM, cells=8, iters=2, sample_rate=0.1)
+        print(
+            f"-- built ann index at {ann} in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    # deterministic query batch (off-clock): the 1000 lowest replica-0
+    # vec_ids as vectors, two corpus-sampled terms + one shared common
+    # term per query. The testdata corpus has a SMALL vocabulary (~46
+    # untagged words at x1, r{k}w-tagged replicas multiply it at x3/x10
+    # — the same fact the bpe_delta stress documents), so term picks
+    # CYCLE the sampled vocabulary: heavy term sharing across the batch
+    # is the realistic shape here, and exactly the df-shared case the
+    # batch spelling amortizes
+    vocab = [
+        r["w"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 3))
+        .distinct()
+        .orderBy("w")
+        .limit(2002)
+        .collect()
+    ]
+    qrows = emb.orderBy("vec_id").limit(1000).collect()
+    common = ("join", "filter", "vector")
+    nv = len(vocab)
+    pairs = [
+        (int(r["vec_id"]), t)
+        for i, r in enumerate(qrows)
+        for t in (vocab[(2 * i) % nv], vocab[(2 * i + 1) % nv], common[i % 3])
+    ]
+
+    entry: dict = {}
+    for B in (10, 100, 1000):
+        qv = spark.createDataFrame(qrows[:B], emb.schema)
+        qt = spark.createDataFrame(pairs[: 3 * B], "query_id bigint, term string")
+        best = None
+        out_rows = None
+        for _ in range(2):
+            start = time.perf_counter()
+            got = hybrid_topk_rrf_batch(
+                spark, lex, ann, qt, qv, k=10, depth=50, nprobe=3
+            )
+            out_rows = got.count()
+            e = round(time.perf_counter() - start, 2)
+            best = e if best is None else min(best, e)
+        entry[f"batch{B}_sec"] = best
+        entry[f"batch{B}_per_query_ms"] = round(1000.0 * best / B, 1)
+        if B == 100:
+            entry["sec"] = best
+            entry["out_rows"] = out_rows
+    # served-vs-scan overlap@10 over 5 single queries — the recall row
+    # backing tests/test_hybrid_recall.py's measured table (the scan
+    # spelling is exact on both legs; its corpus-scan cost is exactly
+    # what the indexes exist to avoid, paid here once per scale)
+    hits = 0
+    for i in range(5):
+        qid = int(qrows[i]["vec_id"])
+        terms = [vocab[(2 * i) % nv], vocab[(2 * i + 1) % nv], common[i % 3]]
+        served = {
+            r["doc_id"]
+            for r in hybrid_topk_rrf_from_index(
+                spark, lex, ann, terms,
+                spark.createDataFrame([qrows[i]], emb.schema),
+                k=10, depth=50, nprobe=3,
+            ).collect()
+        }
+        truth = {
+            r["doc_id"]
+            for r in hybrid_topk_rrf(
+                docs, emb, terms, qid, EMB_DIM, k=10, depth=50
+            ).collect()
+        }
+        hits += len(served & truth) / max(len(truth), 1)
+    entry["overlap_at10_vs_scan"] = round(hits / 5, 3)
+    return entry
+
+
 SIDE_OPS = {
     "index_append": _stress_index_append,
     "bpe_train": _stress_bpe_train,
     "bpe_delta_merges256": _stress_bpe_delta_merges,
     "lexindex_query": _stress_lexindex_query,
     "bpe_deep_apply": _stress_bpe_deep_apply,
+    "hybrid_batch": _stress_hybrid_batch,
 }
 
 
