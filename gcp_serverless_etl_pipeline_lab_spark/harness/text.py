@@ -668,6 +668,72 @@ def a0i_lex_doc_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a0i_lex_lifecycle_probe",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def a0i_lex_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe through the FULL lexical-index lifecycle (round 12):
+    the index is built on the even half of the corpus, the odd half is
+    appended as a generation, and a TIERED compaction
+    (compact_lexical_index(max_generations_to_fold=2)) folds the two —
+    then the standard 3-term probe runs against the folded index. The
+    oracle is the identical scan-BM25 SQL as bm25_keyword_search over
+    the WHOLE corpus: if the append's manifest stats (n_docs, sum_dl),
+    the fold's postings union, the doclist rewrite, or the per-term df
+    over the folded postings diverged from a rebuild in ANY way, ranks
+    or scores would hash-mismatch. Build+append+fold are cached once per
+    corpus fingerprint (the nightly operating mode pays maintenance once
+    per night, then probes many queries)."""
+    from ..operators.lexindex import (
+        append_lexical_index,
+        bm25_topk_from_index,
+        build_lexical_index,
+        compact_lexical_index,
+    )
+    from .dedup import _ensure_cached_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(stage: str) -> None:
+        build_lexical_index(docs.filter(F.col("doc_id") % 2 == 0), stage)
+        append_lexical_index(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1),
+            stage,
+            increment_id="odd-half",
+        )
+        compact_lexical_index(spark, stage, max_generations_to_fold=2)
+
+    idx = _ensure_cached_index(
+        sf_dir, "lexlife", _build, table="documents.parquet"
+    )
+    return bm25_topk_from_index(spark, idx, list(_BM25_TERMS), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------
