@@ -65,6 +65,35 @@ _MANIFEST = "_MANIFEST.json"
 # fresh model) is recommended
 DRIFT_REBUILD_RATIO = 2.0
 
+# a coarse quantizer trained on less than this fraction of the corpus
+# sits on noisier centroid estimates: cell boundaries land off the true
+# density ridges, the nearest-probed cells cover less of the true
+# top-depth, and served recall quietly sags (measured: the stress
+# corpus's sample_rate=0.1 model served 0.68 overlap@10 at nprobe=3 —
+# below the 0.75 contract floor the full-corpus model clears at 0.80;
+# SCALE_STRESS.json hybrid_batch). Serving compensates by probing more
+# cells for such models (see _effective_nprobe) — wider probes recover
+# the coverage the noisier centroids lost, at proportionally higher
+# probe cost; a full-coverage retrain is the permanent fix.
+LOW_COVERAGE_SAMPLE_RATE = 0.5
+LOW_COVERAGE_NPROBE_FACTOR = 2
+
+
+def _effective_nprobe(man: dict, nprobe: int, auto_escalate: bool) -> int:
+    """The nprobe a probe should ACTUALLY use against this index: the
+    caller's ask, escalated x``LOW_COVERAGE_NPROBE_FACTOR`` (capped at
+    the cell count) when the manifest records a training sample rate
+    below ``LOW_COVERAGE_SAMPLE_RATE`` (round-12 verdict task 1 — the
+    serving path must KNOW the stored model is sample-trained instead of
+    silently serving degraded recall). Indexes built from a
+    caller-supplied model carry ``train_sample_rate=None`` (coverage
+    unknown) and are never escalated — no signal is not a low-coverage
+    signal, the same rule the drift report applies."""
+    sr = man.get("train_sample_rate")
+    if auto_escalate and sr is not None and float(sr) < LOW_COVERAGE_SAMPLE_RATE:
+        return min(len(man["model"]), nprobe * LOW_COVERAGE_NPROBE_FACTOR)
+    return nprobe
+
 
 class ModelEpochChangedError(RuntimeError):
     """A retrain flipped the index's coarse quantizer between an
@@ -103,10 +132,12 @@ def build_ann_index(
     import json
     import os
 
+    trained_sr: float | None = None
     if model is None:
         model = kmeans_centroids(
             corpus, dim, k=cells, iters=iters, sample_rate=sample_rate
         )
+        trained_sr = float(sample_rate)
     _write_vectors_gen(corpus, path, 0, model)
     _write_ann_manifest(
         path,
@@ -114,6 +145,11 @@ def build_ann_index(
             "version": 2,
             "dim": dim,
             "model": [[cid, vec] for cid, vec in model],
+            # training coverage (round-12 verdict task 1): what fraction
+            # of the corpus the quantizer saw. None = caller-supplied
+            # model, coverage unknown. Serving reads this to escalate
+            # nprobe for sample-trained models (_effective_nprobe).
+            "train_sample_rate": trained_sr,
             # bumped by every retrain (rebuild_ann_index) — an append's
             # locked commit rejects a manifest whose epoch moved after it
             # read the model, so vectors assigned under stale centroids
@@ -293,15 +329,40 @@ def query_ann_index(
     path: str,
     k: int = 5,
     nprobe: int = 3,
+    auto_escalate: bool = True,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k per query against the stored index: probe list from the
     manifest model, partition-pruned scan of the probed cells only
     (every committed generation; appended vectors are served the moment
-    their manifest commit lands)."""
+    their manifest commit lands).
+
+    ``auto_escalate`` (default on): when the manifest records a training
+    sample rate below ``LOW_COVERAGE_SAMPLE_RATE``, probe
+    x``LOW_COVERAGE_NPROBE_FACTOR`` more cells (capped at the cell
+    count) — a sample-trained quantizer's cells cover less of the true
+    top-k, and without this the serving path has no idea the stored
+    model is low-coverage (round-12 verdict task 1: measured 0.68
+    overlap@10 at nprobe=3 under a 0.1-sampled model vs the 0.75
+    contract floor; escalation restores it — tests/test_hybrid_recall.py
+    pins the sampled path, SCALE_STRESS.json records the cost). Pass
+    False to probe exactly ``nprobe`` cells regardless.
+
+    ``filter_ids`` (round-12 verdict task 2): optional 1-column
+    (doc_id) frame of ALLOWED neighbors — metadata-filtered search
+    ("top-k among docs WHERE lang='en'"). Applied to the probed-cell
+    candidates BEFORE ranking, so the top-k is fully filled from the
+    allowed set rather than post-filtered down from an unfiltered top-k;
+    cell pruning is untouched (the filter is a semi-join on the
+    candidate stream, not a scan predicate). Compute the frame by
+    filtering whatever metadata table owns the predicate — its parquet
+    scan keeps predicate pushdown, and candidates join on the narrow id
+    column only."""
     from pyspark.sql import Window
 
     man = _load_ann_manifest(path)
     dim, model = load_ann_model(path)
+    nprobe = _effective_nprobe(man, nprobe, auto_escalate)
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -327,6 +388,20 @@ def query_ann_index(
     vec = _read_vectors(spark, path, man)
     if len(probed) < len(model):
         vec = vec.filter(F.col("cell").isin(probed))
+    if filter_ids is not None:
+        # allowed-set semi-join on the probed candidates — BEFORE the
+        # ranking window, so every returned row is allowed AND the top-k
+        # is filled to k from the allowed population (a post-filter would
+        # under-fill). Narrow id column only; AQE picks broadcast when
+        # the allowed set is small and degrades to a shuffled semi-join
+        # when it isn't (the same no-forced-broadcast rule as the
+        # capped-gram sets).
+        allowed = (
+            filter_ids.select(
+                F.col(filter_ids.columns[0]).cast("long").alias("vec_id")
+            ).distinct()
+        )
+        vec = vec.join(allowed, "vec_id", "left_semi")
     scored = (
         vec.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -381,6 +456,7 @@ def compact_ann_index(
         _GENCLAIM_PREFIX,
         _claim_generation,
         _manifest_lock,
+        _split_fold_slice,
     )
 
     man = _load_ann_manifest(path)
@@ -389,21 +465,11 @@ def compact_ann_index(
             f"ANN index at {path} predates generations; rebuild with "
             "build_ann_index (compaction is a no-op for flat layouts)"
         )
-    if (
-        max_generations_to_fold is not None
-        and max_generations_to_fold < 2
-    ):
-        raise ValueError(
-            "max_generations_to_fold must be >= 2 (a 1-fold is a no-op rewrite)"
-        )
     entries = list(man["generations"])
     old_gens = [g["gen"] for g in entries]
-    full = (
-        max_generations_to_fold is None
-        or max_generations_to_fold >= len(entries)
+    fold_entries, keep_entries = _split_fold_slice(
+        entries, max_generations_to_fold
     )
-    fold_entries = entries if full else entries[-max_generations_to_fold:]
-    keep_entries = [] if full else entries[: -max_generations_to_fold]
     fold_man = dict(man, generations=fold_entries)
     gen = _claim_generation(path)
     vec = _read_vectors(spark, path, fold_man)
@@ -514,10 +580,20 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
         if carried is not None:
             entry["carried_max_drift_msd"] = carried
         gens.append(entry)
+    sr = man.get("train_sample_rate")
     return {
         "baseline_msd": baseline,
         "generations": gens,
         "max_ratio": max_ratio,
+        # training coverage, surfaced alongside drift (round-12 verdict
+        # task 1): low coverage is a RECALL hazard (noisy centroids),
+        # distinct from drift (data moved away from good centroids).
+        # Serving auto-escalates nprobe for it (_effective_nprobe), so
+        # it does not flip rebuild_recommended — but a full-coverage
+        # retrain removes the standing probe surcharge, hence the flag.
+        "train_sample_rate": sr,
+        "low_training_coverage": sr is not None
+        and float(sr) < LOW_COVERAGE_SAMPLE_RATE,
         "rebuild_recommended": max_ratio is not None
         and max_ratio >= ratio_threshold,
     }
@@ -590,6 +666,10 @@ def rebuild_ann_index(
         # were assigned under the superseded centroids)
         cur["model_epoch"] = int(cur.get("model_epoch", 0)) + 1
         cur["baseline_msd"] = baseline
+        # the retrain's own coverage replaces the build's — a
+        # sample_rate=1.0 rebuild is exactly how an operator retires the
+        # low-coverage probe surcharge
+        cur["train_sample_rate"] = float(sample_rate)
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )

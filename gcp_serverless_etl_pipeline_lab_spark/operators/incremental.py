@@ -369,6 +369,46 @@ def _manifest_lock(path: str):
     return _lock()
 
 
+def _split_fold_slice(
+    entries: list[dict],
+    max_generations_to_fold: int | None,
+    protect_increments: set[str] | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """The one tiering policy every compactor in the family shares
+    (text, lexical, ANN — round-12 advice factored it out of three
+    verbatim copies): ``(fold_entries, keep_entries)`` where the fold
+    slice is the NEWEST ``max_generations_to_fold`` listed generations
+    (all of them when None or >= len — a full fold), and keep is the
+    untouched prefix in its original order. ``k < 2`` raises — a 1-fold
+    is a no-op rewrite.
+
+    ``protect_increments`` (round-12 advice on the one-legged-increment
+    hazard): entries whose ``increment_id`` is in the set are PULLED OUT
+    of the fold slice and kept listed under their own generation — the
+    nightly retrieval loop passes the lex-applied-but-ANN-pending ids so
+    a compaction between a mid-night crash and its replay can never fold
+    an increment whose sibling leg still needs ``exclude_increment_id``
+    to find it. Protected entries keep their relative order ahead of the
+    fold result."""
+    if max_generations_to_fold is not None and max_generations_to_fold < 2:
+        raise ValueError(
+            "max_generations_to_fold must be >= 2 (a 1-fold is a no-op rewrite)"
+        )
+    entries = list(entries)
+    full = (
+        max_generations_to_fold is None
+        or max_generations_to_fold >= len(entries)
+    )
+    fold = entries if full else entries[-max_generations_to_fold:]
+    keep = [] if full else entries[: -max_generations_to_fold]
+    if protect_increments:
+        keep = keep + [
+            g for g in fold if g.get("increment_id") in protect_increments
+        ]
+        fold = [g for g in fold if g.get("increment_id") not in protect_increments]
+    return fold, keep
+
+
 def _load_manifest(path: str) -> dict:
     import json
     import os
@@ -742,17 +782,12 @@ def compact_index(
             "with build_base_index (compaction is a no-op for single-"
             "generation indexes)"
         )
-    if max_generations_to_fold is not None and max_generations_to_fold < 2:
-        raise ValueError("max_generations_to_fold must be >= 2 (a 1-fold is a no-op rewrite)")
     max_df = man["max_df"]
     old_gens = [g["gen"] for g in man["generations"]]
-    entries = list(man["generations"])
-    full = (
-        max_generations_to_fold is None
-        or max_generations_to_fold >= len(entries)
+    fold_entries, keep_entries = _split_fold_slice(
+        man["generations"], max_generations_to_fold
     )
-    fold_entries = entries if full else entries[-max_generations_to_fold:]
-    keep_entries = [] if full else entries[: -max_generations_to_fold]
+    full = not keep_entries
     fold_man = {"version": 2, "generations": fold_entries}
     gen = _claim_generation(path)
 

@@ -268,7 +268,10 @@ def append_lexical_index(
 
 
 def compact_lexical_index(
-    spark, path: str, max_generations_to_fold: int | None = None
+    spark,
+    path: str,
+    max_generations_to_fold: int | None = None,
+    protect_increments: set[str] | None = None,
 ) -> int:
     """Fold committed posting generations — same discipline as the
     sibling compactors: fresh claimed generation, artifacts first,
@@ -290,40 +293,53 @@ def compact_lexical_index(
     sum_dl) — total corpus stats are unchanged, which is all any probe
     reads. Unfolded entries keep their place and order. The lexical
     index has no capped ledger (postings never die), so the partial
-    fold is a plain union-rewrite of the folded slice."""
+    fold is a plain union-rewrite of the folded slice.
+
+    ``protect_increments`` (round-12 advice): generation entries whose
+    ``increment_id`` is in this set are pulled out of the fold slice and
+    stay listed under their own generation — the nightly retrieval loop
+    passes its lex-applied-but-ANN-pending ids so a fold can never
+    absorb an increment whose crash-replay still needs
+    ``indexed_doc_ids(..., exclude_increment_id=...)`` to match it (a
+    folded entry's id moves to ``compacted_increments`` and the
+    exclusion stops matching, which would starve the replayed ANN leg).
+    Raises when protection leaves fewer than 2 foldable generations —
+    nothing useful to rewrite."""
     import os
 
-    from .incremental import _GENCLAIM_PREFIX
+    from .incremental import _GENCLAIM_PREFIX, _split_fold_slice
 
     man = _load_lex_manifest(path)
-    if (
-        max_generations_to_fold is not None
-        and max_generations_to_fold < 2
-    ):
-        raise ValueError(
-            "max_generations_to_fold must be >= 2 (a 1-fold is a no-op rewrite)"
-        )
     entries = list(man["generations"])
     old_gens = [g["gen"] for g in entries]
-    full = (
-        max_generations_to_fold is None
-        or max_generations_to_fold >= len(entries)
+    fold_entries, keep_entries = _split_fold_slice(
+        entries, max_generations_to_fold, protect_increments
     )
-    fold_entries = entries if full else entries[-max_generations_to_fold:]
-    keep_entries = [] if full else entries[: -max_generations_to_fold]
+    if len(fold_entries) < 2:
+        raise ValueError(
+            f"nothing to fold at {path}: {len(fold_entries)} unprotected "
+            "generation(s) in the fold slice (a 1-fold is a no-op rewrite; "
+            "re-run after the pending sibling-leg appends land)"
+        )
     fold_man = dict(man, generations=fold_entries)
     n_docs = sum(int(g["n_docs"]) for g in fold_entries)
     sum_dl = sum(int(g["sum_dl"]) for g in fold_entries)
     gen = _claim_generation(path)
     _write_postings_gen(_read_postings(spark, path, fold_man), path, gen)
+    # a fold that contains any pre-round-12 (doclist-less) generation
+    # must not write a doclist-less fold — that would propagate the
+    # legacy state forever (round-12 advice): materialize the missing
+    # legacy doclists first, so the fold's doclist is always complete
     dl = _read_doclist(spark, path, fold_man)
-    if dl is not None:
-        (
-            dl.repartition(DOC_BUCKETS, F.col("db"))
-            .write.mode("overwrite")
-            .partitionBy("db")
-            .parquet(os.path.join(path, "doclist", f"gen={gen}"))
-        )
+    if dl is None:
+        _materialize_missing_doclists(spark, path)
+        dl = _read_doclist(spark, path, fold_man)
+    (
+        dl.repartition(DOC_BUCKETS, F.col("db"))
+        .write.mode("overwrite")
+        .partitionBy("db")
+        .parquet(os.path.join(path, "doclist", f"gen={gen}"))
+    )
     applied = [
         g["increment_id"]
         for g in fold_entries
@@ -376,7 +392,11 @@ def _read_postings(spark, path: str, man: dict) -> DataFrame:
 def _read_doclist(spark, path: str, man: dict) -> DataFrame | None:
     """Union of the committed doclist generations, or None when any
     listed generation predates the artifact (pre-round-12 index) —
-    callers then fall back to a postings scan."""
+    callers then run ``_materialize_missing_doclists`` once and re-read
+    (round-12 verdict task 4: the old unpruned-postings fallback was
+    also blind to tokenless docs in every LATER generation, so one
+    legacy generation silently degraded the whole index's membership
+    probes forever)."""
     import os
 
     out = None
@@ -391,6 +411,53 @@ def _read_doclist(spark, path: str, man: dict) -> DataFrame | None:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _materialize_missing_doclists(spark, path: str) -> list[int]:
+    """One-time in-place upgrade of a pre-round-12 index: derive the
+    doclist of every listed generation that lacks one from that
+    generation's own postings (distinct doc_id — one narrow-column scan
+    per legacy generation, run ONCE ever, not per probe). Serialized
+    under the manifest lock; each doclist lands via write-to-temp +
+    atomic rename, so a concurrent reader sees either no dir (and blocks
+    on the lock here) or a complete one — a listed generation's dir must
+    never be readable half-written.
+
+    Honest limit: a legacy generation's TOKENLESS docs left no postings,
+    so its derived doclist cannot contain them — exactly as blind as the
+    fallback scan this replaces, but confined to the legacy generations;
+    every post-upgrade append/compact records tokenless docs properly.
+    Returns the generation numbers materialized."""
+    import os
+    import shutil
+
+    with _manifest_lock(path):
+        man = _load_lex_manifest(path)
+        missing = [
+            g["gen"]
+            for g in man["generations"]
+            if not os.path.isdir(os.path.join(path, "doclist", f"gen={g['gen']}"))
+        ]
+        for gen in missing:
+            d = os.path.join(path, "postings", f"gen={gen}")
+            post = (
+                spark.read.schema(_POSTINGS_SCHEMA)
+                .option("basePath", d)
+                .parquet(d)
+            )
+            tmp = os.path.join(path, "doclist", f".tmp-gen={gen}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                post.select("doc_id")
+                .distinct()
+                .withColumn("db", _db("doc_id"))
+                .repartition(DOC_BUCKETS, F.col("db"))
+                .write.mode("overwrite")
+                .partitionBy("db")
+                .parquet(tmp)
+            )
+            os.rename(tmp, os.path.join(path, "doclist", f"gen={gen}"))
+    return missing
 
 
 def indexed_doc_ids(
@@ -418,10 +485,13 @@ def indexed_doc_ids(
     hand-run ``compact_lexical_index`` between a mid-night crash and its
     replay.
 
-    Pre-round-12 indexes (no doclist artifact) fall back to a distinct
-    over the postings' doc_id column — correct but unpruned, and blind
-    to tokenless docs; rebuild or compact the index to materialize the
-    doclist."""
+    Pre-round-12 indexes (no doclist artifact) are upgraded IN PLACE on
+    first probe — ``_materialize_missing_doclists`` derives each legacy
+    generation's doclist from its own postings, once ever — so every
+    probe after the first runs the pruned path, and tokenless docs in
+    post-upgrade generations are always visible (the deleted fallback
+    scanned ALL generations' postings, so one legacy generation made the
+    probe blind to every later generation's tokenless docs too)."""
     man = _load_lex_manifest(path)
     gens = [
         g for g in man["generations"]
@@ -434,8 +504,8 @@ def indexed_doc_ids(
     want = ids.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
     dl = _read_doclist(spark, path, sub)
     if dl is None:
-        member = _read_postings(spark, path, sub).select("doc_id").distinct()
-        return want.join(member, "doc_id", "left_semi")
+        _materialize_missing_doclists(spark, path)
+        dl = _read_doclist(spark, path, sub)
     dbs = [r["db"] for r in want.select(_db("doc_id").alias("db")).distinct().collect()]
     if len(dbs) < DOC_BUCKETS:
         dl = dl.filter(F.col("db").isin(dbs))
@@ -449,6 +519,7 @@ def bm25_topk_from_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """``retrieval.bm25_topk`` served from the stored postings — result-
     identical (same schema (doc_id, n_terms, score), same integer
@@ -457,7 +528,17 @@ def bm25_topk_from_index(
     pruning from a driver-side bucket list computed over the TERMS, not
     the corpus) — per-query cost tracks matched-postings size, never
     corpus size. N/avgdl come from the manifest's per-generation stats;
-    df per query term is a count-window over the pruned postings."""
+    df per query term is a count-window over the pruned postings.
+
+    ``filter_ids`` (round-12 verdict task 2 — metadata-filtered
+    retrieval): optional 1-column (doc_id) frame of ALLOWED documents.
+    The semi-join lands on the pruned postings AFTER the df window, so
+    df/N/avgdl stay INDEX-level statistics (the filter narrows
+    candidates, not the corpus's term rarity — a doc's score is the same
+    whether or not its neighbors are filtered away) while the top-k
+    fills to ``k`` from allowed docs only. Term-bucket pruning is
+    untouched — the filter joins the matched-postings stream on the
+    narrow id column."""
     man = _load_lex_manifest(path)
     n_docs = sum(int(g["n_docs"]) for g in man["generations"])
     sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
@@ -479,6 +560,13 @@ def bm25_topk_from_index(
     tfdf = post.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
+    if filter_ids is not None:
+        allowed = (
+            filter_ids.select(
+                F.col(filter_ids.columns[0]).cast("long").alias("doc_id")
+            ).distinct()
+        )
+        tfdf = tfdf.join(allowed, "doc_id", "left_semi")
     idf = F.log(
         (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
@@ -507,6 +595,8 @@ def hybrid_topk_rrf_from_index(
     depth: int = 50,
     nprobe: int = 3,
     rrf_k: int = 60,
+    filter_ids: DataFrame | None = None,
+    auto_escalate: bool = True,
 ) -> DataFrame:
     """``retrieval.hybrid_topk_rrf`` in its SERVING shape (round-11
     verdict task 1): the BM25 leg probes the persisted lexical index
@@ -534,19 +624,35 @@ def hybrid_topk_rrf_from_index(
     only: the BM25 leg is probe-exact (test_lexindex.py), so overlap
     tracks whether the probed cells cover the true top-``depth``.
 
+    ``filter_ids`` (round-12 verdict task 2): optional 1-column (doc_id)
+    frame of allowed documents — "top-k among docs WHERE <metadata
+    predicate>". Applied INSIDE both legs before their depth ranking
+    (lexical: semi-join on the pruned postings after the df window; ANN:
+    semi-join on the probed-cell candidates), so the fused top-k fills
+    to ``k`` from allowed docs — a post-filter of an unfiltered fusion
+    under-fills whenever the unfiltered top-k contains filtered-out
+    docs. Bucket/cell partition pruning survives the filter (pinned in
+    tests/test_plans_round13.py). ``auto_escalate`` forwards to the ANN
+    probe's low-coverage nprobe escalation.
+
     Returns (doc_id, bm25_rank, ann_rank, rrf_score) — top ``k`` by
     (rrf_score desc, doc_id); absent-leg ranks are NULL."""
     from .annindex import query_ann_index
 
     w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     lex = (
-        bm25_topk_from_index(spark, lex_path, terms, k=depth)
+        bm25_topk_from_index(
+            spark, lex_path, terms, k=depth, filter_ids=filter_ids
+        )
         .withColumn("bm25_rank", F.row_number().over(w_lex))
         .select("doc_id", "bm25_rank")
     )
     # the stored probe already ranks with the index's tie discipline
     # (row_number over unrounded score desc, neighbor_id) — reuse it
-    vec = query_ann_index(spark, query, ann_path, k=depth, nprobe=nprobe).select(
+    vec = query_ann_index(
+        spark, query, ann_path, k=depth, nprobe=nprobe,
+        auto_escalate=auto_escalate, filter_ids=filter_ids,
+    ).select(
         F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("ann_rank")
     )
     rrf = F.round(
@@ -574,6 +680,8 @@ def hybrid_topk_rrf_batch(
     rrf_k: int = 60,
     k1: float = 1.2,
     b: float = 0.75,
+    filter_ids: DataFrame | None = None,
+    auto_escalate: bool = True,
 ) -> DataFrame:
     """Batch-of-queries hybrid retrieval (round-11 verdict task 7) — the
     serving shape: a QUERIES DataFrame in, per-query fused top-k out,
@@ -596,6 +704,12 @@ def hybrid_topk_rrf_batch(
     per-(query_id, doc_id) full outer join over ≤ 2·depth rows per
     query. Nothing anywhere scales with corpus size beyond the matched
     postings and probed cells.
+
+    ``filter_ids``: one allowed-doc set shared by the whole batch (the
+    serving shape for a tenant- or corpus-slice filter), applied inside
+    both legs before ranking exactly as in the single-query spelling —
+    per-query filters belong in per-query calls. ``auto_escalate``
+    forwards to the ANN probe's low-coverage escalation.
 
     Returns (query_id, doc_id, bm25_rank, ann_rank, rrf_score) — top
     ``k`` per query by (rrf_score desc, doc_id); absent-leg ranks NULL."""
@@ -620,7 +734,16 @@ def hybrid_topk_rrf_batch(
     if len(tbs) < nb:
         post = post.filter(F.col("tb").isin(tbs))
     post = post.filter(F.col("term").isin(terms))
+    # df over the UNFILTERED pruned postings — index-level term rarity,
+    # same statistics contract as the single-query spelling
     dfx = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if filter_ids is not None:
+        allowed = (
+            filter_ids.select(
+                F.col(filter_ids.columns[0]).cast("long").alias("doc_id")
+            ).distinct()
+        )
+        post = post.join(allowed, "doc_id", "left_semi")
     idf = F.log(
         (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
@@ -644,7 +767,8 @@ def hybrid_topk_rrf_batch(
         .select("query_id", "doc_id", "bm25_rank")
     )
     vec = query_ann_index(
-        spark, query_vecs, ann_path, k=depth, nprobe=nprobe
+        spark, query_vecs, ann_path, k=depth, nprobe=nprobe,
+        auto_escalate=auto_escalate, filter_ids=filter_ids,
     ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
