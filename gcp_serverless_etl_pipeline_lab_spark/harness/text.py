@@ -734,6 +734,114 @@ def a0i_lex_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_index(spark, idx, list(_BM25_TERMS), k=10)
 
 
+# metadata predicate for the filtered-hybrid query — the first thing a
+# real retrieval user asks for ("top-k among docs WHERE ..."); ~30% of
+# the corpus passes, so an unfiltered top-10 post-filtered would
+# under-fill while the in-leg filter fills to k
+_FILTER_PRED_SQL = "lang = 'en' AND n_chars > 200"
+
+
+def _a0j_filtered_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    return f"""
+    WITH allowed AS (
+      SELECT doc_id FROM documents WHERE {_FILTER_PRED_SQL}
+    ),
+    {_BM25_LEG_DUCK},
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+           JOIN allowed USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {_HYBRID_DEPTH}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+      FROM bm
+    ),
+    {_ivf_model_duck()},
+    hq AS (SELECT e AS qe FROM c WHERE vec_id = {_HYBRID_QUERY_ID}),
+    qp AS (
+      SELECT cell FROM (
+        SELECT i.cell,
+               row_number() OVER (ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM hq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT fa.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell
+           JOIN allowed ON allowed.doc_id = fa.vec_id
+           CROSS JOIN hq q
+      WHERE fa.vec_id <> {_HYBRID_QUERY_ID}
+    ),
+    vecr AS (
+      SELECT doc_id, ann_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS ann_rank
+        FROM vs) WHERE ann_rank <= {_HYBRID_DEPTH}
+    )
+    SELECT doc_id,
+           CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+           CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+           ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                 + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+               AS rrf_score
+    FROM lex FULL OUTER JOIN vecr USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register("a0j_hybrid_filtered", _a0j_filtered_oracle())
+def a0j_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED hybrid retrieval from the persisted indexes
+    (round-12 verdict task 2): top-k among documents satisfying a
+    metadata predicate (lang + length here). The allowed-doc frame comes
+    from filtering the metadata table — its parquet scan keeps predicate
+    pushdown — and lands INSIDE both legs before their depth ranking
+    (lexical: semi-join on the bucket-pruned postings after the df
+    window, so df/N stay index-level; ANN: semi-join on the cell-pruned
+    candidates), so the fused top-10 fills from allowed docs instead of
+    post-filtering an unfiltered top-10 down. The oracle mirrors the
+    exact routing (same pinned IVF model/cells as the a0h oracles, same
+    allowed semi-joins), so ranks AND scores hash-match exactly.
+    Partition pruning surviving the filter is pinned in
+    tests/test_plans_round13.py."""
+    from ..operators.lexindex import hybrid_topk_rrf_from_index
+    from .similarity import _IVF_NPROBE
+
+    lex, ann = _hybrid_indexes(spark, sf_dir)
+    allowed = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr(_FILTER_PRED_SQL))
+        .select("doc_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _HYBRID_QUERY_ID)
+    out = hybrid_topk_rrf_from_index(
+        spark,
+        lex,
+        ann,
+        list(_BM25_TERMS),
+        q,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        nprobe=_IVF_NPROBE,
+        rrf_k=_HYBRID_RRF_K,
+        filter_ids=allowed,
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------
