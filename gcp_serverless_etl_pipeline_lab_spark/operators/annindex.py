@@ -59,6 +59,21 @@ from .similarity import (
 
 _MANIFEST = "_MANIFEST.json"
 
+# the ANN membership artifact (round-12 verdict task 6): one row per
+# indexed vector, hive-partitioned by vb = pmod(vec_id, VEC_BUCKETS) —
+# the vector twin of the lexical doclist. "Are these vec_ids indexed?"
+# probes read only the asked ids' buckets of this narrow artifact,
+# never the cell-partitioned vectors/ (whose rows carry the embedding
+# payload and whose CELL partitioning prunes nothing for an id lookup —
+# every cell would scan). Feeds the nightly hybrid-consistency check at
+# consistency_scope="full", whose cost now tracks asked-set size.
+VEC_BUCKETS = 64
+_VECLIST_SCHEMA = "vec_id bigint, vb int"
+
+
+def _vb(col: str):
+    return F.pmod(F.col(col), F.lit(VEC_BUCKETS)).cast("int")
+
 # an append whose mean assignment distance exceeds this multiple of the
 # build-time baseline is drifting away from the pinned centroids —
 # recall against it degrades and a retrain (rebuild_ann_index with a
@@ -180,6 +195,24 @@ def _write_vectors_gen(
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "vectors", f"gen={gen}"))
+    )
+    _write_veclist_gen(vectors, path, gen)
+
+
+def _write_veclist_gen(vectors: DataFrame, path: str, gen: int) -> None:
+    """Membership rows (vec_id, vb) for one slice — written alongside
+    every vector generation (build/append/rebuild/compact), committed by
+    the same manifest flip that lists the generation."""
+    import os
+
+    (
+        vectors.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .distinct()
+        .withColumn("vb", _vb("vec_id"))
+        .repartition(VEC_BUCKETS, F.col("vb"))
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(os.path.join(path, "veclist", f"gen={gen}"))
     )
 
 
@@ -321,6 +354,110 @@ def _read_vectors(spark, path: str, man: dict) -> DataFrame:
         part = spark.read.option("basePath", d).parquet(d)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _read_veclist(spark, path: str, man: dict) -> DataFrame | None:
+    """Union of the committed veclist generations, or None when any
+    listed generation predates the artifact (pre-round-13 index) —
+    callers run ``_materialize_missing_veclists`` once and re-read."""
+    import os
+
+    out = None
+    for g in man["generations"]:
+        d = os.path.join(path, "veclist", f"gen={g['gen']}")
+        if not os.path.isdir(d):
+            return None
+        part = (
+            spark.read.schema(_VECLIST_SCHEMA)
+            .option("basePath", d)
+            .parquet(d)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _materialize_missing_veclists(spark, path: str) -> list[int]:
+    """One-time in-place upgrade of a pre-round-13 ANN index: derive the
+    veclist of every listed generation lacking one from that
+    generation's own vectors (distinct vec_id — one narrow-column scan
+    per legacy generation, once ever). Same discipline as the lexical
+    doclist upgrade: serialized under the manifest lock, temp + atomic
+    rename so a listed generation's dir is never readable half-written.
+    Unlike the doclist there is no blindness caveat — every indexed
+    vector has a vectors/ row, so the derived artifact is complete."""
+    import os
+    import shutil
+
+    from .incremental import _manifest_lock
+
+    with _manifest_lock(path):
+        man = _load_ann_manifest(path)
+        missing = [
+            g["gen"]
+            for g in man["generations"]
+            if not os.path.isdir(os.path.join(path, "veclist", f"gen={g['gen']}"))
+        ]
+        for gen in missing:
+            d = os.path.join(path, "vectors", f"gen={gen}")
+            vec = spark.read.option("basePath", d).parquet(d)
+            tmp = os.path.join(path, "veclist", f".tmp-gen={gen}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                vec.select(F.col("vec_id").cast("long").alias("vec_id"))
+                .distinct()
+                .withColumn("vb", _vb("vec_id"))
+                .repartition(VEC_BUCKETS, F.col("vb"))
+                .write.mode("overwrite")
+                .partitionBy("vb")
+                .parquet(tmp)
+            )
+            os.rename(tmp, os.path.join(path, "veclist", f"gen={gen}"))
+    return missing
+
+
+def indexed_vec_ids(
+    spark,
+    path: str,
+    ids: DataFrame,
+    exclude_increment_id: str | None = None,
+    generations: list[dict] | None = None,
+) -> DataFrame:
+    """Which of ``ids`` (a 1-column (vec_id) frame) are already in the
+    ANN index — the vector twin of ``lexindex.indexed_doc_ids``, reading
+    only the asked ids' ``vb`` bucket partitions of the veclist (the
+    bucket list is a ≤VEC_BUCKETS-value driver-side collect over the
+    IDS — bounded gate), never the embedding-carrying vectors/. Probe
+    cost tracks |ids| x bucket share, not index size.
+
+    ``exclude_increment_id`` skips the generation that increment itself
+    committed (the crash-replay contract, same as the lexical twin).
+    ``generations`` restricts the probe to an explicit entry subset
+    (the nightly consistency check scopes to tonight's generations);
+    entries must come from this index's manifest."""
+    man = _load_ann_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"ANN index at {path} predates generations; rebuild with "
+            "build_ann_index to enable membership probes"
+        )
+    gens = [
+        g
+        for g in (generations if generations is not None else man["generations"])
+        if exclude_increment_id is None
+        or g.get("increment_id") != exclude_increment_id
+    ]
+    want = ids.select(F.col(ids.columns[0]).cast("long").alias("vec_id")).distinct()
+    if not gens:
+        return want.limit(0)
+    sub = dict(man, generations=gens)
+    vl = _read_veclist(spark, path, sub)
+    if vl is None:
+        _materialize_missing_veclists(spark, path)
+        vl = _read_veclist(spark, path, sub)
+    vbs = [r["vb"] for r in want.select(_vb("vec_id").alias("vb")).distinct().collect()]
+    if len(vbs) < VEC_BUCKETS:
+        vl = vl.filter(F.col("vb").isin(vbs))
+    return want.join(vl.select("vec_id"), "vec_id", "left_semi")
 
 
 def query_ann_index(
@@ -479,6 +616,19 @@ def compact_ann_index(
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(path, "vectors", f"gen={gen}"))
+    )
+    # fold the membership artifact alongside — from the folded slice's
+    # own veclists (narrow scan; materialized first for pre-round-13
+    # generations so the fold never propagates the legacy state)
+    vl = _read_veclist(spark, path, fold_man)
+    if vl is None:
+        _materialize_missing_veclists(spark, path)
+        vl = _read_veclist(spark, path, fold_man)
+    (
+        vl.repartition(VEC_BUCKETS, F.col("vb"))
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(os.path.join(path, "veclist", f"gen={gen}"))
     )
     # drift must SURVIVE compaction (round-11 verdict task 3): the folded
     # generation records (a) a fresh overall quantization error of the

@@ -252,7 +252,8 @@ def run_nightly_retrieval_loop(
     if ann_index_path is not None:
         from ..operators.annindex import (
             _load_ann_manifest,
-            _read_vectors,
+            _materialize_missing_veclists,
+            _read_veclist,
             ann_drift_report,
             compact_ann_index,
         )
@@ -289,10 +290,16 @@ def run_nightly_retrieval_loop(
         else:
             check_gens = []
         if check_gens:
+            # the checked generations' ids come from the ANN membership
+            # artifact (veclist, round 13) — a narrow id-only read, so
+            # even consistency_scope="full" never scans the embedding-
+            # carrying vectors/; pre-round-13 indexes upgrade in place
             sub = dict(ann_man, generations=check_gens)
-            ann_ids = _read_vectors(spark, ann_index_path, sub).select(
-                F.col("vec_id").alias("doc_id")
-            )
+            vl = _read_veclist(spark, ann_index_path, sub)
+            if vl is None:
+                _materialize_missing_veclists(spark, ann_index_path)
+                vl = _read_veclist(spark, ann_index_path, sub)
+            ann_ids = vl.select(F.col("vec_id").alias("doc_id"))
             present = indexed_doc_ids(spark, lex_index_path, ann_ids)
             missing = ann_ids.join(present, "doc_id", "left_anti").count()
         if missing:

@@ -180,7 +180,11 @@ def test_compact_ann_index_folds_generations_preserves_queries(spark, tmp_path):
         "gen=0", "gen=1", "gen=2",
     ]
     swept = incremental.vacuum_index(idx, min_age_seconds=0.0)
-    assert swept == ["vectors/gen=0", "vectors/gen=1"]
+    assert swept == [
+        # the membership artifact (round 13) is swept alongside the vectors
+        "veclist/gen=0", "veclist/gen=1",
+        "vectors/gen=0", "vectors/gen=1",
+    ]
     assert sorted(os.listdir(os.path.join(idx, "vectors"))) == ["gen=2"]
     assert sorted(
         map(tuple, annindex.query_ann_index(spark, queries, idx, 5, 2).collect())

@@ -71,7 +71,7 @@ def _ids(df) -> set:
     return {r["doc_id"] for r in df.select("doc_id").collect()}
 
 
-def _overlap(spark, lex, ann, docs, emb, qid, terms) -> float:
+def _overlap(spark, lex, ann, docs, emb, qid, terms, auto_escalate=True) -> float:
     served = lexindex.hybrid_topk_rrf_from_index(
         spark,
         lex,
@@ -81,6 +81,7 @@ def _overlap(spark, lex, ann, docs, emb, qid, terms) -> float:
         k=K,
         depth=DEPTH,
         nprobe=NPROBE,
+        auto_escalate=auto_escalate,
     )
     brute = retrieval.hybrid_topk_rrf(
         docs, emb, terms, qid, EMB_DIM, k=K, depth=DEPTH
@@ -117,6 +118,39 @@ def test_served_hybrid_overlap_floor(spark, corpus, indexes):
     ]
     mean = sum(vals) / len(vals)
     assert mean >= 0.75, f"served-hybrid overlap@10 {vals} mean {mean:.2f} < 0.75"
+
+
+def test_sampled_model_floor_via_escalation(spark, corpus, tmp_path):
+    """Round-13 task 1: the SAMPLED-model serving path must also clear
+    the 0.75 floor. A sample_rate=0.1 quantizer's noisier centroids
+    measured 0.68 overlap@10 at nprobe=3 on the stress corpus
+    (SCALE_STRESS.json hybrid_batch, round 12) with nothing in the
+    serving path aware — now the manifest records training coverage and
+    serving auto-escalates nprobe x2 for low-coverage models. The floor
+    here asserts the DEFAULT serving path on a sampled index; the
+    escalated probe must also never do worse than the pinned one."""
+    docs, emb = corpus
+    lex, ann = str(tmp_path / "lex"), str(tmp_path / "ann")
+    lexindex.build_lexical_index(docs, lex)
+    annindex.build_ann_index(
+        emb, ann, EMB_DIM, cells=_IVF_K, iters=2, sample_rate=0.1
+    )
+    rep = annindex.ann_drift_report(ann)
+    assert rep["low_training_coverage"] is True, rep
+    esc = [
+        _overlap(spark, lex, ann, docs, emb, qid, terms)
+        for qid, terms in QUERIES
+    ]
+    pinned = [
+        _overlap(spark, lex, ann, docs, emb, qid, terms, auto_escalate=False)
+        for qid, terms in QUERIES
+    ]
+    m_esc, m_pin = sum(esc) / len(esc), sum(pinned) / len(pinned)
+    assert m_esc >= 0.75, (
+        f"sampled-model served overlap {esc} mean {m_esc:.2f} < 0.75 "
+        f"even with escalation (pinned read {m_pin:.2f})"
+    )
+    assert m_esc >= m_pin, (esc, pinned)
 
 
 def test_drift_flag_fires_before_overlap_decays(spark, corpus, tmp_path):

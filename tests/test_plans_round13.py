@@ -58,3 +58,28 @@ def test_filtered_ann_keeps_cell_pruning(spark, tmp_path):
     assert "PartitionFilters: [cell#" in plan, (
         "filtered ANN probe lost the cell partition filter"
     )
+
+
+def test_vec_membership_probe_prunes_buckets_and_skips_vectors(spark, tmp_path):
+    """The ANN membership probe must read the veclist pruned to the
+    asked ids' vb buckets and never touch the embedding-carrying
+    vectors/ (cell partitioning prunes nothing for an id lookup)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        emb, idx, EMB_DIM, cells=8, iters=2, sample_rate=1.0
+    )
+    # multiples of 128 land in vb=0 only — a one-value partition list
+    asked = spark.range(0, 512, 128).select(F.col("id").alias("vec_id"))
+    df = annindex.indexed_vec_ids(spark, idx, asked)
+    plan = _plan(df)
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*vb#", plan), (
+        "membership probe lost the vec-bucket partition filter"
+    )
+    assert "embedding" not in plan and "cell#" not in plan, (
+        "membership probe touches the vectors artifact"
+    )

@@ -264,6 +264,52 @@ def test_filtered_hybrid_fills_k_and_respects_filter(spark, tmp_path):
     assert any(r["ann_rank"] is not None for r in out)
 
 
+# ------------------------------------------------- ANN membership artifact
+
+
+def test_indexed_vec_ids_membership(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, EMB_DIM,
+        cells=4, iters=2, sample_rate=1.0,
+    )
+    annindex.append_ann_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), idx, increment_id="odd"
+    )
+    asked = emb.select("vec_id").unionByName(
+        emb.select((F.col("vec_id") + 77_000_000).alias("vec_id"))
+    )
+    hit = annindex.indexed_vec_ids(spark, idx, asked)
+    assert hit.count() == emb.count()
+    assert hit.filter(F.col("vec_id") >= 77_000_000).count() == 0
+    # crash-replay exclusion: the increment's own generation is skipped
+    own = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id")
+    assert (
+        annindex.indexed_vec_ids(
+            spark, idx, own, exclude_increment_id="odd"
+        ).count()
+        == 0
+    )
+    # compaction folds the veclist alongside the vectors
+    annindex.compact_ann_index(spark, idx)
+    assert annindex.indexed_vec_ids(spark, idx, asked).count() == emb.count()
+    gen = annindex._load_ann_manifest(idx)["generations"][-1]["gen"]
+    assert os.path.isdir(os.path.join(idx, "veclist", f"gen={gen}"))
+
+
+def test_legacy_ann_index_upgrades_veclist_in_place(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "ann")
+    annindex.build_ann_index(
+        emb, idx, EMB_DIM, cells=4, iters=2, sample_rate=1.0
+    )
+    shutil.rmtree(os.path.join(idx, "veclist"))
+    asked = emb.select("vec_id").limit(9)
+    assert annindex.indexed_vec_ids(spark, idx, asked).count() == 9
+    assert os.path.isdir(os.path.join(idx, "veclist", "gen=0"))
+
+
 # ------------------------------------------------------ doclist upgrade
 
 
