@@ -363,10 +363,15 @@ def apply_merges_to_word_table(
       (SCALE_STRESS.json ``bpe_deep_apply``, 1024 merges, warm
       min-of-2): **3.9 / 9.6 / 27.4 s at 20k/60k/200k distinct words**
       — linear in vocabulary — vs the chunked per-merge loop's
-      299.6/311.5/530.7 s on the same corpora (77x at x1). The one-time
-      cost the stress also recorded: a COLD first run pays ~80 s of
-      plan compile/codegen for the deep nested expression — per
-      session, not per data.
+      299.6/311.5/530.7 s on the same corpora (77x at x1). Cold-start
+      (round-13 re-measurement, retracting round 12's ambient-inflated
+      "~80 s" reading): a fresh session's first run pays ~5 s of
+      compile/codegen, DEPTH-INDEPENDENT (4.9 s at 64 merges vs 5.1 s
+      at 1024 on the same table — the merge table is broadcast DATA,
+      not plan nodes, so plan size is constant and a segmented fold has
+      nothing to bound; a chained 4x256-segment spelling measured
+      warm-identical, 3.9 vs 3.4 s). SCALE_STRESS.json bpe_deep_apply
+      records ``cold_first_run_sec`` each round.
     - **chunked-chained** (``single_pass=False``): one join+HOF plan
       node per merge, TRUNCATED with an eager localCheckpoint every
       ``checkpoint_every`` merges (round-11 task 2) so Catalyst analysis

@@ -30,6 +30,40 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def _resolve_increment(raw, id_col, text_col, embedding_col, has_vec):
+    """Deterministic one-row-per-doc resolution of an at-least-once
+    inbox increment: ``min_by`` of the whole row over a content key, so
+    every leg and every replay picks the same survivor — the key
+    tie-breaks on the embedding's rendering too (identical text
+    retransmitted with a re-embedded vector must not resolve arbitrarily
+    between legs or runs). Shared by the retrieval loop and the unified
+    nightly driver (streaming/nightly.py)."""
+    if has_vec:
+        key = f"struct(md5({text_col}), cast({embedding_col} AS string))"
+        row = F.expr(
+            f"min_by(struct({text_col} AS t, {embedding_col} AS e), {key})"
+        ).alias("_r")
+        return (
+            raw.select(
+                F.col(id_col).cast("long").alias(id_col),
+                text_col,
+                embedding_col,
+            )
+            .groupBy(id_col)
+            .agg(row)
+            .select(
+                id_col,
+                F.col("_r.t").alias(text_col),
+                F.col("_r.e").alias(embedding_col),
+            )
+        )
+    return (
+        raw.select(F.col(id_col).cast("long").alias(id_col), text_col)
+        .groupBy(id_col)
+        .agg(F.expr(f"min_by({text_col}, md5({text_col}))").alias(text_col))
+    )
+
+
 def run_nightly_retrieval_loop(
     spark,
     input_dir: str,
@@ -142,42 +176,7 @@ def run_nightly_retrieval_loop(
             continue
         raw = spark.read.parquet(os.path.join(input_dir, name))
         has_vec = ann_index_path is not None and embedding_col in raw.columns
-        # deterministic one-row-per-doc resolution: min_by of the WHOLE
-        # row over a content key, so every leg and every replay picks the
-        # same survivor — the key tie-breaks on the embedding's rendering
-        # too (identical text retransmitted with a re-embedded vector
-        # must not resolve arbitrarily between legs or runs)
-        if has_vec:
-            key = f"struct(md5({text_col}), cast({embedding_col} AS string))"
-            row = F.expr(
-                f"min_by(struct({text_col} AS t, {embedding_col} AS e), {key})"
-            ).alias("_r")
-            inc = (
-                raw.select(
-                    F.col(id_col).cast("long").alias(id_col),
-                    text_col,
-                    embedding_col,
-                )
-                .groupBy(id_col)
-                .agg(row)
-                .select(
-                    id_col,
-                    F.col("_r.t").alias(text_col),
-                    F.col("_r.e").alias(embedding_col),
-                )
-            )
-        else:
-            inc = (
-                raw.select(
-                    F.col(id_col).cast("long").alias(id_col), text_col
-                )
-                .groupBy(id_col)
-                .agg(
-                    F.expr(f"min_by({text_col}, md5({text_col}))").alias(
-                        text_col
-                    )
-                )
-            )
+        inc = _resolve_increment(raw, id_col, text_col, embedding_col, has_vec)
         # cross-increment guard: docs some EARLIER increment already
         # indexed are dropped from BOTH legs; the increment's own
         # committed generation (replay) is excluded from the probe
@@ -235,15 +234,45 @@ def run_nightly_retrieval_loop(
             _unpersist_rdd_ids(spark.sparkContext, {_inc_rdd})
 
     compacted_lex = None
+    # one-legged increments (lex applied, ANN pending — e.g. a child
+    # that arrived without its embedding column) must stay LISTED under
+    # their own generation: folding one moves its id into
+    # compacted_increments, the replay guard's exclude_increment_id
+    # stops matching, and the pending ANN leg would see its own docs as
+    # already indexed and starve forever (round-12 advice — enforced
+    # here structurally, not by docstring)
+    pending: set = set()
+    if ann_index_path is not None:
+        from ..operators.annindex import _load_ann_manifest as _lam
+
+        ann_now = _lam(ann_index_path)
+        ann_applied_now = {
+            g.get("increment_id") for g in ann_now["generations"]
+        } | set(ann_now.get("compacted_increments", []))
+        lex_now = _load_lex_manifest(lex_index_path)
+        pending = {
+            g.get("increment_id")
+            for g in lex_now["generations"]
+            if g.get("increment_id") is not None
+        } - ann_applied_now
     if (
         compact_every is not None
         and len(_load_lex_manifest(lex_index_path)["generations"])
         >= compact_every
     ):
-        compacted_lex = compact_lexical_index(
-            spark, lex_index_path,
-            max_generations_to_fold=max_generations_to_fold,
+        from ..operators.incremental import _split_fold_slice
+
+        fold, _ = _split_fold_slice(
+            _load_lex_manifest(lex_index_path)["generations"],
+            max_generations_to_fold,
+            pending,
         )
+        if len(fold) >= 2:
+            compacted_lex = compact_lexical_index(
+                spark, lex_index_path,
+                max_generations_to_fold=max_generations_to_fold,
+                protect_increments=pending,
+            )
     compacted_ann = None
     rebuild = None
     drift = None
