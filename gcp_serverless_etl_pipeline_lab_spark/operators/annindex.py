@@ -680,6 +680,100 @@ def compact_ann_index(
     return gen
 
 
+# served-overlap floor: a nightly telemetry reading below this is an
+# OBSERVED recall failure (not a leading-indicator inference like the
+# msd drift flag) — the drift report folds it into rebuild_recommended
+SERVED_OVERLAP_FLOOR = 0.75
+
+
+def serving_overlap_probe(
+    spark,
+    path: str,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobe: int = 3,
+) -> float | None:
+    """OBSERVED serving recall (round-12 verdict task 7): mean overlap@k
+    between the index's own probe (``query_ann_index``, serving defaults
+    including low-coverage escalation) and the exact brute-force top-k
+    over the stored vectors, for a deterministic held-out query set
+    drawn from the index itself (the ``n_queries`` smallest
+    ``xxhash64(vec_id)`` — hash-spread across the corpus, stable across
+    nights so readings are comparable, shifting only as the corpus
+    grows). The msd drift flag INFERS recall risk from quantization
+    error; this MEASURES the recall the serving path actually delivers,
+    so decay from any cause (drift, bad model, low coverage) is observed
+    nightly instead of discovered by users.
+
+    Cost: one exact scan of the index's vectors against ``n_queries``
+    broadcast queries — the documented price of ground truth, bounded by
+    the query count and paid once per night by the maintenance loop,
+    never on the serving path. Returns None for an empty index."""
+    from .similarity import brute_force_topk
+
+    man = _load_ann_manifest(path)
+    dim = int(man["dim"])
+    vec = _read_vectors(spark, path, man).select("vec_id", "embedding")
+    picked = (
+        vec.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(n_queries)
+        .drop("h")
+        .collect()
+    )
+    if not picked:
+        return None
+    qdf = spark.createDataFrame(picked, vec.schema)
+    served = query_ann_index(spark, qdf, path, k=k, nprobe=nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    truth = brute_force_topk(vec, qdf, dim, k=k).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    # per-query overlap fraction, averaged — one tiny aggregate over
+    # <= n_queries * k rows (bounded driver gate)
+    row = (
+        truth.join(
+            served.withColumnRenamed("neighbor_id", "true_id"),
+            ["query_id", "true_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .agg(F.sum("hits").alias("h"))
+        .collect()[0]
+    )
+    hits = int(row["h"] or 0)
+    return round(hits / (len(picked) * k), 4)
+
+
+def record_serving_overlap(
+    path: str, overlap: float, n_queries: int, k: int, nprobe: int,
+    keep_last: int = 30,
+) -> None:
+    """Append a telemetry reading to the manifest (locked read-modify-
+    replace, capped at ``keep_last`` entries — the manifest stays a tiny
+    driver-side JSON). ``night`` is a monotone counter, not a clock:
+    readings order by position."""
+    from .incremental import _manifest_lock
+
+    with _manifest_lock(path):
+        man = _load_ann_manifest(path)
+        tel = list(man.get("telemetry", []))
+        tel.append(
+            {
+                "night": (tel[-1]["night"] + 1) if tel else 1,
+                "served_overlap": overlap,
+                "n_queries": n_queries,
+                "k": k,
+                "nprobe": nprobe,
+                "model_epoch": int(man.get("model_epoch", 0)),
+            }
+        )
+        man["telemetry"] = tel[-keep_last:]
+        _write_ann_manifest(path, man)
+
+
 def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) -> dict:
     """Is the pinned coarse quantizer still a good fit for what the index
     now holds? Appends record their mean squared assignment distance
@@ -731,6 +825,21 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
             entry["carried_max_drift_msd"] = carried
         gens.append(entry)
     sr = man.get("train_sample_rate")
+    # the latest OBSERVED serving recall (serving_overlap_probe,
+    # recorded by the nightly loop) — considered only when taken under
+    # the CURRENT model epoch, so a reading that triggered a rebuild
+    # cannot keep the flag up after the rebuild fixed it
+    tel = man.get("telemetry", [])
+    last = tel[-1] if tel else None
+    cur_epoch = int(man.get("model_epoch", 0))
+    observed = (
+        float(last["served_overlap"])
+        if last is not None
+        and last.get("served_overlap") is not None
+        and int(last.get("model_epoch", cur_epoch)) == cur_epoch
+        else None
+    )
+    observed_low = observed is not None and observed < SERVED_OVERLAP_FLOOR
     return {
         "baseline_msd": baseline,
         "generations": gens,
@@ -744,8 +853,15 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
         "train_sample_rate": sr,
         "low_training_coverage": sr is not None
         and float(sr) < LOW_COVERAGE_SAMPLE_RATE,
-        "rebuild_recommended": max_ratio is not None
-        and max_ratio >= ratio_threshold,
+        "served_overlap": observed,
+        "served_overlap_low": observed_low,
+        # rebuild on either signal: inferred (quantization-error ratio,
+        # the leading indicator) or observed (nightly served-overlap
+        # telemetry under the current model, the ground truth)
+        "rebuild_recommended": (
+            max_ratio is not None and max_ratio >= ratio_threshold
+        )
+        or observed_low,
     }
 
 

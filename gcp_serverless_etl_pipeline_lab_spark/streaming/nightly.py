@@ -48,6 +48,7 @@ def run_nightly(
     text_col: str = "text",
     embedding_col: str = "embedding",
     consistency_scope: str = "new",
+    telemetry_queries: int | None = None,
 ) -> dict:
     """One iteration of the unified nightly maintenance across every
     configured index. Pickup contract: every immediate child of
@@ -230,6 +231,7 @@ def run_nightly(
     compacted: dict = {"lex": None, "ann": None, "text": None}
     rebuild = None
     drift = None
+    served_overlap = None
     missing = 0
     vacuumed: list[str] = []
     if lex_index_path is not None:
@@ -285,6 +287,24 @@ def run_nightly(
                 spark, ann_index_path,
                 max_generations_to_fold=max_generations_to_fold,
             )
+        # serve-time telemetry (round-12 verdict task 7): observe the
+        # recall the serving path delivers tonight and record it BEFORE
+        # the drift report read, so decay flips rebuild_recommended the
+        # night it is measured
+        if telemetry_queries:
+            from ..operators.annindex import (
+                record_serving_overlap,
+                serving_overlap_probe,
+            )
+
+            served_overlap = serving_overlap_probe(
+                spark, ann_index_path, n_queries=telemetry_queries
+            )
+            if served_overlap is not None:
+                record_serving_overlap(
+                    ann_index_path, served_overlap,
+                    n_queries=telemetry_queries, k=10, nprobe=3,
+                )
         rep = ann_drift_report(ann_index_path)
         rebuild = rep["rebuild_recommended"]
         drift = rep["max_ratio"]
@@ -359,5 +379,6 @@ def run_nightly(
         "ann_docs_missing_from_lex": missing,
         "rebuild_recommended": rebuild,
         "max_drift_ratio": drift,
+        "served_overlap": served_overlap,
         "vacuumed": vacuumed,
     }

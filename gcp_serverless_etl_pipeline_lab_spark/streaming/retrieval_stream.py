@@ -76,6 +76,7 @@ def run_nightly_retrieval_loop(
     text_col: str = "text",
     embedding_col: str = "embedding",
     consistency_scope: str = "new",
+    telemetry_queries: int | None = None,
 ) -> dict:
     """One iteration of the retrieval stack's nightly maintenance
     (round-12 verdict task 1): ingest newly arrived document increments,
@@ -131,11 +132,21 @@ def run_nightly_retrieval_loop(
     probe doc-bucket-pruned) for scheduled deep checks; ``"off"``
     disables (not recommended).
 
+    ``telemetry_queries`` (round-12 verdict task 7): when set, the loop
+    measures the OBSERVED serving recall each night —
+    ``annindex.serving_overlap_probe`` over that many held-out queries
+    against exact ground truth — records it in the ANN manifest
+    (``record_serving_overlap``), and the drift report folds a reading
+    below ``SERVED_OVERLAP_FLOOR`` into ``rebuild_recommended``. Decay
+    is thereby observed nightly, not only inferred from quantization
+    error; cost is one exact scan bounded by the query count, paid by
+    the loop, never by serving.
+
     Returns {"appended_lex": [...], "appended_ann": [...], "skipped":
     [...], "new_docs": n, "duplicate_docs": n, "compacted_lex": gen|None,
     "compacted_ann": gen|None, "ann_docs_missing_from_lex": 0,
     "rebuild_recommended": bool|None, "max_drift_ratio": float|None,
-    "vacuumed": [relpaths]}."""
+    "served_overlap": float|None, "vacuumed": [relpaths]}."""
     import os
 
     from ..operators.lexindex import (
@@ -276,6 +287,7 @@ def run_nightly_retrieval_loop(
     compacted_ann = None
     rebuild = None
     drift = None
+    served_overlap = None
     missing = 0
     vacuumed: list[str] = []
     if ann_index_path is not None:
@@ -296,6 +308,26 @@ def run_nightly_retrieval_loop(
                 spark, ann_index_path,
                 max_generations_to_fold=max_generations_to_fold,
             )
+        # serve-time telemetry (round-12 verdict task 7): OBSERVE the
+        # recall the serving path delivers tonight — a held-out probe
+        # set against exact ground truth over the stored vectors — and
+        # record it in the manifest BEFORE reading the drift report, so
+        # decay flips rebuild_recommended the same night it is measured
+        # instead of being inferred later from quantization error
+        if telemetry_queries:
+            from ..operators.annindex import (
+                record_serving_overlap,
+                serving_overlap_probe,
+            )
+
+            served_overlap = serving_overlap_probe(
+                spark, ann_index_path, n_queries=telemetry_queries
+            )
+            if served_overlap is not None:
+                record_serving_overlap(
+                    ann_index_path, served_overlap,
+                    n_queries=telemetry_queries, k=10, nprobe=3,
+                )
         rep = ann_drift_report(ann_index_path)
         rebuild = rep["rebuild_recommended"]
         drift = rep["max_ratio"]
@@ -359,5 +391,6 @@ def run_nightly_retrieval_loop(
         "ann_docs_missing_from_lex": missing,
         "rebuild_recommended": rebuild,
         "max_drift_ratio": drift,
+        "served_overlap": served_overlap,
         "vacuumed": vacuumed,
     }

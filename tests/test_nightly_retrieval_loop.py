@@ -223,6 +223,89 @@ def test_consistency_check_raises_on_orphan_ann_docs(spark, tmp_path):
     assert r["ann_docs_missing_from_lex"] == 0
 
 
+def test_telemetry_observes_decay_and_rebuild_restores(spark, tmp_path):
+    """Serve-time telemetry (round-13): the nightly loop OBSERVES the
+    recall the serving path delivers. Construction: the model is trained
+    on eight tight axis-aligned clusters (centroids ~ e_0..e_7, so a
+    stale cell assignment is just argmax over dims 0-7), then the loop
+    ingests six clusters separated ONLY in higher dims with per-member
+    noise on dims 0-7 — under the stale model each member's cell is an
+    argmax over iid noise, i.e. uniform across the 8 cells, so a query's
+    true top-k (its own cluster) straddles unprobed cells and OBSERVED
+    overlap collapses — invisible to any user until measured. The loop's
+    telemetry row must flag it the same night (rebuild_recommended via
+    served_overlap_low); a rebuild (fresh k-means on what the index NOW
+    holds — the deterministic first-point-per-id-class init lands one
+    seed inside each new cluster by vec_id construction) must restore
+    the observed floor on the next loop run."""
+    import random
+
+    rng = random.Random(42)
+    dim = 64
+
+    rows = []
+    for i in range(120):  # 8 tight clusters on e_0..e_7 (15 members each)
+        c = i % 8
+        v = [0.05 * rng.gauss(0, 1) for _ in range(dim)]
+        v[c] += 1.0
+        rows.append((900_000 + i, v))
+    inc_rows = []
+    for j in range(360):  # 6 clusters split only in dims 10..15 (60 each)
+        cl = j % 6
+        v = [0.15 * rng.gauss(0, 1) if d < 8 else 0.0 for d in range(8)]
+        v += [0.0] * (dim - 8)
+        for d in range(8):
+            v[d] += 0.106  # ~0.3/sqrt(8) shared diagonal component
+        v[10 + cl] = 1.0 + 0.05 * rng.gauss(0, 1)
+        # vec_id residue (mod 8) = cl+1, so the rebuild's init picks one
+        # member of each new cluster as a seed centroid
+        inc_rows.append((1000 * (cl + 1) + 8 * (j // 6) + (cl + 1), v))
+    base = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    inc = spark.createDataFrame(
+        inc_rows, "vec_id bigint, embedding array<double>"
+    )
+    words = ["alpha", "beta", "gamma", "delta"]
+    as_docs = lambda df: df.select(  # noqa: E731
+        F.col("vec_id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.element_at(F.array(*[F.lit(w) for w in words]),
+                         (F.col("vec_id") % 4 + 1).cast("int")),
+            F.lit("common"),
+        ).alias("text"),
+        "embedding",
+    )
+    lex, ann = str(tmp_path / "lex"), str(tmp_path / "ann")
+    lexindex.build_lexical_index(as_docs(base).select("doc_id", "text"), lex)
+    annindex.build_ann_index(base, ann, dim, cells=8, iters=2, sample_rate=1.0)
+    inbox = str(tmp_path / "inbox")
+    _write_epoch(as_docs(inc), inbox, "epoch=1")
+
+    r1 = run_nightly_retrieval_loop(
+        spark, inbox, lex, ann, telemetry_queries=8
+    )
+    assert r1["appended_ann"] == ["epoch=1"]
+    assert r1["served_overlap"] is not None and r1["served_overlap"] < 0.75, r1
+    assert r1["rebuild_recommended"] is True
+    rep = annindex.ann_drift_report(ann)
+    assert rep["served_overlap_low"] is True
+    tel = annindex._load_ann_manifest(ann)["telemetry"]
+    assert tel and tel[-1]["served_overlap"] == r1["served_overlap"]
+
+    # the recommended retrain, then the next night's loop re-measures
+    annindex.rebuild_ann_index(spark, ann, sample_rate=1.0)
+    r2 = run_nightly_retrieval_loop(
+        spark, inbox, lex, ann, telemetry_queries=8
+    )
+    assert r2["skipped"] == ["epoch=1"]
+    assert r2["served_overlap"] is not None and r2["served_overlap"] >= 0.75, r2
+    assert r2["rebuild_recommended"] is False
+    # the decayed pre-rebuild reading (stale epoch) no longer counts
+    rep2 = annindex.ann_drift_report(ann)
+    assert rep2["served_overlap"] == r2["served_overlap"]
+    assert rep2["served_overlap_low"] is False
+
+
 def test_append_assert_new_doc_ids_guards_the_contract(spark, tmp_path):
     docs = _corpus(spark).select("doc_id", "text")
     idx = str(tmp_path / "lex")
