@@ -842,6 +842,49 @@ def a0j_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a0j_ann_membership",
+    """
+    SELECT vec_id, 1 AS indexed FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000000 AS vec_id, 0 AS indexed FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def a0j_ann_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vec-membership probe of the persisted ANN index (round 13:
+    operators/annindex.indexed_vec_ids over the ``veclist`` artifact —
+    the vector twin of a0i_lex_doc_membership). The asked set mixes
+    every indexed vec_id with a shifted copy guaranteed absent; the
+    probe reads only the asked ids' ``vb`` bucket partitions of the
+    narrow veclist, never the embedding-carrying cell-partitioned
+    vectors (plan pinned in tests/test_plans_round13.py — an id lookup
+    prunes nothing on a CELL partitioning, so scanning vectors would
+    cost the whole index). Feeds the nightly hybrid-consistency check,
+    whose full-scope audit now costs asked-set size. The oracle is the
+    closed-form truth: the index holds exactly the embeddings table.
+    A pre-round-13 cached index upgrades in place on first probe
+    (_materialize_missing_veclists)."""
+    from ..operators.annindex import indexed_vec_ids
+
+    _, ann = _hybrid_indexes(spark, sf_dir)
+    ids = _t(spark, sf_dir, "embeddings").select("vec_id")
+    asked = ids.unionByName(
+        ids.select((F.col("vec_id") + 10_000_000).alias("vec_id"))
+    )
+    member = indexed_vec_ids(spark, ann, asked).withColumn(
+        "indexed", F.lit(1)
+    )
+    return (
+        asked.join(member, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("indexed"), F.lit(0)).alias("indexed"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------

@@ -910,6 +910,22 @@ def _stress_hybrid_batch(spark: SparkSession, path: str, n: int) -> dict:
         e = round(time.perf_counter() - start, 2)
         best = e if best is None else min(best, e)
     entry["batch100_noescalate_sec"] = best
+    # metadata-filtered retrieval (round-13 task 2): the same B=100
+    # batch with a 1/3-selectivity allowed set applied inside both legs
+    # — the filter is a narrow-id semi-join on matched postings and
+    # probed cells, so its cost must stay a small constant over the
+    # unfiltered batch at every scale
+    allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    best = None
+    for _ in range(2):
+        start = time.perf_counter()
+        hybrid_topk_rrf_batch(
+            spark, lex, ann, qt, qv, k=10, depth=50, nprobe=3,
+            filter_ids=allowed,
+        ).count()
+        e = round(time.perf_counter() - start, 2)
+        best = e if best is None else min(best, e)
+    entry["batch100_filtered_sec"] = best
     # served-vs-scan overlap@10 over 5 single queries — the recall row
     # backing tests/test_hybrid_recall.py's measured table (the scan
     # spelling is exact on both legs; its corpus-scan cost is exactly
