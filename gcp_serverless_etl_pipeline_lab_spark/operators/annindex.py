@@ -680,10 +680,20 @@ def compact_ann_index(
     return gen
 
 
-# served-overlap floor: a nightly telemetry reading below this is an
-# OBSERVED recall failure (not a leading-indicator inference like the
-# msd drift flag) — the drift report folds it into rebuild_recommended
-SERVED_OVERLAP_FLOOR = 0.75
+# served-overlap decay ratio: a nightly telemetry reading below this
+# fraction of the SAME model's first (fresh) reading is an OBSERVED
+# recall decay — the drift report folds it into rebuild_recommended.
+# Baseline-relative, not an absolute floor, because absolute overlap
+# conflates data difficulty with index health (measured: a healthy
+# full-coverage model on the synthetic test corpus reads 0.54-0.59
+# ANN-only overlap at nprobe=3/8 cells, while a genuinely broken stale
+# model on an easy clustered corpus reads ~0.5 — same number, opposite
+# health); each model's own fresh reading is the only fair yardstick,
+# the same philosophy as baseline_msd. Enable telemetry from day one:
+# the first reading under a model epoch IS that epoch's baseline, so a
+# model that was never measured healthy cannot be flagged by telemetry
+# (the msd drift flag still covers that case).
+SERVED_OVERLAP_DECAY_RATIO = 0.8
 
 
 def serving_overlap_probe(
@@ -825,21 +835,28 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
             entry["carried_max_drift_msd"] = carried
         gens.append(entry)
     sr = man.get("train_sample_rate")
-    # the latest OBSERVED serving recall (serving_overlap_probe,
-    # recorded by the nightly loop) — considered only when taken under
-    # the CURRENT model epoch, so a reading that triggered a rebuild
-    # cannot keep the flag up after the rebuild fixed it
-    tel = man.get("telemetry", [])
-    last = tel[-1] if tel else None
+    # OBSERVED serving recall (serving_overlap_probe, recorded by the
+    # nightly loops) — only readings taken under the CURRENT model
+    # epoch count, so a reading that triggered a rebuild cannot keep the
+    # flag up after the rebuild fixed it. The epoch's FIRST reading is
+    # its fresh-model baseline; decay = the latest reading dropping
+    # below SERVED_OVERLAP_DECAY_RATIO of it (see the constant's note on
+    # why relative, not absolute).
     cur_epoch = int(man.get("model_epoch", 0))
-    observed = (
-        float(last["served_overlap"])
-        if last is not None
-        and last.get("served_overlap") is not None
-        and int(last.get("model_epoch", cur_epoch)) == cur_epoch
-        else None
+    epoch_tel = [
+        t
+        for t in man.get("telemetry", [])
+        if t.get("served_overlap") is not None
+        and int(t.get("model_epoch", cur_epoch)) == cur_epoch
+    ]
+    observed = float(epoch_tel[-1]["served_overlap"]) if epoch_tel else None
+    observed_baseline = (
+        float(epoch_tel[0]["served_overlap"]) if epoch_tel else None
     )
-    observed_low = observed is not None and observed < SERVED_OVERLAP_FLOOR
+    observed_low = (
+        len(epoch_tel) >= 2
+        and observed < SERVED_OVERLAP_DECAY_RATIO * observed_baseline
+    )
     return {
         "baseline_msd": baseline,
         "generations": gens,
@@ -854,6 +871,7 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
         "low_training_coverage": sr is not None
         and float(sr) < LOW_COVERAGE_SAMPLE_RATE,
         "served_overlap": observed,
+        "served_overlap_baseline": observed_baseline,
         "served_overlap_low": observed_low,
         # rebuild on either signal: inferred (quantization-error ratio,
         # the leading indicator) or observed (nightly served-overlap

@@ -619,8 +619,10 @@ def hybrid_topk_rrf_from_index(
     floors asserted in tests/test_hybrid_recall.py, stress rows in
     SCALE_STRESS.json ``hybrid_batch``): sf0.01 full-corpus model,
     cells=8 — nprobe=2/3/4 = 0.77/0.80/0.83 mean over 3 queries;
-    stress corpus sampled model (sample_rate=0.1, nprobe=3) — 0.68 at
-    x1, 0.84 at x3, 0.90 at x10. Approximation comes from the IVF leg
+    stress corpus sampled model (sample_rate=0.1, nprobe=3) — the
+    pinned probe reads 0.68/0.84/0.90 at x1/x3/x10, and the serving
+    default (low-coverage escalation, round 13) reads **0.94/0.98/
+    0.96** on the same corpora. Approximation comes from the IVF leg
     only: the BM25 leg is probe-exact (test_lexindex.py), so overlap
     tracks whether the probed cells cover the true top-``depth``.
 

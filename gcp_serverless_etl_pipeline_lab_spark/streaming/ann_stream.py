@@ -67,6 +67,7 @@ def run_nightly_ann_loop(
     compact_every: int | None = None,
     vacuum_min_age_seconds: float | None = None,
     max_generations_to_fold: int | None = None,
+    telemetry_queries: int | None = None,
 ) -> dict:
     """One iteration of the ANN index's nightly MAINTENANCE loop — the
     vector twin of dedup_stream.run_nightly_loop (round-11 verdict task
@@ -155,6 +156,24 @@ def run_nightly_ann_loop(
         compacted = compact_ann_index(
             spark, index_path, max_generations_to_fold=max_generations_to_fold
         )
+    # serve-time telemetry (round-13, same contract as the retrieval
+    # loop): observe tonight's served recall and record it before the
+    # drift report read, so an observed decay flips the flag tonight
+    served_overlap = None
+    if telemetry_queries:
+        from ..operators.annindex import (
+            record_serving_overlap,
+            serving_overlap_probe,
+        )
+
+        served_overlap = serving_overlap_probe(
+            spark, index_path, n_queries=telemetry_queries
+        )
+        if served_overlap is not None:
+            record_serving_overlap(
+                index_path, served_overlap,
+                n_queries=telemetry_queries, k=10, nprobe=3,
+            )
     rep = ann_drift_report(index_path)
     vacuumed: list[str] = []
     if vacuum_min_age_seconds is not None:
@@ -166,5 +185,6 @@ def run_nightly_ann_loop(
         "compacted_generation": compacted,
         "rebuild_recommended": rep["rebuild_recommended"],
         "max_drift_ratio": rep["max_ratio"],
+        "served_overlap": served_overlap,
         "vacuumed": vacuumed,
     }

@@ -137,10 +137,13 @@ def run_nightly_retrieval_loop(
     ``annindex.serving_overlap_probe`` over that many held-out queries
     against exact ground truth — records it in the ANN manifest
     (``record_serving_overlap``), and the drift report folds a reading
-    below ``SERVED_OVERLAP_FLOOR`` into ``rebuild_recommended``. Decay
-    is thereby observed nightly, not only inferred from quantization
-    error; cost is one exact scan bounded by the query count, paid by
-    the loop, never by serving.
+    below ``SERVED_OVERLAP_DECAY_RATIO`` of the SAME model's first
+    (fresh) reading into ``rebuild_recommended`` (baseline-relative —
+    absolute overlap conflates data difficulty with health; see the
+    constant). Decay is thereby observed nightly, not only inferred
+    from quantization error; cost is one exact scan bounded by the
+    query count, paid by the loop, never by serving. Enable from day
+    one so every model epoch gets its fresh baseline reading.
 
     Returns {"appended_lex": [...], "appended_ann": [...], "skipped":
     [...], "new_docs": n, "duplicate_docs": n, "compacted_lex": gen|None,

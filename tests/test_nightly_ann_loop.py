@@ -44,11 +44,20 @@ def test_ann_loop_ingests_idempotently_and_compacts_on_policy(spark, tmp_path):
     r2 = run_nightly_ann_loop(spark, inbox, idx)
     assert r2["appended"] == [] and r2["skipped"] == ["epoch=1"]
 
-    # second night + compact policy: 3 generations listed -> fold
+    # second night + compact policy: 3 generations listed -> fold;
+    # telemetry on — the observed serving recall is measured over a
+    # well-fitted full-coverage model, so it clears the floor and the
+    # reading lands in the manifest
     _write_epoch(emb.filter(F.col("vec_id") % 3 == 2), inbox, "epoch=2")
-    r3 = run_nightly_ann_loop(spark, inbox, idx, compact_every=3)
+    r3 = run_nightly_ann_loop(
+        spark, inbox, idx, compact_every=3, telemetry_queries=4
+    )
     assert r3["appended"] == ["epoch=2"]
     assert r3["compacted_generation"] is not None
+    assert r3["served_overlap"] is not None
+    assert r3["rebuild_recommended"] is False
+    tel = annindex._load_ann_manifest(idx)["telemetry"]
+    assert tel[-1]["served_overlap"] == r3["served_overlap"]
     man = annindex._load_ann_manifest(idx)
     assert len(man["generations"]) == 1
     assert set(man["compacted_increments"]) == {"epoch=1", "epoch=2"}

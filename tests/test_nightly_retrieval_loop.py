@@ -237,7 +237,11 @@ def test_telemetry_observes_decay_and_rebuild_restores(spark, tmp_path):
     served_overlap_low); a rebuild (fresh k-means on what the index NOW
     holds — the deterministic first-point-per-id-class init lands one
     seed inside each new cluster by vec_id construction) must restore
-    the observed floor on the next loop run."""
+    observed recall on the next loop run. The decay signal is
+    BASELINE-RELATIVE (the model's own fresh first reading), because
+    absolute overlap conflates data difficulty with index health —
+    night 0's empty-inbox loop run records the fresh baseline exactly
+    as a day-one deployment would."""
     import random
 
     rng = random.Random(42)
@@ -279,30 +283,45 @@ def test_telemetry_observes_decay_and_rebuild_restores(spark, tmp_path):
     lexindex.build_lexical_index(as_docs(base).select("doc_id", "text"), lex)
     annindex.build_ann_index(base, ann, dim, cells=8, iters=2, sample_rate=1.0)
     inbox = str(tmp_path / "inbox")
-    _write_epoch(as_docs(inc), inbox, "epoch=1")
+    os.makedirs(inbox, exist_ok=True)
 
+    # night 0 (nothing arrived): the fresh model's baseline reading —
+    # base clusters align with cells, so observed recall is high
+    r0 = run_nightly_retrieval_loop(
+        spark, inbox, lex, ann, telemetry_queries=8
+    )
+    assert r0["served_overlap"] is not None and r0["served_overlap"] >= 0.9, r0
+    assert r0["rebuild_recommended"] is False
+
+    # night 1: the scattering clusters arrive; observed recall collapses
+    _write_epoch(as_docs(inc), inbox, "epoch=1")
     r1 = run_nightly_retrieval_loop(
         spark, inbox, lex, ann, telemetry_queries=8
     )
     assert r1["appended_ann"] == ["epoch=1"]
-    assert r1["served_overlap"] is not None and r1["served_overlap"] < 0.75, r1
+    assert r1["served_overlap"] is not None
+    assert r1["served_overlap"] < 0.8 * r0["served_overlap"], (r0, r1)
     assert r1["rebuild_recommended"] is True
     rep = annindex.ann_drift_report(ann)
     assert rep["served_overlap_low"] is True
+    assert rep["served_overlap_baseline"] == r0["served_overlap"]
     tel = annindex._load_ann_manifest(ann)["telemetry"]
     assert tel and tel[-1]["served_overlap"] == r1["served_overlap"]
 
-    # the recommended retrain, then the next night's loop re-measures
+    # the recommended retrain, then the next night's loop re-measures —
+    # the new epoch's first reading is its own fresh baseline, and the
+    # decayed pre-rebuild reading (stale epoch) no longer counts
     annindex.rebuild_ann_index(spark, ann, sample_rate=1.0)
     r2 = run_nightly_retrieval_loop(
         spark, inbox, lex, ann, telemetry_queries=8
     )
     assert r2["skipped"] == ["epoch=1"]
-    assert r2["served_overlap"] is not None and r2["served_overlap"] >= 0.75, r2
+    assert r2["served_overlap"] is not None
+    assert r2["served_overlap"] >= 0.9, r2
     assert r2["rebuild_recommended"] is False
-    # the decayed pre-rebuild reading (stale epoch) no longer counts
     rep2 = annindex.ann_drift_report(ann)
     assert rep2["served_overlap"] == r2["served_overlap"]
+    assert rep2["served_overlap_baseline"] == r2["served_overlap"]
     assert rep2["served_overlap_low"] is False
 
 

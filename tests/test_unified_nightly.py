@@ -73,11 +73,15 @@ def test_one_call_feeds_all_three_and_replay_is_noop(spark, tmp_path):
 
     r = run_nightly(
         spark, inbox, lex_index_path=lex, ann_index_path=ann,
-        text_index_path=text, merged_dir=merged,
+        text_index_path=text, merged_dir=merged, telemetry_queries=4,
     )
     assert r["appended_lex"] == ["epoch=1"]
     assert r["appended_ann"] == ["epoch=1"]
     assert r["appended_text"] == ["epoch=1"]
+    # serve-time telemetry ran and was recorded in the ANN manifest
+    assert r["served_overlap"] is not None
+    tel = annindex._load_ann_manifest(ann)["telemetry"]
+    assert tel[-1]["served_overlap"] == r["served_overlap"]
     assert r["new_docs"] == inc.count() and r["duplicate_docs"] == 0
     assert r["ann_docs_missing_from_lex"] == 0
     # merged corpus landed before any commit
