@@ -842,6 +842,175 @@ def a0j_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a0j_per_query_filter_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    qt_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts
+    )
+    qids = ", ".join(str(q) for q in sorted(_MULTI_QUERIES))
+    return f"""
+    WITH qt(query_id, term) AS (VALUES {qt_rows}),
+    qf AS (
+      SELECT 3 AS query_id, doc_id FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 7 AS query_id, doc_id FROM documents WHERE doc_id % 3 = 0
+    ),
+    {_BM25_LEG_DUCK},
+    bm AS (
+      SELECT qt.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+           JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, bm25_rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM bm JOIN qf USING (query_id, doc_id)
+      ) WHERE bm25_rank <= {_HYBRID_DEPTH}
+    ),
+    {_ivf_model_duck()},
+    qq AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id IN ({qids})),
+    qp AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, i.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM qq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT qp.query_id, fa.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> qp.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell
+           JOIN qf ON qf.query_id = qp.query_id AND qf.doc_id = fa.vec_id
+      WHERE fa.vec_id <> qp.query_id
+    ),
+    vecr AS (
+      SELECT query_id, doc_id, ann_rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS ann_rank
+        FROM vs) WHERE ann_rank <= {_HYBRID_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+             CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+             ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                   + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+                 AS rrf_score
+      FROM lex FULL OUTER JOIN vecr USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, bm25_rank, ann_rank, rrf_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS rk
+      FROM fused) WHERE rk <= 10
+    ORDER BY query_id, rrf_score DESC, doc_id
+    """
+
+
+@register("a0j_hybrid_per_query_filter", _a0j_per_query_filter_oracle())
+def a0j_hybrid_per_query_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY filtered batch hybrid retrieval (round 13): each query
+    in the batch carries its OWN allowed-doc slice — the multi-tenant
+    serving shape (tenant A's query must only see tenant A's docs). The
+    (query_id, doc_id) pair frame semi-joins inside both legs before
+    their per-query depth ranking, so each query's fused top-k fills
+    from its slice; a shared post-filter would leak cross-slice ranks.
+    The oracle mirrors the exact routing with the same per-query allowed
+    CTE in both legs, so ranks AND scores hash-match."""
+    from ..operators.lexindex import hybrid_topk_rrf_batch
+    from .similarity import _IVF_NPROBE
+
+    lex, ann = _hybrid_indexes(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
+        "query_id bigint, term string",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    qf = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.lit(3).cast("long").alias("query_id"), "doc_id")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                F.lit(7).cast("long").alias("query_id"), "doc_id"
+            )
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id").isin(list(_MULTI_QUERIES)))
+    out = hybrid_topk_rrf_batch(
+        spark,
+        lex,
+        ann,
+        qt,
+        qv,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        nprobe=_IVF_NPROBE,
+        rrf_k=_HYBRID_RRF_K,
+        filter_pairs=qf,
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    ).orderBy("query_id", F.col("rrf_score").desc(), "doc_id")
+
+
+@register(
+    "a0j_bm25_conjunctive",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    HAVING COUNT(*) = {len(set(_BM25_TERMS))}
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def a0j_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (match-ALL-terms) BM25 from the persisted index
+    (round 13): standard BM25 ranks any-term matches, which surprises
+    users expecting AND semantics — ``match_all_terms=True`` narrows the
+    candidate set to docs whose postings match every distinct query term
+    BEFORE top-k, so the result fills from conjunctive matches with
+    unchanged per-doc scores. One filter on the already-computed
+    distinct-matched-term count — no extra shuffle, term-bucket pruning
+    untouched. The oracle is the scan BM25 SQL with the HAVING gate."""
+    from ..operators.lexindex import bm25_topk_from_index
+
+    lex, _ = _hybrid_indexes(spark, sf_dir)
+    return bm25_topk_from_index(
+        spark, lex, list(_BM25_TERMS), k=10, match_all_terms=True
+    )
+
+
 @register(
     "a0j_ann_membership",
     """

@@ -468,6 +468,7 @@ def query_ann_index(
     nprobe: int = 3,
     auto_escalate: bool = True,
     filter_ids: DataFrame | None = None,
+    filter_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k per query against the stored index: probe list from the
     manifest model, partition-pruned scan of the probed cells only
@@ -494,7 +495,13 @@ def query_ann_index(
     candidate stream, not a scan predicate). Compute the frame by
     filtering whatever metadata table owns the predicate — its parquet
     scan keeps predicate pushdown, and candidates join on the narrow id
-    column only."""
+    column only.
+
+    ``filter_pairs`` (round 13): a (query_id, doc_id) frame of allowed
+    pairs — PER-QUERY filters for a multi-tenant batch (each query sees
+    its own allowed slice). Applied to the probed candidates on BOTH
+    keys before ranking; composes with ``filter_ids`` (a global filter
+    ANDs with the per-query one)."""
     from pyspark.sql import Window
 
     man = _load_ann_manifest(path)
@@ -549,6 +556,13 @@ def query_ann_index(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score_raw", _dot("qe", "ce", dim))
     )
+    if filter_pairs is not None:
+        qc, dc = filter_pairs.columns[:2]
+        pairs = filter_pairs.select(
+            F.col(qc).cast("long").alias("query_id"),
+            F.col(dc).cast("long").alias("neighbor_id"),
+        ).distinct()
+        scored = scored.join(pairs, ["query_id", "neighbor_id"], "left_semi")
     return _rank_topk(scored, k)
 
 

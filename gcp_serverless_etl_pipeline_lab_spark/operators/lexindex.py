@@ -520,6 +520,7 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     filter_ids: DataFrame | None = None,
+    match_all_terms: bool = False,
 ) -> DataFrame:
     """``retrieval.bm25_topk`` served from the stored postings — result-
     identical (same schema (doc_id, n_terms, score), same integer
@@ -538,7 +539,12 @@ def bm25_topk_from_index(
     whether or not its neighbors are filtered away) while the top-k
     fills to ``k`` from allowed docs only. Term-bucket pruning is
     untouched — the filter joins the matched-postings stream on the
-    narrow id column."""
+    narrow id column.
+
+    ``match_all_terms`` (round 13): conjunctive (AND) semantics — only
+    docs whose postings match EVERY distinct query term rank; scores
+    unchanged, candidate set narrowed before top-k (identical to the
+    scan twin's flag; oracled by a0j_bm25_conjunctive)."""
     man = _load_lex_manifest(path)
     n_docs = sum(int(g["n_docs"]) for g in man["generations"])
     sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
@@ -574,15 +580,18 @@ def bm25_topk_from_index(
     norm = F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
     )
-    return (
+    out = (
         tfdf.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.round(F.sum(idf * norm), 4).alias("score"),
         )
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(k)
     )
+    if match_all_terms:
+        # postings are one row per (term, doc), so n_terms is the
+        # distinct matched-term count — the conjunctive gate is a filter
+        out = out.filter(F.col("n_terms") == len(set(terms)))
+    return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
 def hybrid_topk_rrf_from_index(
@@ -683,6 +692,7 @@ def hybrid_topk_rrf_batch(
     k1: float = 1.2,
     b: float = 0.75,
     filter_ids: DataFrame | None = None,
+    filter_pairs: DataFrame | None = None,
     auto_escalate: bool = True,
 ) -> DataFrame:
     """Batch-of-queries hybrid retrieval (round-11 verdict task 7) — the
@@ -709,9 +719,15 @@ def hybrid_topk_rrf_batch(
 
     ``filter_ids``: one allowed-doc set shared by the whole batch (the
     serving shape for a tenant- or corpus-slice filter), applied inside
-    both legs before ranking exactly as in the single-query spelling —
-    per-query filters belong in per-query calls. ``auto_escalate``
-    forwards to the ANN probe's low-coverage escalation.
+    both legs before ranking exactly as in the single-query spelling.
+    ``filter_pairs`` (round 13): a (query_id, doc_id) frame of allowed
+    pairs — PER-QUERY filters for a multi-tenant batch, applied inside
+    both legs before their per-query depth ranking (lexical: semi-join
+    on the scored (query_id, doc_id) stream after the batch-level df;
+    ANN: on the probed candidates), so each query's fused top-k fills
+    from ITS allowed slice; composes with ``filter_ids`` (global ANDs
+    with per-query). ``auto_escalate`` forwards to the ANN probe's
+    low-coverage escalation.
 
     Returns (query_id, doc_id, bm25_rank, ann_rank, rrf_score) — top
     ``k`` per query by (rrf_score desc, doc_id); absent-leg ranks NULL."""
@@ -760,6 +776,13 @@ def hybrid_topk_rrf_batch(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * norm), 4).alias("score"))
     )
+    if filter_pairs is not None:
+        qc, dc = filter_pairs.columns[:2]
+        _pairs = filter_pairs.select(
+            F.col(qc).cast("long").alias("query_id"),
+            F.col(dc).cast("long").alias("doc_id"),
+        ).distinct()
+        scored = scored.join(_pairs, ["query_id", "doc_id"], "left_semi")
     w_lex = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -771,6 +794,7 @@ def hybrid_topk_rrf_batch(
     vec = query_ann_index(
         spark, query_vecs, ann_path, k=depth, nprobe=nprobe,
         auto_escalate=auto_escalate, filter_ids=filter_ids,
+        filter_pairs=filter_pairs,
     ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),

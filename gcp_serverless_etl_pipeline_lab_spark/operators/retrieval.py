@@ -46,12 +46,19 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    match_all_terms: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 over whitespace tokens.
 
     Returns (doc_id, n_terms, score): ``n_terms`` = distinct query terms
     the doc matched, ``score`` = BM25 with the +1 idf smoothing
     (ln(1 + (N - df + 0.5)/(df + 0.5))), rounded to 4 decimals.
+
+    ``match_all_terms`` (round 13): conjunctive (AND) semantics — only
+    docs matching EVERY distinct query term rank; scores are unchanged
+    (same per-term sums), the candidate set narrows BEFORE top-k so the
+    result fills to ``k`` from conjunctive matches. Default stays the
+    standard BM25 OR semantics.
     """
     dl = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -79,7 +86,7 @@ def bm25_topk(
     norm = F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    return (
+    out = (
         tfdf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -87,9 +94,12 @@ def bm25_topk(
             F.count(F.lit(1)).alias("n_terms"),
             F.round(F.sum(idf * norm), 4).alias("score"),
         )
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(k)
     )
+    if match_all_terms:
+        # n_terms counts DISTINCT matched query terms (tf rows are
+        # per (doc, term)), so the conjunctive gate is one filter
+        out = out.filter(F.col("n_terms") == len(set(terms)))
+    return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
 def hybrid_topk_rrf(

@@ -264,6 +264,34 @@ def test_filtered_hybrid_fills_k_and_respects_filter(spark, tmp_path):
     assert any(r["ann_rank"] is not None for r in out)
 
 
+def test_conjunctive_bm25_probe_matches_scan_twin(spark, tmp_path):
+    """match_all_terms narrows to docs matching EVERY query term before
+    top-k; probe and scan spellings stay row-identical, and every
+    returned doc matched all three terms."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators import retrieval
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "lex")
+    lexindex.build_lexical_index(docs, idx)
+    got = _rows(
+        lexindex.bm25_topk_from_index(
+            spark, idx, TERMS, k=10, match_all_terms=True
+        )
+    )
+    want = _rows(retrieval.bm25_topk(docs, TERMS, k=10, match_all_terms=True))
+    assert got == want and got
+    assert all(n == len(TERMS) for _, n, _ in got)
+    # disjoint from OR semantics whenever an any-term doc outranked a
+    # conjunctive one; scores for shared docs are identical
+    or_rows = dict(
+        (d, s)
+        for d, _, s in _rows(
+            lexindex.bm25_topk_from_index(spark, idx, TERMS, k=10_000_000)
+        )
+    )
+    assert all(or_rows[d] == s for d, _, s in got)
+
+
 # ------------------------------------------------- ANN membership artifact
 
 
