@@ -1054,6 +1054,152 @@ def a0j_ann_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a0k_lex_delete_probe",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM corpus
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def a0k_lex_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe through the DELETE lifecycle (round 13 — takedown /
+    right-to-be-forgotten, operators/lexindex.delete_from_lexical_index):
+    the index is built on the even half, the odd half appended, then
+    every doc_id % 9 == 0 is DELETED via a generation-scoped tombstone —
+    no postings rewrite; probes mask covered rows and subtract the
+    removed mass from N/avgdl, and df recomputes over survivors. The
+    oracle is the scan-BM25 SQL over the corpus MINUS the deleted docs:
+    if the tombstone mask leaked a row, double-masked a re-append, or
+    the manifest arithmetic missed one doc's length, ranks or scores
+    would hash-mismatch. Build+append+delete cached per corpus
+    fingerprint (maintenance once, probes many)."""
+    from ..operators.lexindex import (
+        append_lexical_index,
+        bm25_topk_from_index,
+        build_lexical_index,
+        delete_from_lexical_index,
+    )
+    from .dedup import _ensure_cached_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(stage: str) -> None:
+        build_lexical_index(docs.filter(F.col("doc_id") % 2 == 0), stage)
+        append_lexical_index(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1),
+            stage,
+            increment_id="odd-half",
+        )
+        delete_from_lexical_index(
+            spark,
+            docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
+            stage,
+            increment_id="takedown",
+        )
+
+    idx = _ensure_cached_index(
+        sf_dir, "lexdel", _build, table="documents.parquet"
+    )
+    return bm25_topk_from_index(spark, idx, list(_BM25_TERMS), k=10)
+
+
+def _a0k_ann_delete_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    return f"""
+    WITH {_ivf_model_duck()},
+    hq AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id IN (3, 11)),
+    qp AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, i.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM hq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT qp.query_id, fa.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> qp.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell
+      WHERE fa.vec_id <> qp.query_id AND fa.vec_id % 7 <> 0
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           ROUND(s, 4) AS score
+    FROM (
+      SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS rank
+      FROM vs) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("a0k_ann_delete_query", _a0k_ann_delete_oracle())
+def a0k_ann_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe through the DELETE lifecycle (round 13,
+    operators/annindex.delete_from_ann_index): the full-corpus index
+    (same pinned bit-reproducible model the a0e/a0f/a0g oracles derive)
+    has every vec_id % 7 == 0 deleted via a vec-bucketed tombstone; the
+    standard 2-query probe must rank EXACTLY as an index holding only
+    the survivors under the SAME model — the oracle re-derives the model
+    on the FULL corpus (deletes never retrain; the model is pinned) and
+    restricts candidates to survivors. The model epoch, cells, and tie
+    rules are untouched by the delete, so ranks AND scores hash-match."""
+    from ..operators.annindex import (
+        build_ann_index,
+        delete_from_ann_index,
+        query_ann_index,
+    )
+    from .dedup import _ensure_cached_index
+    from .similarity import _IVF_K, _IVF_NPROBE, _sim_queries
+
+    corpus, _ = _sim_queries(spark, sf_dir)
+
+    def _build(stage: str) -> None:
+        build_ann_index(
+            corpus, stage, 64, cells=_IVF_K, iters=2, sample_rate=1.0
+        )
+        delete_from_ann_index(
+            spark,
+            corpus.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+            stage,
+            increment_id="takedown",
+        )
+
+    idx = _ensure_cached_index(
+        sf_dir, "anndel", _build, table="embeddings.parquet"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([3, 11])).select(
+        "vec_id", "embedding"
+    )
+    out = query_ann_index(spark, queries, idx, k=5, nprobe=_IVF_NPROBE)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------

@@ -339,21 +339,136 @@ def load_ann_model(path: str) -> tuple[int, list[tuple[int, list[float]]]]:
 def _read_vectors(spark, path: str, man: dict) -> DataFrame:
     """Union of the committed vector generations (manifest-listed only —
     crashed appends' orphans are never read). v1 indexes (pre-append
-    flat layout) read the bare ``vectors/`` dir."""
+    flat layout) read the bare ``vectors/`` dir. Each v2 slice carries
+    its generation number as ``_gen`` (a literal) so tombstone masking
+    can scope deletes to the generations they covered (round 13 — a
+    vec_id re-appended after its delete lands in a higher generation
+    and serves unmasked)."""
     import os
 
     root = os.path.join(path, "vectors")
     if man.get("version", 1) < 2:
-        dirs = [root]
-    else:
-        dirs = [
-            os.path.join(root, f"gen={g['gen']}") for g in man["generations"]
-        ]
+        d = root
+        return spark.read.option("basePath", d).parquet(d).withColumn(
+            "_gen", F.lit(0)
+        )
     out = None
-    for d in dirs:
-        part = spark.read.option("basePath", d).parquet(d)
+    for g in man["generations"]:
+        d = os.path.join(root, f"gen={g['gen']}")
+        part = (
+            spark.read.option("basePath", d)
+            .parquet(d)
+            .withColumn("_gen", F.lit(int(g["gen"])))
+        )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _active_vec_tombstones(spark, path: str, man: dict) -> DataFrame | None:
+    """(vec_id, max_gen) union of the listed tombstone generations, or
+    None — the ANN twin of ``lexindex._active_tombstones``; the frame is
+    delete-volume-sized (deletes are rare) so the mask join broadcasts."""
+    import os
+
+    out = None
+    for t in man.get("tombstones", []):
+        d = os.path.join(path, "tombstones", f"gen={t['gen']}")
+        part = (
+            spark.read.schema("vec_id bigint, vb int")
+            .option("basePath", d)
+            .parquet(d)
+            .select("vec_id", F.lit(int(t["max_gen"])).alias("max_gen"))
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return None
+    return out.groupBy("vec_id").agg(F.max("max_gen").alias("max_gen"))
+
+
+def _mask_deleted_vecs(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Drop rows whose (vec_id, _gen) a tombstone covers."""
+    if tomb is None:
+        return df
+    return df.join(
+        tomb,
+        (df["vec_id"] == tomb["vec_id"]) & (df["_gen"] <= tomb["max_gen"]),
+        "left_anti",
+    )
+
+
+def delete_from_ann_index(
+    spark,
+    ids: DataFrame,
+    path: str,
+    increment_id: str | None = None,
+) -> bool:
+    """Remove vectors from a stored index WITHOUT rewriting the cells
+    (round 13 — the vector side of takedown; when a doc leaves a hybrid
+    deployment, delete it from the ANN index FIRST, then the lexical
+    index, so the serving invariant ANN ⊆ lexical-doclist holds at every
+    point — the reverse of the append order, for the same reason): the
+    asked ids resolve against current membership, one vec-bucketed
+    ``tombstones/gen=N`` artifact plus an atomic manifest append commits
+    the delete, and every probe masks covered rows — query-after-delete
+    is row-identical to querying an index holding only the survivors
+    under the SAME pinned model (oracled by a0k_ann_delete_query).
+    Compaction and retrain apply tombstones physically and retire them.
+    Generation-scoped like the lexical twin (re-appends serve);
+    ``increment_id`` replays are committed no-ops; deleting non-members
+    is a no-op that does not consume the id."""
+    import os
+
+    from .incremental import _GENCLAIM_PREFIX, _claim_generation, _manifest_lock
+
+    man = _load_ann_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"ANN index at {path} predates generations; rebuild with "
+            "build_ann_index to enable deletes"
+        )
+    applied = {
+        t.get("increment_id") for t in man.get("tombstones", [])
+    } | set(man.get("applied_deletes", []))
+    if increment_id is not None and increment_id in applied:
+        return False
+    want = ids.select(
+        F.col(ids.columns[0]).cast("long").alias("vec_id")
+    ).distinct()
+    member = indexed_vec_ids(spark, path, want)
+    if member.limit(1).count() == 0:
+        return False
+    gen = _claim_generation(path)
+    (
+        member.withColumn("vb", _vb("vec_id"))
+        .repartition(1, F.col("vb"))
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(os.path.join(path, "tombstones", f"gen={gen}"))
+    )
+    with _manifest_lock(path):
+        cur = _load_ann_manifest(path)
+        applied_now = {
+            t.get("increment_id") for t in cur.get("tombstones", [])
+        } | set(cur.get("applied_deletes", []))
+        if increment_id is not None and increment_id in applied_now:
+            try:
+                os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+            except OSError:
+                pass
+            return False
+        cur.setdefault("tombstones", []).append(
+            {
+                "gen": gen,
+                "increment_id": increment_id,
+                "max_gen": max(g["gen"] for g in cur["generations"]),
+            }
+        )
+        _write_ann_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
+    return True
 
 
 def _read_veclist(spark, path: str, man: dict) -> DataFrame | None:
@@ -371,6 +486,7 @@ def _read_veclist(spark, path: str, man: dict) -> DataFrame | None:
             spark.read.schema(_VECLIST_SCHEMA)
             .option("basePath", d)
             .parquet(d)
+            .withColumn("_gen", F.lit(int(g["gen"])))
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -457,6 +573,9 @@ def indexed_vec_ids(
     vbs = [r["vb"] for r in want.select(_vb("vec_id").alias("vb")).distinct().collect()]
     if len(vbs) < VEC_BUCKETS:
         vl = vl.filter(F.col("vb").isin(vbs))
+    # deleted vectors are not members; the mask is generation-scoped so
+    # a re-appended vec_id's new row stays a member (round 13)
+    vl = _mask_deleted_vecs(vl, _active_vec_tombstones(spark, path, man))
     return want.join(vl.select("vec_id"), "vec_id", "left_semi")
 
 
@@ -532,6 +651,8 @@ def query_ann_index(
     vec = _read_vectors(spark, path, man)
     if len(probed) < len(model):
         vec = vec.filter(F.col("cell").isin(probed))
+    # tombstone mask (round-13 deletes) — deleted vectors never rank
+    vec = _mask_deleted_vecs(vec, _active_vec_tombstones(spark, path, man))
     if filter_ids is not None:
         # allowed-set semi-join on the probed candidates — BEFORE the
         # ranking window, so every returned row is allowed AND the top-k
@@ -622,8 +743,24 @@ def compact_ann_index(
         entries, max_generations_to_fold
     )
     fold_man = dict(man, generations=fold_entries)
+    # tombstones apply PHYSICALLY at fold time (round 13): folded rows
+    # land under a NEW generation above every tombstone's cover, so a
+    # covered row carried through would un-mask — same discipline and
+    # retirement rule as the lexical compactor
+    tomb = _active_vec_tombstones(spark, path, man)
+    old_tomb_gens = {t["gen"] for t in man.get("tombstones", [])}
+    absorbed_gens = {
+        t["gen"]
+        for t in man.get("tombstones", [])
+        if not any(g["gen"] <= t["max_gen"] for g in keep_entries)
+    }
+    absorbed_ids = {
+        t["increment_id"]
+        for t in man.get("tombstones", [])
+        if t["gen"] in absorbed_gens and t.get("increment_id") is not None
+    }
     gen = _claim_generation(path)
-    vec = _read_vectors(spark, path, fold_man)
+    vec = _mask_deleted_vecs(_read_vectors(spark, path, fold_man), tomb)
     (
         vec.select("vec_id", "embedding", "cell")
         .repartition(len(man["model"]), F.col("cell"))
@@ -639,7 +776,9 @@ def compact_ann_index(
         _materialize_missing_veclists(spark, path)
         vl = _read_veclist(spark, path, fold_man)
     (
-        vl.repartition(VEC_BUCKETS, F.col("vb"))
+        _mask_deleted_vecs(vl, tomb)
+        .select("vec_id", "vb")
+        .repartition(VEC_BUCKETS, F.col("vb"))
         .write.mode("overwrite")
         .partitionBy("vb")
         .parquet(os.path.join(path, "veclist", f"gen={gen}"))
@@ -675,9 +814,23 @@ def compact_ann_index(
                 f"concurrent append landed during compaction of {path}; "
                 "re-run compact_ann_index"
             )
+        if {t["gen"] for t in cur.get("tombstones", [])} != old_tomb_gens:
+            raise RuntimeError(
+                f"concurrent delete landed during compaction of {path}; "
+                "re-run compact_ann_index"
+            )
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )
+        if absorbed_gens:
+            cur["applied_deletes"] = sorted(
+                set(cur.get("applied_deletes", [])) | absorbed_ids
+            )
+            cur["tombstones"] = [
+                t
+                for t in cur.get("tombstones", [])
+                if t["gen"] not in absorbed_gens
+            ]
         entry: dict = {
             "gen": gen,
             "increment_id": None,
@@ -737,7 +890,13 @@ def serving_overlap_probe(
 
     man = _load_ann_manifest(path)
     dim = int(man["dim"])
-    vec = _read_vectors(spark, path, man).select("vec_id", "embedding")
+    # ground truth over the LIVE population only (tombstone mask) — the
+    # served probe masks identically, so overlap measures the probe, not
+    # the deletes
+    vec = _mask_deleted_vecs(
+        _read_vectors(spark, path, man),
+        _active_vec_tombstones(spark, path, man),
+    ).select("vec_id", "embedding")
     picked = (
         vec.withColumn("h", F.xxhash64("vec_id"))
         .orderBy("h", "vec_id")
@@ -939,8 +1098,15 @@ def rebuild_ann_index(
     if cells is None:
         cells = len(man["model"])
     old_gens = [g["gen"] for g in man["generations"]]
+    old_tomb_gens = {t["gen"] for t in man.get("tombstones", [])}
     gen = _claim_generation(path)
-    vec = _read_vectors(spark, path, man).select("vec_id", "embedding")
+    # deleted vectors must not shape the new quantizer NOR re-enter the
+    # rebuilt index — the retrain consumes only the live population, so
+    # every tombstone is fully applied and retires below (round 13)
+    vec = _mask_deleted_vecs(
+        _read_vectors(spark, path, man),
+        _active_vec_tombstones(spark, path, man),
+    ).select("vec_id", "embedding")
     model = kmeans_centroids(
         vec, dim, k=cells, iters=iters, sample_rate=sample_rate
     )
@@ -958,6 +1124,11 @@ def rebuild_ann_index(
                 f"concurrent append landed during retrain of {path}; "
                 "re-run rebuild_ann_index"
             )
+        if {t["gen"] for t in cur.get("tombstones", [])} != old_tomb_gens:
+            raise RuntimeError(
+                f"concurrent delete landed during retrain of {path}; "
+                "re-run rebuild_ann_index"
+            )
         cur["model"] = [[cid, list(vec_)] for cid, vec_ in model]
         # fence in-flight appends: one that read the OLD model but commits
         # after this flip sees the bumped epoch and raises (its vectors
@@ -971,6 +1142,18 @@ def rebuild_ann_index(
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )
+        # every tombstone was applied to the rebuilt population — retire
+        # them all (ids preserved for replay idempotence)
+        if cur.get("tombstones"):
+            cur["applied_deletes"] = sorted(
+                set(cur.get("applied_deletes", []))
+                | {
+                    t["increment_id"]
+                    for t in cur["tombstones"]
+                    if t.get("increment_id") is not None
+                }
+            )
+            cur["tombstones"] = []
         cur["generations"] = [{"gen": gen, "increment_id": None}]
         _write_ann_manifest(path, cur)
     try:

@@ -335,6 +335,10 @@ def _claim_generation(path: str) -> int:
     while True:
         man = _load_manifest(path)
         taken = {g["gen"] for g in man["generations"]}
+        # tombstone generations (lexical/ANN deletes, round 13) share
+        # the number space: without this a later claim could reuse an
+        # active tombstone's number and overwrite its rows
+        taken |= {t["gen"] for t in man.get("tombstones", [])}
         for name in os.listdir(path):
             if name.startswith(_GENCLAIM_PREFIX) and name[
                 len(_GENCLAIM_PREFIX):
@@ -936,6 +940,9 @@ def vacuum_index(path: str, min_age_seconds: float = 86400.0) -> list[str]:
     if man.get("version", 1) < 2:
         return []
     live = {g["gen"] for g in man["generations"]}
+    # active tombstones (round-13 deletes) are live artifacts — only
+    # retired ones (absorbed by compaction, unlisted) are debris
+    live |= {t["gen"] for t in man.get("tombstones", [])}
     now = time.time()
     swept: list[str] = []
     # stale generation-claim markers (crashed appenders) age out too —

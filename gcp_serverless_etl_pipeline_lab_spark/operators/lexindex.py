@@ -26,6 +26,16 @@ manifest replace as the one commit point, crash orphans invisible,
   hybrid-consistency check (streaming/retrieval_stream.py); includes
   tokenless docs (zero postings but counted in ``n_docs``). Pre-round-12
   indexes lack it — readers fall back to a postings scan.
+- ``doclist`` rows carry ``dl`` from round 13 (v3) so DELETES subtract
+  exact lengths; pre-v3 rows read dl as NULL with a postings fallback.
+- ``tombstones/gen=N`` (round 13) — one row per DELETED doc, same
+  doc-bucket layout; each tombstone's manifest entry records the
+  generations it covers (``max_gen``), so probes mask dead rows with a
+  generation-scoped anti-join (a re-appended doc serves from its new,
+  uncovered generation), live stats subtract the recorded removals,
+  and compaction applies tombstones physically and retires the fully
+  absorbed ones. Takedown cost = one bounded membership probe + one
+  delete-sized write — never a postings rewrite.
 - ``_MANIFEST.json`` — per-generation corpus stats ``{n_docs, sum_dl}``
   (tiny driver-side integers): N and avgdl come from summing manifest
   entries, zero scan. ``df`` per term is counted over the PRUNED
@@ -61,7 +71,11 @@ DOC_BUCKETS = 64
 _MANIFEST = "_MANIFEST.json"
 
 _POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl int, tb int"
-_DOCLIST_SCHEMA = "doc_id bigint, db int"
+# doclist v3 (round 13) carries the doc length so DELETES can subtract
+# exact (n_docs, sum_dl) even for tokenless docs (no postings to read
+# dl from); pre-round-13 doclist dirs read dl as NULL and the delete
+# falls back to the doc's postings dl
+_DOCLIST_SCHEMA = "doc_id bigint, dl int, db int"
 
 
 def _tb(col: str):
@@ -103,23 +117,32 @@ def _write_postings_gen(postings: DataFrame, path: str, gen: int) -> None:
     import os
 
     (
-        postings.repartition(TERM_BUCKETS, F.col("tb"))
+        postings.select("term", "doc_id", "tf", "dl", "tb")
+        .repartition(TERM_BUCKETS, F.col("tb"))
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(os.path.join(path, "postings", f"gen={gen}"))
     )
 
 
-def _write_doclist_gen(docs: DataFrame, path: str, gen: int, id_col: str) -> None:
-    """Membership rows (doc_id, db) for one corpus slice — EVERY doc of
-    the slice (tokenless ones included: they carry no postings but are
-    in ``n_docs``, and the membership question is about documents, not
-    terms)."""
+def _write_doclist_gen(
+    docs: DataFrame, path: str, gen: int, id_col: str, text_col: str
+) -> None:
+    """Membership rows (doc_id, dl, db) for one corpus slice — EVERY doc
+    of the slice (tokenless ones included: they carry no postings but
+    are in ``n_docs``, and the membership question is about documents,
+    not terms). ``dl`` uses the same accounting as the postings (empty
+    tokens counted), so a later DELETE can subtract the doc's exact
+    length from ``sum_dl`` without touching the postings."""
     import os
 
     (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"))
-        .distinct()
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ", -1)).cast("int").alias("dl"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
         .withColumn("db", _db("doc_id"))
         .repartition(DOC_BUCKETS, F.col("db"))
         .write.mode("overwrite")
@@ -157,7 +180,7 @@ def build_lexical_index(
     0 of an appendable index. One corpus pass for the postings, one tiny
     aggregate for the stats; the manifest replace is the commit point."""
     _write_postings_gen(_postings_of(docs, id_col, text_col), path, 0)
-    _write_doclist_gen(docs, path, 0, id_col)
+    _write_doclist_gen(docs, path, 0, id_col, text_col)
     n_docs, sum_dl = _corpus_stats(docs, text_col)
     _write_lex_manifest(
         path,
@@ -231,7 +254,7 @@ def append_lexical_index(
             )
     gen = _claim_generation(path)
     _write_postings_gen(_postings_of(increment, id_col, text_col), path, gen)
-    _write_doclist_gen(increment, path, gen, id_col)
+    _write_doclist_gen(increment, path, gen, id_col, text_col)
     n_docs, sum_dl = _corpus_stats(increment, text_col)
     from .incremental import _GENCLAIM_PREFIX
 
@@ -315,17 +338,46 @@ def compact_lexical_index(
     fold_entries, keep_entries = _split_fold_slice(
         entries, max_generations_to_fold, protect_increments
     )
-    if len(fold_entries) < 2:
+    # a 1-generation fold is a no-op rewrite UNLESS there are active
+    # tombstones — then it is exactly how a delete gets applied
+    # physically without waiting for more generations
+    if not fold_entries or (
+        len(fold_entries) < 2 and not man.get("tombstones")
+    ):
         raise ValueError(
             f"nothing to fold at {path}: {len(fold_entries)} unprotected "
-            "generation(s) in the fold slice (a 1-fold is a no-op rewrite; "
-            "re-run after the pending sibling-leg appends land)"
+            "generation(s) in the fold slice and no tombstones to apply "
+            "(a 1-fold is a no-op rewrite; re-run after the pending "
+            "sibling-leg appends land)"
         )
     fold_man = dict(man, generations=fold_entries)
     n_docs = sum(int(g["n_docs"]) for g in fold_entries)
     sum_dl = sum(int(g["sum_dl"]) for g in fold_entries)
+    # tombstones (round-13 deletes) apply PHYSICALLY at fold time: masked
+    # rows in the folded slice are dropped from the rewrite (they must be
+    # — folded rows land under a NEW generation number above every
+    # tombstone's cover, so a row carried through would un-mask). A
+    # tombstone whose whole cover lies inside the fold is fully absorbed:
+    # it leaves the manifest, its increment_id moves to applied_deletes,
+    # and its recorded removals move INTO the fold entry's stats (they
+    # were subtracted globally before; the global arithmetic
+    # Σ generations − Σ active tombstones is invariant). One still
+    # covering a KEPT generation stays listed — its folded rows are
+    # gone but its kept-generation rows still need the probe-side mask.
+    tomb = _active_tombstones(spark, path, man)
+    old_tomb_gens = {t["gen"] for t in man.get("tombstones", [])}
+    absorbed = [
+        t
+        for t in man.get("tombstones", [])
+        if not any(g["gen"] <= t["max_gen"] for g in keep_entries)
+    ]
+    absorbed_gens = {t["gen"] for t in absorbed}
+    n_docs -= sum(int(t["n_docs_removed"]) for t in absorbed)
+    sum_dl -= sum(int(t["sum_dl_removed"]) for t in absorbed)
     gen = _claim_generation(path)
-    _write_postings_gen(_read_postings(spark, path, fold_man), path, gen)
+    _write_postings_gen(
+        _mask_deleted(_read_postings(spark, path, fold_man), tomb), path, gen
+    )
     # a fold that contains any pre-round-12 (doclist-less) generation
     # must not write a doclist-less fold — that would propagate the
     # legacy state forever (round-12 advice): materialize the missing
@@ -335,7 +387,9 @@ def compact_lexical_index(
         _materialize_missing_doclists(spark, path)
         dl = _read_doclist(spark, path, fold_man)
     (
-        dl.repartition(DOC_BUCKETS, F.col("db"))
+        _mask_deleted(dl, tomb)
+        .select("doc_id", "dl", "db")
+        .repartition(DOC_BUCKETS, F.col("db"))
         .write.mode("overwrite")
         .partitionBy("db")
         .parquet(os.path.join(path, "doclist", f"gen={gen}"))
@@ -352,9 +406,31 @@ def compact_lexical_index(
                 f"concurrent append landed during compaction of {path}; "
                 "re-run compact_lexical_index"
             )
+        if {t["gen"] for t in cur.get("tombstones", [])} != old_tomb_gens:
+            # a delete that landed mid-fold was not applied to the
+            # rewrite, and the rewrite moved its covered rows above the
+            # tombstone's cover — committing would resurrect them
+            raise RuntimeError(
+                f"concurrent delete landed during compaction of {path}; "
+                "re-run compact_lexical_index"
+            )
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )
+        if absorbed:
+            cur["applied_deletes"] = sorted(
+                set(cur.get("applied_deletes", []))
+                | {
+                    t["increment_id"]
+                    for t in absorbed
+                    if t.get("increment_id") is not None
+                }
+            )
+            cur["tombstones"] = [
+                t
+                for t in cur.get("tombstones", [])
+                if t["gen"] not in absorbed_gens
+            ]
         cur["generations"] = keep_entries + [
             {
                 "gen": gen,
@@ -374,7 +450,11 @@ def compact_lexical_index(
 def _read_postings(spark, path: str, man: dict) -> DataFrame:
     """Union of the committed posting generations (manifest-listed only;
     crash orphans invisible). Explicit schema so an empty generation
-    reads as zero rows; ``tb`` resolves from the partition dirs."""
+    reads as zero rows; ``tb`` resolves from the partition dirs. Each
+    slice carries its generation number as ``_gen`` (a literal — free)
+    so tombstone masking can scope a delete to the generations it
+    covered: a doc re-appended AFTER its delete lands in a higher
+    generation and must not be masked (round 13)."""
     import os
 
     out = None
@@ -384,6 +464,7 @@ def _read_postings(spark, path: str, man: dict) -> DataFrame:
             spark.read.schema(_POSTINGS_SCHEMA)
             .option("basePath", d)
             .parquet(d)
+            .withColumn("_gen", F.lit(int(g["gen"])))
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -408,9 +489,175 @@ def _read_doclist(spark, path: str, man: dict) -> DataFrame | None:
             spark.read.schema(_DOCLIST_SCHEMA)
             .option("basePath", d)
             .parquet(d)
+            .withColumn("_gen", F.lit(int(g["gen"])))
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _active_tombstones(spark, path: str, man: dict) -> DataFrame | None:
+    """(doc_id, max_gen) union of the listed tombstone generations, or
+    None when the index has no active deletes. ``max_gen`` (the highest
+    listed generation at delete-commit time, a manifest field stamped
+    per tombstone) scopes the mask: rows from generations <= max_gen are
+    dead, rows appended later (a re-added doc) are live. The set is
+    delete-volume-sized — deletes are rare events, so the mask join
+    rides a small frame AQE broadcasts."""
+    import os
+
+    ents = man.get("tombstones", [])
+    out = None
+    for t in ents:
+        d = os.path.join(path, "tombstones", f"gen={t['gen']}")
+        part = (
+            spark.read.schema("doc_id bigint, db int")
+            .option("basePath", d)
+            .parquet(d)
+            .select("doc_id", F.lit(int(t["max_gen"])).alias("max_gen"))
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return None
+    # a doc deleted, re-added, and deleted again carries two tombstone
+    # rows — the widest cover wins (one tiny aggregate on a small frame)
+    return out.groupBy("doc_id").agg(F.max("max_gen").alias("max_gen"))
+
+
+def _mask_deleted(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Drop rows whose (doc_id, _gen) a tombstone covers — the probe-
+    side view of a delete until compaction applies it physically."""
+    if tomb is None:
+        return df
+    return df.join(
+        tomb,
+        (df["doc_id"] == tomb["doc_id"]) & (df["_gen"] <= tomb["max_gen"]),
+        "left_anti",
+    )
+
+
+def _live_stats(man: dict) -> tuple[int, int]:
+    """(n_docs, sum_dl) visible to probes: generation sums minus the
+    active tombstones' recorded removals — exact, because doc_ids are
+    unique across generations (the append contract) and every delete
+    records the removed docs' exact counts at delete time."""
+    n = sum(int(g["n_docs"]) for g in man["generations"])
+    s = sum(int(g["sum_dl"]) for g in man["generations"])
+    for t in man.get("tombstones", []):
+        n -= int(t["n_docs_removed"])
+        s -= int(t["sum_dl_removed"])
+    return n, s
+
+
+def delete_from_lexical_index(
+    spark,
+    ids: DataFrame,
+    path: str,
+    increment_id: str | None = None,
+) -> bool:
+    """Remove documents from the served index WITHOUT rewriting the
+    postings (round 13 — the takedown / right-to-be-forgotten step a
+    training-data pipeline cannot ship without): the asked ids resolve
+    against current membership (doc-bucket-pruned, already-deleted docs
+    excluded), their exact (count, total dl) comes from the doclist's
+    stored ``dl`` (postings fallback for pre-v3 generations), and one
+    doc-bucketed ``tombstones/gen=N`` artifact plus an atomic manifest
+    append commits the delete. Every probe masks tombstoned docs and
+    subtracts their mass from N/avgdl, so **probe-after-delete is
+    row-identical to a probe of an index rebuilt without those docs**
+    (df recomputes over surviving postings; oracled by
+    a0k_lex_delete_probe). Compaction applies tombstones physically and
+    retires the fully-absorbed ones.
+
+    Scoped by generation: the tombstone covers generations listed at
+    commit time (``max_gen``), so RE-APPENDING a deleted doc_id later
+    works — the new generation is above the cover and serves normally.
+    ``increment_id`` replays are committed no-ops (returns False), same
+    ledger discipline as appends; deleting ids that are not (or no
+    longer) members is a no-op that does NOT consume the id. Cost:
+    one bucket-pruned membership probe + one delete-sized write —
+    never a postings rewrite."""
+    import os
+
+    from .incremental import _GENCLAIM_PREFIX
+
+    man = _load_lex_manifest(path)
+    applied = {
+        t.get("increment_id") for t in man.get("tombstones", [])
+    } | set(man.get("applied_deletes", []))
+    if increment_id is not None and increment_id in applied:
+        return False
+    want = ids.select(
+        F.col(ids.columns[0]).cast("long").alias("doc_id")
+    ).distinct()
+    member = indexed_doc_ids(spark, path, want)
+    # exact removal mass: dl from the doclist (v3); pre-v3 rows carry
+    # NULL dl and fall back to the doc's postings dl (any row — every
+    # posting carries the doc length)
+    dl = _read_doclist(spark, path, man)
+    if dl is None:
+        _materialize_missing_doclists(spark, path)
+        dl = _read_doclist(spark, path, man)
+    # mask already-deleted doclist rows: a deleted-then-re-added doc has
+    # TWO doclist rows and only the live one may contribute its dl
+    dl = _mask_deleted(dl, _active_tombstones(spark, path, man))
+    picked = member.join(
+        dl.select("doc_id", "dl"), "doc_id", "left"
+    )
+    row = picked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s"),
+        F.count(F.when(F.col("dl").isNull(), 1)).alias("nulls"),
+    ).collect()[0]
+    d_n, d_s = int(row["n"]), int(row["s"] or 0)
+    if d_n == 0:
+        return False
+    if int(row["nulls"]):
+        pd = (
+            _read_postings(spark, path, man)
+            .join(picked.filter(F.col("dl").isNull()).select("doc_id"),
+                  "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        d_s += int(pd["s"] or 0)
+    gen = _claim_generation(path)
+    (
+        member.withColumn("db", _db("doc_id"))
+        .repartition(1, F.col("db"))
+        .write.mode("overwrite")
+        .partitionBy("db")
+        .parquet(os.path.join(path, "tombstones", f"gen={gen}"))
+    )
+    with _manifest_lock(path):
+        cur = _load_lex_manifest(path)
+        applied_now = {
+            t.get("increment_id") for t in cur.get("tombstones", [])
+        } | set(cur.get("applied_deletes", []))
+        if increment_id is not None and increment_id in applied_now:
+            try:
+                os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+            except OSError:
+                pass
+            return False
+        cur.setdefault("tombstones", []).append(
+            {
+                "gen": gen,
+                "increment_id": increment_id,
+                # cover = everything listed NOW; a later re-append gets
+                # a higher generation and serves unmasked
+                "max_gen": max(g["gen"] for g in cur["generations"]),
+                "n_docs_removed": d_n,
+                "sum_dl_removed": d_s,
+            }
+        )
+        _write_lex_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
+    return True
 
 
 def _materialize_missing_doclists(spark, path: str) -> list[int]:
@@ -448,8 +695,12 @@ def _materialize_missing_doclists(spark, path: str) -> list[int]:
             tmp = os.path.join(path, "doclist", f".tmp-gen={gen}")
             shutil.rmtree(tmp, ignore_errors=True)
             (
-                post.select("doc_id")
-                .distinct()
+                # dl rides along (v3): for legacy docs it is recoverable
+                # from any posting row (every posting carries the doc
+                # length); tokenless legacy docs have no postings and
+                # are not representable here at all — documented limit
+                post.groupBy("doc_id")
+                .agg(F.max("dl").alias("dl"))
                 .withColumn("db", _db("doc_id"))
                 .repartition(DOC_BUCKETS, F.col("db"))
                 .write.mode("overwrite")
@@ -509,6 +760,9 @@ def indexed_doc_ids(
     dbs = [r["db"] for r in want.select(_db("doc_id").alias("db")).distinct().collect()]
     if len(dbs) < DOC_BUCKETS:
         dl = dl.filter(F.col("db").isin(dbs))
+    # deleted docs are not members (round 13); the mask is scoped by
+    # generation so a re-appended doc's new row stays a member
+    dl = _mask_deleted(dl, _active_tombstones(spark, path, man))
     return want.join(dl.select("doc_id"), "doc_id", "left_semi")
 
 
@@ -546,8 +800,10 @@ def bm25_topk_from_index(
     unchanged, candidate set narrowed before top-k (identical to the
     scan twin's flag; oracled by a0j_bm25_conjunctive)."""
     man = _load_lex_manifest(path)
-    n_docs = sum(int(g["n_docs"]) for g in man["generations"])
-    sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
+    # live stats: generation sums minus active-tombstone removals — so
+    # after a delete, N/avgdl are exactly what a rebuild-without would
+    # compute (round 13)
+    n_docs, sum_dl = _live_stats(man)
     if n_docs == 0:
         raise ValueError(f"lexical index at {path} is empty")
     # exactly Spark's avg-of-int semantics (sum/count in double), which
@@ -563,6 +819,8 @@ def bm25_topk_from_index(
     if len(tbs) < nb:
         post = post.filter(F.col("tb").isin(tbs))
     post = post.filter(F.col("term").isin(list(terms)))
+    # tombstone mask BEFORE the df window: df is a surviving-docs fact
+    post = _mask_deleted(post, _active_tombstones(spark, path, man))
     tfdf = post.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
@@ -734,8 +992,7 @@ def hybrid_topk_rrf_batch(
     from .annindex import query_ann_index
 
     man = _load_lex_manifest(lex_path)
-    n_docs = sum(int(g["n_docs"]) for g in man["generations"])
-    sum_dl = sum(int(g["sum_dl"]) for g in man["generations"])
+    n_docs, sum_dl = _live_stats(man)
     if n_docs == 0:
         raise ValueError(f"lexical index at {lex_path} is empty")
     avgdl = float(sum_dl) / float(n_docs)
@@ -752,8 +1009,10 @@ def hybrid_topk_rrf_batch(
     if len(tbs) < nb:
         post = post.filter(F.col("tb").isin(tbs))
     post = post.filter(F.col("term").isin(terms))
-    # df over the UNFILTERED pruned postings — index-level term rarity,
-    # same statistics contract as the single-query spelling
+    # tombstone mask before ANY statistics (deleted docs are gone from
+    # df too); then df over the UNFILTERED-by-metadata pruned postings —
+    # index-level term rarity, same contract as the single-query path
+    post = _mask_deleted(post, _active_tombstones(spark, lex_path, man))
     dfx = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if filter_ids is not None:
         allowed = (

@@ -791,6 +791,66 @@ def _stress_bpe_deep_apply(spark: SparkSession, path: str, n: int) -> dict:
     return entry
 
 
+def _stress_index_delete(spark: SparkSession, path: str, n: int) -> dict:
+    """Delete cost + probe-after-delete overhead vs corpus size
+    (round-13 deletes): a 1%-of-corpus takedown against the lexical
+    index must cost a bounded membership probe + a delete-sized write —
+    never a postings rewrite — so its wall should track the DELETE size,
+    not the index; and the probe-side tombstone mask (an anti-join
+    against a delete-sized broadcast frame) should add a small constant
+    to the standard 3-term probe. Runs on a scratch COPY of the shared
+    cached index (the other stress ops keep probing the original)."""
+    import shutil
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lexindex import (
+        bm25_topk_from_index,
+        build_lexical_index,
+        compact_lexical_index,
+        delete_from_lexical_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    src = os.path.join(path, "lex_index")
+    if not os.path.exists(os.path.join(src, "_MANIFEST.json")):
+        build_lexical_index(docs, src)
+    idx = os.path.join(path, "lex_index_delstress")
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(src, idx)
+
+    def _probe():
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            bm25_topk_from_index(
+                spark, idx, ["join", "filter", "vector"], k=10
+            ).write.format("noop").mode("overwrite").save()
+            e = round(time.perf_counter() - start, 2)
+            best = e if best is None else min(best, e)
+        return best
+
+    pre = _probe()
+    doomed = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    start = time.perf_counter()
+    delete_from_lexical_index(spark, doomed, idx, increment_id="stress-del")
+    del_sec = round(time.perf_counter() - start, 2)
+    masked = _probe()
+    # full fold applies the tombstone physically — probe returns to the
+    # unmasked shape
+    start = time.perf_counter()
+    compact_lexical_index(spark, idx)
+    fold_sec = round(time.perf_counter() - start, 2)
+    post_fold = _probe()
+    shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "sec": del_sec,
+        "out_rows": int(doomed.count()),
+        "probe_pre_delete_sec": pre,
+        "probe_masked_sec": masked,
+        "apply_fold_sec": fold_sec,
+        "probe_post_fold_sec": post_fold,
+    }
+
+
 def _stress_hybrid_batch(spark: SparkSession, path: str, n: int) -> dict:
     """Batch hybrid retrieval wall vs BATCH SIZE at each corpus scale
     (round-12 verdict task 7), plus the served-vs-scan overlap@10 row
@@ -966,6 +1026,7 @@ SIDE_OPS = {
     "lexindex_query": _stress_lexindex_query,
     "bpe_deep_apply": _stress_bpe_deep_apply,
     "hybrid_batch": _stress_hybrid_batch,
+    "index_delete": _stress_index_delete,
 }
 
 
