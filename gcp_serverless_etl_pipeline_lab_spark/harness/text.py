@@ -1200,6 +1200,256 @@ def a0k_ann_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register(
+    "a0l_nightly_delete_probe",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM corpus
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def a0l_nightly_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 probe after a NIGHTLY-INGESTED delete (round-14 verdict
+    task 1 — takedown as a pipeline stage, streaming/nightly.run_nightly
+    ``deletes_dir``, not a hand-run API): the index is built on the even
+    half; the odd half arrives as an APPEND increment and every
+    doc_id % 5 == 0 as a DELETE increment in the same nightly call
+    (appends land first, so a doc both appended and deleted tonight ends
+    up forgotten); the merged corpus copy is purged in the same pass.
+    The oracle is the scan-BM25 SQL over the corpus MINUS the deleted
+    docs: if the inbox pickup, the delete-leg ordering, the ledger
+    replay discipline, or the tombstone arithmetic diverged from a
+    rebuild-without in ANY way, ranks or scores would hash-mismatch.
+    Crash points between the delete legs are pinned separately in
+    tests/test_nightly_deletes.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.lexindex import (
+        bm25_topk_from_index,
+        build_lexical_index,
+    )
+    from ..streaming.nightly import run_nightly
+    from .dedup import _ensure_cached_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(stage: str) -> None:
+        aux = tempfile.mkdtemp(prefix="nightlydel_aux_")
+        try:
+            build_lexical_index(docs.filter(F.col("doc_id") % 2 == 0), stage)
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(aux, "inbox", "epoch=1"))
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(aux, "deletes", "take=1")
+            )
+            run_nightly(
+                spark,
+                os.path.join(aux, "inbox"),
+                lex_index_path=stage,
+                merged_dir=os.path.join(aux, "merged"),
+                deletes_dir=os.path.join(aux, "deletes"),
+            )
+        finally:
+            shutil.rmtree(aux, ignore_errors=True)
+
+    idx = _ensure_cached_index(
+        sf_dir, "nightlydel", _build, table="documents.parquet"
+    )
+    return bm25_topk_from_index(spark, idx, list(_BM25_TERMS), k=10)
+
+
+def _a0l_hybrid_conjunctive_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    return f"""
+    WITH {_BM25_LEG_DUCK},
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+      HAVING COUNT(*) = {len(set(_BM25_TERMS))}
+      ORDER BY score DESC, doc_id LIMIT {_HYBRID_DEPTH}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+      FROM bm
+    ),
+    {_ivf_model_duck()},
+    hq AS (SELECT e AS qe FROM c WHERE vec_id = {_HYBRID_QUERY_ID}),
+    qp AS (
+      SELECT cell FROM (
+        SELECT i.cell,
+               row_number() OVER (ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM hq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT fa.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell
+           CROSS JOIN hq q
+      WHERE fa.vec_id <> {_HYBRID_QUERY_ID}
+    ),
+    vecr AS (
+      SELECT doc_id, ann_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS ann_rank
+        FROM vs) WHERE ann_rank <= {_HYBRID_DEPTH}
+    )
+    SELECT doc_id,
+           CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+           CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+           ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                 + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+               AS rrf_score
+    FROM lex FULL OUTER JOIN vecr USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register("a0l_hybrid_conjunctive", _a0l_hybrid_conjunctive_oracle())
+def a0l_hybrid_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive hybrid retrieval from the persisted indexes (round-14
+    verdict task 6): ``match_all_terms`` existed on the raw BM25 probe
+    since round 13 but could not be requested through hybrid serving —
+    the shape a retrieval user actually deploys. The flag threads into
+    the LEXICAL leg only (its candidates narrow to docs matching every
+    distinct query term before depth ranking, per-doc scores unchanged);
+    the ANN leg and the RRF fusion are untouched, so the fused top-10
+    backfills from vector neighbors where the conjunction thins the
+    lexical side. The oracle is the a0h hybrid SQL with the HAVING gate
+    on the lex leg — ranks AND scores hash-match exactly."""
+    from ..operators.lexindex import hybrid_topk_rrf_from_index
+    from .similarity import _IVF_NPROBE
+
+    lex, ann = _hybrid_indexes(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _HYBRID_QUERY_ID)
+    out = hybrid_topk_rrf_from_index(
+        spark,
+        lex,
+        ann,
+        list(_BM25_TERMS),
+        q,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        nprobe=_IVF_NPROBE,
+        rrf_k=_HYBRID_RRF_K,
+        match_all_terms=True,
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    )
+
+
+# the exact-phrase query for a0l_phrase_topk — a frequent bigram in the
+# synthetic corpus, so the top-10 ranks on real occurrence-count ties
+_PHRASE = ("window", "join")
+
+
+@register(
+    "a0l_phrase_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM toks
+      WHERE u.term <> ''
+    ),
+    slots(slot, term) AS (
+      VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))}
+    ),
+    votes AS (
+      SELECT tp.doc_id, s.slot, tp.pos - s.slot AS start
+      FROM tp JOIN slots s USING (term)
+    ),
+    occ AS (
+      SELECT doc_id, start FROM votes GROUP BY doc_id, start
+      HAVING COUNT(DISTINCT slot) = {len(_PHRASE)}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM occ GROUP BY doc_id
+    ORDER BY n_hits DESC, doc_id LIMIT 10
+    """,
+)
+def a0l_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k from the persisted POSITIONAL index (round-14
+    verdict task 4, operators/lexindex.phrase_topk_from_index): the
+    index is built on the even half with ``positions=True`` and the odd
+    half appended (the append maintains the positional artifact), then
+    the phrase probe reads ONLY the phrase words' term-bucket partitions
+    and verifies adjacency with one (doc, start) vote aggregate — word i
+    at position p votes for start p-i; a start collecting every slot is
+    one occurrence. The oracle re-tokenizes the corpus INDEPENDENTLY in
+    DuckDB (indexed-lambda positions) and computes the same adjacency —
+    if the stored positions, the append path, the bucket pruning, or the
+    vote arithmetic missed one occurrence, counts or ranks would
+    hash-mismatch. Term-bucket pruning is pinned in
+    tests/test_plans_round14.py; the delete interaction in
+    tests/test_phrase.py."""
+    from ..operators.lexindex import (
+        append_lexical_index,
+        build_lexical_index,
+        phrase_topk_from_index,
+    )
+    from .dedup import _ensure_cached_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(stage: str) -> None:
+        build_lexical_index(
+            docs.filter(F.col("doc_id") % 2 == 0), stage, positions=True
+        )
+        append_lexical_index(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1),
+            stage,
+            increment_id="odd-half",
+        )
+
+    idx = _ensure_cached_index(
+        sf_dir, "lexpos", _build, table="documents.parquet"
+    )
+    return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------

@@ -456,6 +456,18 @@ def delete_from_ann_index(
             except OSError:
                 pass
             return False
+        if {g["gen"] for g in cur["generations"]} != {
+            g["gen"] for g in man["generations"]
+        }:
+            # concurrent-append fence (round-14 advice): membership was
+            # resolved against ``man``; stamping max_gen from ``cur``
+            # would cover an append the probe never saw, silently
+            # masking a concurrently (re-)appended vector. Same fence
+            # as compact/retrain; the tombstone dir is a vacuum orphan.
+            raise RuntimeError(
+                f"concurrent append landed during delete from {path}; "
+                "re-run delete_from_ann_index"
+            )
         cur.setdefault("tombstones", []).append(
             {
                 "gen": gen,
@@ -1022,6 +1034,21 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
         if t.get("served_overlap") is not None
         and int(t.get("model_epoch", cur_epoch)) == cur_epoch
     ]
+    # baseline comparability (round-14 advice): the epoch-first baseline
+    # only means something against readings taken at the SAME probe
+    # parameters — changing telemetry_queries/k/nprobe mid-epoch would
+    # otherwise mix incomparable baselines and falsely flip (or
+    # suppress) the decay flag. Restrict to readings matching the
+    # LATEST reading's (n_queries, k, nprobe); a parameter change thus
+    # resets the baseline to the first reading under the new parameters.
+    if epoch_tel:
+        _latest = epoch_tel[-1]
+        _params = ("n_queries", "k", "nprobe")
+        epoch_tel = [
+            t
+            for t in epoch_tel
+            if all(t.get(p) == _latest.get(p) for p in _params)
+        ]
     observed = float(epoch_tel[-1]["served_overlap"]) if epoch_tel else None
     observed_baseline = (
         float(epoch_tel[0]["served_overlap"]) if epoch_tel else None

@@ -176,7 +176,12 @@ def _register_probe_cache(frame: DataFrame) -> None:
         reg.append(frame)
 
 
-_HASHES_SCHEMA = "k string"
+# hashes v3 (round 14, deletes): generations written since carry the
+# doc_id next to the content hash so an id-only takedown can resolve
+# the k it must stop matching; legacy generations' files lack the
+# column and read as NULL doc_id under this explicit schema (their
+# docs need the text passed to delete_from_index — documented there)
+_HASHES_SCHEMA = "k string, doc_id bigint"
 _GRAMS_SCHEMA = "base_id bigint, g string, gb int"
 _SIZES_SCHEMA = "base_id bigint, sz_b int"
 _GRAMDF_SCHEMA = "g string, df bigint, gb int"
@@ -244,7 +249,10 @@ def build_base_index(
         _write_generation(
             path,
             0,
-            hashes=base.select(F.md5("text").alias("k")),
+            hashes=base.select(
+                F.md5("text").alias("k"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+            ),
             grams=grams.select("base_id", "g", _gb("g").alias("gb")),
             sizes=sh.select(
                 F.col("doc_id").cast("long").alias("base_id"),
@@ -428,30 +436,100 @@ def _read_artifact(spark, path: str, name: str, man: dict, schema: str) -> DataF
     artifact dir. The explicit schema makes an EMPTY generation (e.g. an
     all-capped increment's postings) read as zero rows instead of
     failing schema inference; partition columns (gb) resolve from dir
-    names as usual."""
+    names as usual. Each slice carries its generation number as ``_gen``
+    (a literal — free) so tombstone masking can scope a delete to the
+    generations it covered (round 14; v1 reads as gen 0): writers that
+    persist an artifact back must select it away."""
     import os
 
     if man.get("version", 1) < 2:
-        dirs = [os.path.join(path, name)]
+        gens = [(0, os.path.join(path, name))]
     else:
-        dirs = [
-            os.path.join(path, name, f"gen={g['gen']}")
+        gens = [
+            (int(g["gen"]), os.path.join(path, name, f"gen={g['gen']}"))
             for g in man["generations"]
         ]
     out = None
-    for d in dirs:
-        part = spark.read.schema(schema).option("basePath", d).parquet(d)
+    for gen, d in gens:
+        part = (
+            spark.read.schema(schema)
+            .option("basePath", d)
+            .parquet(d)
+            .withColumn("_gen", F.lit(gen))
+        )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _active_text_tombstones(spark, path: str, man: dict) -> DataFrame | None:
+    """(doc_id, k, max_gen) union of the listed tombstone generations, or
+    None when the index has no active deletes — the text index's twin of
+    ``lexindex._active_tombstones``. The frame is delete-volume-sized
+    (deletes are rare events), so every mask join rides a small frame
+    AQE broadcasts."""
+    import os
+
+    out = None
+    for t in man.get("tombstones", []):
+        d = os.path.join(path, "tombstones", f"gen={t['gen']}")
+        part = (
+            spark.read.schema("doc_id bigint, k string")
+            .option("basePath", d)
+            .parquet(d)
+            .select("doc_id", "k", F.lit(int(t["max_gen"])).alias("max_gen"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _mask_deleted_ids(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Drop rows whose (base_id, _gen) a tombstone covers — the probe-
+    side view of a text-index delete for the id-keyed artifacts (grams,
+    sizes) until compaction applies it physically."""
+    if tomb is None:
+        return df
+    t = tomb.groupBy(F.col("doc_id").alias("base_id")).agg(
+        F.max("max_gen").alias("max_gen")
+    )
+    return df.join(
+        t,
+        (df["base_id"] == t["base_id"]) & (df["_gen"] <= t["max_gen"]),
+        "left_anti",
+    )
+
+
+def _mask_deleted_hashes(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Drop covered rows from the hashes artifact. v3 rows (doc_id
+    stored) mask precisely by id; legacy rows (NULL doc_id) mask by the
+    content hash the delete recorded — which also masks a byte-identical
+    TWIN doc living in a legacy generation (over-masking documented at
+    ``delete_from_index``: indistinguishable without per-row ids, and
+    conservative for the dedup guard's purpose)."""
+    if tomb is None:
+        return df
+    t = tomb.select(
+        F.col("doc_id").alias("t_id"), F.col("k").alias("t_k"), "max_gen"
+    )
+    cond = (df["_gen"] <= t["max_gen"]) & (
+        (df["doc_id"] == t["t_id"])
+        | (df["doc_id"].isNull() & (df["k"] == t["t_k"]))
+    )
+    return df.join(t, cond, "left_anti")
 
 
 def exact_dups_vs_index(spark, batch: DataFrame, path: str) -> DataFrame:
     """``exact_dups_vs_base`` against the stored hash column — the base's
     md5s were materialized at build/append time; the probe shuffles only
-    the batch and scans one narrow parquet column."""
+    the batch and scans one narrow parquet column. Deleted docs (round
+    14) are masked out: a taken-down doc must stop matching future
+    ingests as "already seen", or its takedown silently suppresses the
+    legitimate re-ingest forever."""
     man = _load_manifest(path)
     b = batch.select("doc_id", F.md5("text").alias("k"))
-    base_k = _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA)
+    base_k = _mask_deleted_hashes(
+        _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA),
+        _active_text_tombstones(spark, path, man),
+    )
     return b.join(base_k, "k", "left_semi").select("doc_id")
 
 
@@ -503,6 +581,11 @@ def near_dups_vs_index(
     g_base = _read_artifact(spark, path, "grams", man, _GRAMS_SCHEMA)
     if len(gbs) < nb:
         g_base = g_base.filter(F.col("gb").isin(gbs))
+    # mask deleted docs' postings and sizes (round 14) — a taken-down
+    # doc must stop near-matching future ingests; the mask is
+    # generation-scoped so a re-appended doc's new rows stay live
+    _tomb = _active_text_tombstones(spark, path, man)
+    g_base = _mask_deleted_ids(g_base, _tomb)
     if man.get("version", 1) >= 2:
         # exclude grams that crossed the df-cap in a later generation
         # (their pre-crossing postings are physically present). The
@@ -518,7 +601,9 @@ def near_dups_vs_index(
     sz_new = sh_new.select(
         F.col("doc_id").alias("new_id"), F.size("shingles").alias("sz_n")
     )
-    sz_base = _read_artifact(spark, path, "sizes", man, _SIZES_SCHEMA)
+    sz_base = _mask_deleted_ids(
+        _read_artifact(spark, path, "sizes", man, _SIZES_SCHEMA), _tomb
+    )
     return (
         inter.join(sz_new, "new_id")
         .join(sz_base, "base_id")
@@ -670,7 +755,10 @@ def append_to_index(
             _write_generation(
                 path,
                 gen,
-                hashes=increment.select(F.md5("text").alias("k")),
+                hashes=increment.select(
+                    F.md5("text").alias("k"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                ),
                 grams=post_inc.select("base_id", "g", _gb("g").alias("gb")),
                 sizes=sh.select(
                     F.col("doc_id").cast("long").alias("base_id"),
@@ -720,6 +808,145 @@ def append_to_index(
     finally:
         inc_df.unpersist()
         sh.unpersist()
+
+
+def delete_from_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    increment_id: str | None = None,
+) -> bool:
+    """Remove documents from the text near-dup index WITHOUT rewriting
+    its artifacts (round-14 verdict task 2 — the missing leg of takedown
+    / right-to-be-forgotten: the serving indexes could forget since
+    round 13, but a taken-down doc kept matching future ingests here as
+    "already seen", silently suppressing legitimate re-ingest, and its
+    fingerprints persisted forever). Same generation-scoped tombstone
+    design as the lexical/ANN twins:
+
+    - ``docs`` is a (doc_id) or (doc_id, text) frame. The asked ids
+      resolve against current membership (live ``sizes`` rows); the
+      content hash each membership row must stop matching comes from the
+      stored v3 ``hashes`` (doc_id column, round 14) — for docs indexed
+      by a PRE-round-14 generation the hash rows carry no doc_id, so the
+      text must be passed (the nightly delete stage reads it from
+      ``merged_dir`` before purging); id-only deletes of such docs raise
+      rather than leave the exact-dup probe still matching.
+    - one ``tombstones/gen=N`` artifact (doc_id, k) plus an atomic
+      manifest append commits the delete; every probe masks covered rows
+      (grams/sizes by id, hashes by id or — legacy rows — by content
+      hash, which also masks a byte-identical twin in a legacy
+      generation: indistinguishable without per-row ids, and
+      conservative for the guard's purpose).
+    - generation-scoped ``max_gen`` cover: re-appending a deleted doc_id
+      later works — the new generation is above the cover and matches
+      normally. ``increment_id`` replays are committed no-ops (False);
+      deleting non-members is a no-op that does NOT consume the id.
+    - compaction applies tombstones physically and retires the fully
+      absorbed ones; the stored per-gram df of a deleted doc's
+      UNDER-CAP grams is subtracted from its physically-present
+      postings at fold time, while its contribution to an already-
+      over-cap gram's df is unrecoverable (those postings were never
+      written) — the folded df is a documented UPPER bound, which can
+      only cap a gram the rebuild would have left uncapped: a
+      performance heuristic erring conservative, never a membership
+      error.
+
+    Cost: delete-sized membership/hash-resolution probes + one
+    delete-sized write — never an artifact rewrite. Concurrent appends
+    are fenced exactly as in the lexical/ANN deletes (round-14 advice):
+    an append committing between membership resolution and the manifest
+    commit aborts the delete loudly for a re-run."""
+    import os
+
+    man = _load_manifest(path)
+    if man.get("version", 1) < 2:
+        raise ValueError(
+            f"index at {path} uses the pre-append flat layout; rebuild it "
+            "with build_base_index to enable deletes"
+        )
+    applied = {
+        t.get("increment_id") for t in man.get("tombstones", [])
+    } | set(man.get("applied_deletes", []))
+    if increment_id is not None and increment_id in applied:
+        return False
+    has_text = "text" in docs.columns
+    want = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *([F.md5("text").alias("k_text")] if has_text else []),
+    ).dropDuplicates(["doc_id"])
+    tomb_now = _active_text_tombstones(spark, path, man)
+    member = (
+        _mask_deleted_ids(
+            _read_artifact(spark, path, "sizes", man, _SIZES_SCHEMA),
+            tomb_now,
+        )
+        .select(F.col("base_id").alias("doc_id"))
+        .distinct()
+        .join(want, "doc_id", "left_semi")
+    )
+    # resolve each member's content hash: stored v3 rows first, the
+    # caller's text as the fallback for legacy rows
+    stored_k = (
+        _mask_deleted_hashes(
+            _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA),
+            tomb_now,
+        )
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "k")
+        .join(member, "doc_id", "left_semi")
+        .distinct()
+    )
+    rows = member.join(stored_k, "doc_id", "left")
+    if has_text:
+        rows = rows.join(want, "doc_id", "left").select(
+            "doc_id", F.coalesce("k", "k_text").alias("k")
+        )
+    tomb_rows = rows.localCheckpoint(eager=True)
+    n_member = tomb_rows.select("doc_id").distinct().count()
+    if n_member == 0:
+        return False
+    if tomb_rows.filter(F.col("k").isNull()).limit(1).count():
+        raise ValueError(
+            f"index at {path} holds pre-round-14 generations whose hash "
+            "rows carry no doc_id; pass (doc_id, text) to "
+            "delete_from_index so the content hash can be tombstoned"
+        )
+    gen = _claim_generation(path)
+    tomb_rows.select("doc_id", "k").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "tombstones", f"gen={gen}"))
+    with _manifest_lock(path):
+        cur = _load_manifest(path)
+        applied_now = {
+            t.get("increment_id") for t in cur.get("tombstones", [])
+        } | set(cur.get("applied_deletes", []))
+        if increment_id is not None and increment_id in applied_now:
+            try:
+                os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+            except OSError:
+                pass
+            return False
+        if {g["gen"] for g in cur["generations"]} != {
+            g["gen"] for g in man["generations"]
+        }:
+            raise RuntimeError(
+                f"concurrent append landed during delete from {path}; "
+                "re-run delete_from_index"
+            )
+        cur.setdefault("tombstones", []).append(
+            {
+                "gen": gen,
+                "increment_id": increment_id,
+                "max_gen": max(g["gen"] for g in cur["generations"]),
+            }
+        )
+        _write_manifest(path, cur)
+    try:
+        os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))
+    except OSError:
+        pass
+    return True
 
 
 def compact_index(
@@ -793,17 +1020,67 @@ def compact_index(
     )
     full = not keep_entries
     fold_man = {"version": 2, "generations": fold_entries}
+    # tombstones (round-14 deletes) apply PHYSICALLY at fold time: the
+    # folded slice lands under a NEW generation number above every
+    # cover, so a covered row carried through would un-mask — covered
+    # rows are dropped from the rewrite instead. A tombstone whose whole
+    # cover lies inside the fold is fully absorbed (leaves the manifest,
+    # its increment_id moves to applied_deletes); one still covering a
+    # KEPT generation stays listed for the probe-side mask. The deleted
+    # docs' per-gram df is subtracted from their physically-present
+    # (under-cap) postings; an already-over-cap gram's contribution is
+    # unrecoverable, leaving that df a documented upper bound (see
+    # delete_from_index).
+    tomb = _active_text_tombstones(spark, path, man)
+    old_tomb_gens = {t["gen"] for t in man.get("tombstones", [])}
+    absorbed = [
+        t
+        for t in man.get("tombstones", [])
+        if not any(g["gen"] <= t["max_gen"] for g in keep_entries)
+    ]
+    absorbed_gens = {t["gen"] for t in absorbed}
     gen = _claim_generation(path)
 
-    hashes = _read_artifact(spark, path, "hashes", fold_man, _HASHES_SCHEMA)
-    sizes = _read_artifact(spark, path, "sizes", fold_man, _SIZES_SCHEMA)
+    hashes = _mask_deleted_hashes(
+        _read_artifact(spark, path, "hashes", fold_man, _HASHES_SCHEMA), tomb
+    ).select("k", "doc_id")
+    sizes = _mask_deleted_ids(
+        _read_artifact(spark, path, "sizes", fold_man, _SIZES_SCHEMA), tomb
+    ).select("base_id", "sz_b")
+    grams_raw = _read_artifact(spark, path, "grams", fold_man, _GRAMS_SCHEMA)
+    grams = _mask_deleted_ids(grams_raw, tomb)
     gramdf = (
         _read_artifact(spark, path, "gramdf", fold_man, _GRAMDF_SCHEMA)
         .groupBy("g", "gb")
         .agg(F.sum("df").alias("df"))
         .select("g", "df", "gb")
     )
-    grams = _read_artifact(spark, path, "grams", fold_man, _GRAMS_SCHEMA)
+    if tomb is not None:
+        # subtract the deleted docs' recoverable gram occurrences (their
+        # physically-present postings in the folded slice) from the
+        # folded df sums; rows hitting zero drop out entirely
+        _t = tomb.groupBy(F.col("doc_id").alias("base_id")).agg(
+            F.max("max_gen").alias("max_gen")
+        )
+        removed = (
+            grams_raw.join(
+                _t,
+                (grams_raw["base_id"] == _t["base_id"])
+                & (grams_raw["_gen"] <= _t["max_gen"]),
+                "left_semi",
+            )
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("rm"))
+        )
+        gramdf = (
+            gramdf.join(removed, "g", "left")
+            .select(
+                "g",
+                (F.col("df") - F.coalesce(F.col("rm"), F.lit(0))).alias("df"),
+                "gb",
+            )
+            .filter(F.col("df") > 0)
+        )
     # The capped (over-df-cap) gram set grows with corpus VOCABULARY —
     # heavy hitters accumulate forever — so a forced broadcast of it is
     # an unbounded driver/executor-memory object at 100 TB (the same
@@ -821,10 +1098,10 @@ def compact_index(
         # the GLOBAL ledger (safe: probes anti-join the global union)
         capped = _read_artifact(
             spark, path, "capped", fold_man, _CAPPED_SCHEMA
-        ).distinct()
+        ).select("g").distinct()
         global_capped = _read_artifact(
             spark, path, "capped", man, _CAPPED_SCHEMA
-        )
+        ).select("g")
         grams = grams.join(global_capped, "g", "left_anti")
     _write_generation(
         path,
@@ -850,9 +1127,31 @@ def compact_index(
                 f"concurrent append landed during compaction of {path}; "
                 "re-run compact_index"
             )
+        if {t["gen"] for t in cur.get("tombstones", [])} != old_tomb_gens:
+            # a delete that landed mid-fold was not applied to the
+            # rewrite, and the rewrite moved its covered rows above the
+            # tombstone's cover — committing would resurrect them
+            raise RuntimeError(
+                f"concurrent delete landed during compaction of {path}; "
+                "re-run compact_index"
+            )
         cur["compacted_increments"] = sorted(
             set(cur.get("compacted_increments", [])) | set(applied)
         )
+        if absorbed:
+            cur["applied_deletes"] = sorted(
+                set(cur.get("applied_deletes", []))
+                | {
+                    t["increment_id"]
+                    for t in absorbed
+                    if t.get("increment_id") is not None
+                }
+            )
+            cur["tombstones"] = [
+                t
+                for t in cur.get("tombstones", [])
+                if t["gen"] not in absorbed_gens
+            ]
         cur["generations"] = keep_entries + [
             {"gen": gen, "increment_id": None}
         ]

@@ -71,6 +71,14 @@ DOC_BUCKETS = 64
 _MANIFEST = "_MANIFEST.json"
 
 _POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl int, tb int"
+# positions (round-14 verdict task 4 — phrase queries): one row per
+# (term, doc), carrying every occurrence position as a sorted array
+# (array rows align 1:1 with postings cardinality and compress far
+# better than exploded per-occurrence rows). TERM-bucketed like the
+# postings — a phrase probe prunes to ITS terms' buckets exactly as a
+# BM25 probe does; positions are opt-in at build time (the artifact is
+# token-count-sized, the one index artifact that is).
+_POSITIONS_SCHEMA = "term string, doc_id bigint, positions array<int>, tb int"
 # doclist v3 (round 13) carries the doc length so DELETES can subtract
 # exact (n_docs, sum_dl) even for tokenless docs (no postings to read
 # dl from); pre-round-13 doclist dirs read dl as NULL and the delete
@@ -101,6 +109,53 @@ def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "doc_id", "tf", F.col("dl").cast("int").alias("dl"), _tb("term").alias("tb"))
     )
+
+
+def _positions_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, positions, tb) for one corpus slice. Positions are
+    0-based indexes over the FULL naive-split token list (empty tokens
+    from doubled separators keep their slot so adjacency offsets match
+    any independent tokenization of the same text; the empty rows
+    themselves are dropped — no phrase contains an empty term)."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ", -1)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .select("term", "doc_id", "positions", _tb("term").alias("tb"))
+    )
+
+
+def _write_positions_gen(positions: DataFrame, path: str, gen: int) -> None:
+    import os
+
+    (
+        positions.select("term", "doc_id", "positions", "tb")
+        .repartition(TERM_BUCKETS, F.col("tb"))
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(path, "positions", f"gen={gen}"))
+    )
+
+
+def _read_positions(spark, path: str, man: dict) -> DataFrame:
+    """Union of the committed positions generations, tagged with _gen
+    for tombstone scoping — the positional twin of _read_postings."""
+    import os
+
+    out = None
+    for g in man["generations"]:
+        d = os.path.join(path, "positions", f"gen={g['gen']}")
+        part = (
+            spark.read.schema(_POSITIONS_SCHEMA)
+            .option("basePath", d)
+            .parquet(d)
+            .withColumn("_gen", F.lit(int(g["gen"])))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, int]:
@@ -175,12 +230,21 @@ def build_lexical_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> None:
     """Tokenize and invert ``docs`` ONCE; persist postings as generation
     0 of an appendable index. One corpus pass for the postings, one tiny
-    aggregate for the stats; the manifest replace is the commit point."""
+    aggregate for the stats; the manifest replace is the commit point.
+
+    ``positions=True`` (round-14 verdict task 4) additionally persists
+    per-occurrence token positions — the artifact phrase queries
+    (``phrase_topk_from_index``) verify adjacency against. Opt-in
+    because it is token-count-sized (the postings are distinct-(term,
+    doc)-sized); once set, every append and fold maintains it."""
     _write_postings_gen(_postings_of(docs, id_col, text_col), path, 0)
     _write_doclist_gen(docs, path, 0, id_col, text_col)
+    if positions:
+        _write_positions_gen(_positions_of(docs, id_col, text_col), path, 0)
     n_docs, sum_dl = _corpus_stats(docs, text_col)
     _write_lex_manifest(
         path,
@@ -190,6 +254,7 @@ def build_lexical_index(
             # and skips it, and this index is generational from birth
             "version": 2,
             "term_buckets": TERM_BUCKETS,
+            "positions": bool(positions),
             "generations": [
                 {
                     "gen": 0,
@@ -255,6 +320,10 @@ def append_lexical_index(
     gen = _claim_generation(path)
     _write_postings_gen(_postings_of(increment, id_col, text_col), path, gen)
     _write_doclist_gen(increment, path, gen, id_col, text_col)
+    if man.get("positions"):
+        _write_positions_gen(
+            _positions_of(increment, id_col, text_col), path, gen
+        )
     n_docs, sum_dl = _corpus_stats(increment, text_col)
     from .incremental import _GENCLAIM_PREFIX
 
@@ -378,6 +447,15 @@ def compact_lexical_index(
     _write_postings_gen(
         _mask_deleted(_read_postings(spark, path, fold_man), tomb), path, gen
     )
+    if man.get("positions"):
+        # the positional artifact folds alongside, under the same
+        # tombstone mask (positions rows are (doc_id, _gen)-keyed like
+        # postings, so the one mask covers both)
+        _write_positions_gen(
+            _mask_deleted(_read_positions(spark, path, fold_man), tomb),
+            path,
+            gen,
+        )
     # a fold that contains any pre-round-12 (doclist-less) generation
     # must not write a doclist-less fold — that would propagate the
     # legacy state forever (round-12 advice): materialize the missing
@@ -641,6 +719,20 @@ def delete_from_lexical_index(
             except OSError:
                 pass
             return False
+        if {g["gen"] for g in cur["generations"]} != {
+            g["gen"] for g in man["generations"]
+        }:
+            # an append committed between membership resolution and this
+            # commit: max_gen stamped from cur would cover generations
+            # the membership probe never saw — a concurrently
+            # (re-)appended doc would be masked while its stats were
+            # never subtracted, a permanent live-stat overcount. Same
+            # fence as compact/rebuild (round-14 advice); the tombstone
+            # dir is an orphan vacuum_index sweeps.
+            raise RuntimeError(
+                f"concurrent append landed during delete from {path}; "
+                "re-run delete_from_lexical_index"
+            )
         cur.setdefault("tombstones", []).append(
             {
                 "gen": gen,
@@ -852,6 +944,78 @@ def bm25_topk_from_index(
     return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
+def phrase_topk_from_index(
+    spark,
+    path: str,
+    phrase: str | list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase top-k from the persisted positional index (round-14
+    verdict task 4 — the first thing a retrieval user asks for after AND
+    semantics): documents containing the words of ``phrase`` as ADJACENT
+    tokens, ranked by occurrence count (ties by doc_id). Requires an
+    index built with ``positions=True``.
+
+    Plan shape — the same build-once-serve-many discipline as the BM25
+    probe: the only data read is the <=|terms| term-bucket partitions
+    the phrase's words hash into (static partition pruning from a
+    driver-side bucket list computed over the WORDS, pinned in
+    tests/test_plans_round14.py); candidates are the matched positions
+    rows only, so per-query cost tracks the phrase terms' total
+    occurrence count, never corpus size. Adjacency verification is one
+    aggregate: word ``i`` at position ``p`` votes for a phrase start at
+    ``p - i``; a (doc, start) collecting ALL slot votes is one
+    occurrence — no joins between per-term streams, no window over the
+    corpus, and repeated words in the phrase are handled exactly (each
+    slot must be satisfied at its own offset). Deleted docs are masked
+    generation-scoped like every other probe.
+
+    Returns (doc_id, n_hits) — top ``k`` by (n_hits desc, doc_id);
+    oracled by a0l_phrase_topk against an independent DuckDB
+    tokenization."""
+    terms = phrase.split(" ") if isinstance(phrase, str) else list(phrase)
+    terms = [t for t in terms if t != ""]
+    if not terms:
+        raise ValueError("phrase_topk_from_index needs a non-empty phrase")
+    man = _load_lex_manifest(path)
+    if not man.get("positions"):
+        raise ValueError(
+            f"lexical index at {path} was built without positions=True; "
+            "rebuild (or re-append into a positional index) to serve "
+            "phrase queries"
+        )
+    nb = int(man.get("term_buckets", TERM_BUCKETS))
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "slot int, term string"
+    )
+    tbs = [
+        r["tb"] for r in slots.select(_tb("term").alias("tb")).distinct().collect()
+    ]
+    pos = _read_positions(spark, path, man)
+    if len(tbs) < nb:
+        pos = pos.filter(F.col("tb").isin(tbs))
+    pos = pos.filter(F.col("term").isin(terms))
+    pos = _mask_deleted(pos, _active_tombstones(spark, path, man))
+    votes = (
+        pos.join(F.broadcast(slots), "term")
+        .select("doc_id", "slot", F.explode("positions").alias("p"))
+        .select(
+            "doc_id", "slot", (F.col("p") - F.col("slot")).alias("start")
+        )
+    )
+    occ = (
+        votes.groupBy("doc_id", "start")
+        .agg(F.countDistinct("slot").alias("_ns"))
+        .filter(F.col("_ns") == len(terms))
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def hybrid_topk_rrf_from_index(
     spark,
     lex_path: str,
@@ -864,6 +1028,7 @@ def hybrid_topk_rrf_from_index(
     rrf_k: int = 60,
     filter_ids: DataFrame | None = None,
     auto_escalate: bool = True,
+    match_all_terms: bool = False,
 ) -> DataFrame:
     """``retrieval.hybrid_topk_rrf`` in its SERVING shape (round-11
     verdict task 1): the BM25 leg probes the persisted lexical index
@@ -904,6 +1069,13 @@ def hybrid_topk_rrf_from_index(
     tests/test_plans_round13.py). ``auto_escalate`` forwards to the ANN
     probe's low-coverage nprobe escalation.
 
+    ``match_all_terms`` (round-14 verdict task 6): conjunctive (AND)
+    semantics on the LEXICAL leg only — its candidates narrow to docs
+    matching every distinct query term (exactly ``bm25_topk_from_index``'s
+    flag) before depth ranking; the ANN leg and the RRF fill are
+    unchanged, so the fused top-k backfills from vector neighbors when
+    few docs satisfy the conjunction (oracled by a0l_hybrid_conjunctive).
+
     Returns (doc_id, bm25_rank, ann_rank, rrf_score) — top ``k`` by
     (rrf_score desc, doc_id); absent-leg ranks are NULL."""
     from .annindex import query_ann_index
@@ -911,7 +1083,8 @@ def hybrid_topk_rrf_from_index(
     w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     lex = (
         bm25_topk_from_index(
-            spark, lex_path, terms, k=depth, filter_ids=filter_ids
+            spark, lex_path, terms, k=depth, filter_ids=filter_ids,
+            match_all_terms=match_all_terms,
         )
         .withColumn("bm25_rank", F.row_number().over(w_lex))
         .select("doc_id", "bm25_rank")
@@ -952,6 +1125,7 @@ def hybrid_topk_rrf_batch(
     filter_ids: DataFrame | None = None,
     filter_pairs: DataFrame | None = None,
     auto_escalate: bool = True,
+    match_all_terms: bool = False,
 ) -> DataFrame:
     """Batch-of-queries hybrid retrieval (round-11 verdict task 7) — the
     serving shape: a QUERIES DataFrame in, per-query fused top-k out,
@@ -1028,13 +1202,29 @@ def hybrid_topk_rrf_batch(
     norm = F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
     )
+    aggs = [F.round(F.sum(idf * norm), 4).alias("score")]
+    if match_all_terms:
+        aggs.append(F.countDistinct("term").alias("_nt"))
     scored = (
         query_terms.select("query_id", "term")
         .join(post, "term")
         .join(F.broadcast(dfx), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * norm), 4).alias("score"))
+        .agg(*aggs)
     )
+    if match_all_terms:
+        # conjunctive per query (round-14 task 6): a doc ranks for a
+        # query only when it matched EVERY distinct term of THAT query —
+        # one filter against the batch-sized per-query term counts, no
+        # extra shuffle of the postings
+        qn = query_terms.groupBy("query_id").agg(
+            F.countDistinct("term").alias("_qn")
+        )
+        scored = (
+            scored.join(F.broadcast(qn), "query_id")
+            .filter(F.col("_nt") == F.col("_qn"))
+            .drop("_nt", "_qn")
+        )
     if filter_pairs is not None:
         qc, dc = filter_pairs.columns[:2]
         _pairs = filter_pairs.select(

@@ -34,6 +34,88 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def _merged_children(merged_dir: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(merged_dir):
+        return []
+    return sorted(
+        name
+        for name in os.listdir(merged_dir)
+        if not name.startswith((".", "_"))
+    )
+
+
+def _read_merged(spark, merged_dir: str, id_col: str, text_col: str):
+    """(doc_id, text) union of the merged-corpus children, or None when
+    the dir is empty — the text-resolution fallback for deleting docs
+    whose index generations predate per-row ids (round 14)."""
+    import os
+
+    out = None
+    for name in _merged_children(merged_dir):
+        part = spark.read.parquet(os.path.join(merged_dir, name)).select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _purge_merged(spark, merged_dir: str, ids, id_col: str) -> int:
+    """Remove the asked doc_ids' rows from every merged-corpus child —
+    the corpus side of right-to-be-forgotten (a takedown that scrubs the
+    serving indexes but leaves the text in ``merged_dir`` forgot
+    nothing; a later rebuild would even resurrect it). Per child: one
+    delete-sized semi-join decides whether the child holds any doomed
+    row (children without hits are untouched — the common case, so the
+    purge cost tracks the delete's blast radius, not corpus size), then
+    survivors are written to a dot-prefixed temp dir (hidden from every
+    scan) and swapped in. The swap's crash window (child removed, temp
+    complete, rename pending) is healed at the next purge of the same
+    dir — the temp IS the child's full surviving content, so the
+    recovery rename loses nothing. A child whose every row is doomed is
+    removed outright (an empty parquet dir would fail schema inference
+    on re-read). Returns the number of rows purged."""
+    import os
+    import shutil
+
+    # crash recovery FIRST — a restored child still needs THIS call's
+    # purge applied. A temp whose child is missing is the child's
+    # complete surviving content from a prior purge that died between
+    # its rmtree and rename (restore it); one whose child exists is
+    # stale debris of a purge that died between its temp write and the
+    # child's rmtree (sweep it — the redo below re-purges the child).
+    for name in (os.listdir(merged_dir) if os.path.isdir(merged_dir) else []):
+        if not name.startswith(".purge-tmp-"):
+            continue
+        child = name[len(".purge-tmp-"):]
+        cpath = os.path.join(merged_dir, child)
+        tpath = os.path.join(merged_dir, name)
+        if os.path.isdir(cpath):
+            shutil.rmtree(tpath, ignore_errors=True)
+        else:
+            os.rename(tpath, cpath)
+    ids_r = ids.select(F.col("doc_id").alias(id_col))
+    purged = 0
+    for name in _merged_children(merged_dir):
+        cpath = os.path.join(merged_dir, name)
+        tmp = os.path.join(merged_dir, f".purge-tmp-{name}")
+        df = spark.read.parquet(cpath)
+        hit = df.join(ids_r, id_col, "left_semi").count()
+        if hit == 0:
+            continue
+        purged += hit
+        surv = df.join(ids_r, id_col, "left_anti")
+        if surv.limit(1).count() == 0:
+            shutil.rmtree(cpath, ignore_errors=True)
+            continue
+        surv.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(cpath, ignore_errors=True)
+        os.rename(tmp, cpath)
+    return purged
+
+
 def run_nightly(
     spark,
     input_dir: str,
@@ -49,6 +131,8 @@ def run_nightly(
     embedding_col: str = "embedding",
     consistency_scope: str = "new",
     telemetry_queries: int | None = None,
+    deletes_dir: str | None = None,
+    compact_tombstones_over: int | None = None,
 ) -> dict:
     """One iteration of the unified nightly maintenance across every
     configured index. Pickup contract: every immediate child of
@@ -73,17 +157,37 @@ def run_nightly(
        fence), text near-dup — each skipped when its ledger already
        holds the id.
 
+    ``deletes_dir`` (round-14 verdict task 1 — takedown as a pipeline
+    stage): every immediate child is ONE delete increment, a parquet
+    file/dir carrying a (doc_id) column; the child's name is its
+    increment_id in every index's tombstone ledger. Applied AFTER the
+    night's appends (a doc both appended and deleted tonight ends up
+    forgotten), per increment in crash-stable order **ANN → lexical →
+    text → merged corpus** — the REVERSE of the append order, so the
+    serving invariant (ANN ⊆ lex) holds at every crash point; the
+    merged purge last means the text leg can still resolve legacy
+    content hashes from the corpus copy before it is scrubbed. Each
+    index leg is replay-idempotent via its manifest ledger, the merged
+    purge by construction; ``deletes_dir/_applied.json`` (written only
+    after all legs) lets replays skip settled increments.
+
     Maintenance: each configured index folds on its own ``compact_every``
-    threshold (tiered by ``max_generations_to_fold``); the lexical fold
-    protects increments pending in ANY sibling leg; the ANN drift flag
-    and the hybrid consistency check run exactly as in the retrieval
-    loop. Crash-matrix pytest: tests/test_unified_nightly.py replays
-    after a kill between every adjacent pair of per-increment commits.
+    threshold (tiered by ``max_generations_to_fold``) OR when its active
+    tombstone count reaches ``compact_tombstones_over`` (round-14 task
+    3: a delete-heavy, append-quiet index otherwise accumulates
+    tombstone generations without bound and every probe pays a growing
+    mask union); the lexical fold protects increments pending in ANY
+    sibling leg; the ANN drift flag and the hybrid consistency check
+    run exactly as in the retrieval loop. Crash-matrix pytest:
+    tests/test_unified_nightly.py replays after a kill between every
+    adjacent pair of per-increment commits; tests/test_nightly_deletes.py
+    does the same between every adjacent pair of per-delete legs.
 
     Returns {"appended_lex": [...], "appended_ann": [...],
     "appended_text": [...], "skipped": [...], "new_docs": n,
-    "duplicate_docs": n, "compacted": {"lex": gen|None, "ann":
-    gen|None, "text": gen|None}, "ann_docs_missing_from_lex": 0,
+    "duplicate_docs": n, "applied_deletes": [...], "skipped_deletes":
+    [...], "purged_merged_docs": n, "compacted": {"lex": gen|None,
+    "ann": gen|None, "text": gen|None}, "ann_docs_missing_from_lex": 0,
     "rebuild_recommended": bool|None, "max_drift_ratio": float|None,
     "vacuumed": [relpaths]}."""
     import os
@@ -210,6 +314,10 @@ def run_nightly(
                 )
             if did:
                 appended_ann.append(name)
+                # ANN-only configuration: no other leg will count these
+                # docs (round-14 advice — new_docs was always 0 here)
+                if lex_index_path is None and text_index_path is None:
+                    n_new += n_inc
         if text_index_path is not None and not text_done:
             from ..operators.incremental import append_to_index
 
@@ -227,6 +335,97 @@ def run_nightly(
                     n_new += n_inc
         if _inc_rdd is not None:
             _unpersist_rdd_ids(spark.sparkContext, {_inc_rdd})
+
+    # ---- delete increments (round-14 verdict task 1: takedown as a
+    # pipeline stage, not a hand-run API). Every immediate child of
+    # ``deletes_dir`` is ONE delete increment — a parquet file/dir with a
+    # (doc_id) column; the child's name is its increment_id in every
+    # index's tombstone ledger. Per increment, in crash-stable order:
+    # ANN first, then lexical (the REVERSE of the append order — a crash
+    # in between leaves a doc the BM25 leg still serves but the ANN leg
+    # cannot rank, preserving the serving invariant ANN ⊆ lex at every
+    # point; the rule at annindex.delete_from_ann_index's docstring),
+    # then the text near-dup index (so a forgotten doc stops suppressing
+    # re-ingest), then the merged corpus copy (right-to-be-forgotten
+    # reaches every artifact, not just the serving indexes). Each index
+    # leg is replay-idempotent via its own manifest ledger (a committed
+    # increment_id is a no-op); the merged purge is idempotent by
+    # construction (anti-join again removes nothing) and additionally
+    # skipped via a tiny applied-ledger in ``deletes_dir/_applied.json``
+    # written ONLY after every leg landed — a crash anywhere earlier
+    # replays all legs, each a committed no-op.
+    applied_deletes: list[str] = []
+    skipped_deletes: list[str] = []
+    purged_merged = 0
+    if deletes_dir is not None:
+        import json
+
+        ledger_path = os.path.join(deletes_dir, "_applied.json")
+        try:
+            with open(ledger_path) as fh:
+                ledger = set(json.load(fh))
+        except (OSError, ValueError):
+            ledger = set()
+        dchildren = sorted(
+            name
+            for name in (
+                os.listdir(deletes_dir) if os.path.isdir(deletes_dir) else []
+            )
+            if not name.startswith((".", "_"))
+        )
+        for name in dchildren:
+            if name in ledger:
+                skipped_deletes.append(name)
+                continue
+            ids = (
+                spark.read.parquet(os.path.join(deletes_dir, name))
+                .select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if ann_index_path is not None:
+                from ..operators.annindex import delete_from_ann_index
+
+                delete_from_ann_index(
+                    spark, ids, ann_index_path, increment_id=name
+                )
+            if lex_index_path is not None:
+                from ..operators.lexindex import delete_from_lexical_index
+
+                delete_from_lexical_index(
+                    spark, ids, lex_index_path, increment_id=name
+                )
+            if text_index_path is not None:
+                from ..operators.incremental import delete_from_index
+
+                try:
+                    delete_from_index(
+                        spark, ids, text_index_path, increment_id=name
+                    )
+                except ValueError:
+                    # pre-round-14 generations need the text to resolve
+                    # the content hash — the merged corpus still has it
+                    # (the purge below runs AFTER this leg)
+                    if merged_dir is None:
+                        raise
+                    docs = _read_merged(spark, merged_dir, id_col, text_col)
+                    if docs is None:
+                        raise
+                    delete_from_index(
+                        spark,
+                        docs.join(ids, "doc_id", "left_semi"),
+                        text_index_path,
+                        increment_id=name,
+                    )
+            if merged_dir is not None:
+                purged_merged += _purge_merged(spark, merged_dir, ids, id_col)
+            ledger.add(name)
+            tmp = ledger_path + ".tmp"
+            os.makedirs(deletes_dir, exist_ok=True)
+            with open(tmp, "w") as fh:
+                json.dump(sorted(ledger), fh)
+            os.replace(tmp, ledger_path)
+            applied_deletes.append(name)
 
     compacted: dict = {"lex": None, "ann": None, "text": None}
     rebuild = None
@@ -258,14 +457,25 @@ def run_nightly(
             from ..operators.incremental import _load_manifest
 
             pending |= lex_ids - _applied(_load_manifest, text_index_path)
-        if (
+        # fold on generation count OR on tombstone pressure (round-14
+        # verdict task 3): a delete-heavy, append-quiet index never hits
+        # compact_every, so its tombstone list — and every probe's mask
+        # union — grows without bound; the pressure trigger folds the
+        # masking back to zero-cost physical state
+        lex_pressure = (
+            compact_tombstones_over is not None
+            and len(lex_now.get("tombstones", [])) >= compact_tombstones_over
+        )
+        if lex_pressure or (
             compact_every is not None
             and len(lex_now["generations"]) >= compact_every
         ):
             fold, _ = _split_fold_slice(
                 lex_now["generations"], max_generations_to_fold, pending
             )
-            if len(fold) >= 2:
+            # a 1-generation fold is a no-op rewrite UNLESS tombstones
+            # need applying (compact_lexical_index allows exactly that)
+            if len(fold) >= 2 or (lex_pressure and len(fold) >= 1):
                 compacted["lex"] = compact_lexical_index(
                     spark, lex_index_path,
                     max_generations_to_fold=max_generations_to_fold,
@@ -278,10 +488,13 @@ def run_nightly(
             compact_ann_index,
         )
 
+        ann_now = _load_ann_manifest(ann_index_path)
         if (
+            compact_tombstones_over is not None
+            and len(ann_now.get("tombstones", [])) >= compact_tombstones_over
+        ) or (
             compact_every is not None
-            and len(_load_ann_manifest(ann_index_path)["generations"])
-            >= compact_every
+            and len(ann_now["generations"]) >= compact_every
         ):
             compacted["ann"] = compact_ann_index(
                 spark, ann_index_path,
@@ -311,10 +524,13 @@ def run_nightly(
     if text_index_path is not None:
         from ..operators.incremental import _load_manifest, compact_index
 
+        text_now = _load_manifest(text_index_path)
         if (
+            compact_tombstones_over is not None
+            and len(text_now.get("tombstones", [])) >= compact_tombstones_over
+        ) or (
             compact_every is not None
-            and len(_load_manifest(text_index_path)["generations"])
-            >= compact_every
+            and len(text_now["generations"]) >= compact_every
         ):
             compacted["text"] = compact_index(
                 spark, text_index_path,
@@ -322,7 +538,9 @@ def run_nightly(
             )
     if ann_index_path is not None and lex_index_path is not None:
         from ..operators.annindex import (
+            _active_vec_tombstones,
             _load_ann_manifest,
+            _mask_deleted_vecs,
             _materialize_missing_veclists,
             _read_veclist,
         )
@@ -347,6 +565,14 @@ def run_nightly(
             if vl is None:
                 _materialize_missing_veclists(spark, ann_index_path)
                 vl = _read_veclist(spark, ann_index_path, sub)
+            # mask ANN tombstones: a documented takedown deletes ANN
+            # first, then lex — between that and ANN compaction the raw
+            # veclist still carries the deleted vec_id while the lexical
+            # membership (correctly) denies it, and an unmasked check
+            # would raise a FALSE consistency violation (round-14 advice)
+            vl = _mask_deleted_vecs(
+                vl, _active_vec_tombstones(spark, ann_index_path, ann_man)
+            )
             ann_ids = vl.select(F.col("vec_id").alias("doc_id"))
             present = indexed_doc_ids(spark, lex_index_path, ann_ids)
             missing = ann_ids.join(present, "doc_id", "left_anti").count()
@@ -375,6 +601,9 @@ def run_nightly(
         "skipped": skipped,
         "new_docs": n_new,
         "duplicate_docs": n_dup,
+        "applied_deletes": applied_deletes,
+        "skipped_deletes": skipped_deletes,
+        "purged_merged_docs": purged_merged,
         "compacted": compacted,
         "ann_docs_missing_from_lex": missing,
         "rebuild_recommended": rebuild,

@@ -295,7 +295,9 @@ def run_nightly_retrieval_loop(
     vacuumed: list[str] = []
     if ann_index_path is not None:
         from ..operators.annindex import (
+            _active_vec_tombstones,
             _load_ann_manifest,
+            _mask_deleted_vecs,
             _materialize_missing_veclists,
             _read_veclist,
             ann_drift_report,
@@ -363,6 +365,15 @@ def run_nightly_retrieval_loop(
             if vl is None:
                 _materialize_missing_veclists(spark, ann_index_path)
                 vl = _read_veclist(spark, ann_index_path, sub)
+            # mask ANN tombstones: after a takedown (delete ANN, then
+            # lex) the raw veclist still lists the deleted vec_id until
+            # ANN compaction retires the tombstone, while the lexical
+            # membership probe (correctly) denies it — an unmasked
+            # full-scope check would raise a FALSE violation every night
+            # in between (round-14 advice)
+            vl = _mask_deleted_vecs(
+                vl, _active_vec_tombstones(spark, ann_index_path, ann_man)
+            )
             ann_ids = vl.select(F.col("vec_id").alias("doc_id"))
             present = indexed_doc_ids(spark, lex_index_path, ann_ids)
             missing = ann_ids.join(present, "doc_id", "left_anti").count()

@@ -851,6 +851,175 @@ def _stress_index_delete(spark: SparkSession, path: str, n: int) -> dict:
     }
 
 
+def _stress_phrase_query(spark: SparkSession, path: str, n: int) -> dict:
+    """Exact-phrase probe wall vs corpus size (round-14 verdict task 4):
+    a POSITIONAL lexical index is built once per scale (off-clock,
+    cached on disk) and the same 2-word phrase probes it at every scale.
+    Same honest two-sided design as the BM25 stress row: the replica-0
+    phrase ('window join' — untagged replica-0 vocabulary) has FLAT
+    matched-positions volume as the corpus grows, so its probe wall must
+    stay flat; the boilerplate phrase ('boilerplate footer' — the shared
+    untagged footer, occurrences ~ linear in N) pays for its own
+    occurrence growth — per-query cost tracks MATCHED POSITIONS, the
+    design claim. Also recorded: the positional artifact's build cost
+    and on-disk size next to the postings' (the opt-in price)."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lexindex import (
+        build_lexical_index,
+        phrase_topk_from_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    idx = os.path.join(path, "lex_index_pos")
+    build_sec = None
+    if not os.path.exists(os.path.join(idx, "_MANIFEST.json")):
+        t0 = time.time()
+        build_lexical_index(docs, idx, positions=True)
+        build_sec = round(time.time() - t0, 1)
+        print(
+            f"-- built positional lex index at {idx} in {build_sec}s",
+            file=sys.stderr,
+        )
+
+    def _du(sub):
+        total = 0
+        for r, _, fs in os.walk(os.path.join(idx, sub)):
+            for f in fs:
+                try:
+                    total += os.path.getsize(os.path.join(r, f))
+                except OSError:
+                    pass
+        return total
+
+    def _probe(phrase):
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            phrase_topk_from_index(spark, idx, phrase, k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            e = round(time.perf_counter() - start, 2)
+            best = e if best is None else min(best, e)
+        return best
+
+    flat = _probe(["window", "join"])  # replica-0 phrase, occurrences flat
+    hot = _probe(["boilerplate", "footer"])  # occurrences ~ linear in N
+    entry = {
+        "sec": flat,
+        "out_rows": 10,
+        "hot_phrase_probe_sec": hot,
+        "positions_bytes": _du("positions"),
+        "postings_bytes": _du("postings"),
+    }
+    if build_sec is not None:
+        entry["positional_build_sec"] = build_sec
+    return entry
+
+
+def _stress_nightly_delete(spark: SparkSession, path: str, n: int) -> dict:
+    """Takedown as a nightly stage (round-14 verdict tasks 1+3): three
+    delete increments land in a deletes_dir and ONE ``run_nightly`` call
+    applies them (no appends — the delete-heavy, append-quiet workload
+    the tombstone-pressure trigger exists for). Measured per scale:
+
+    - ``sec``: the whole delete-stage call (3 increments; must track
+      DELETE size — each increment is 1/300 of the corpus — never index
+      size);
+    - ``probe_pre/masked``: the standard 3-term BM25 probe before the
+      deletes and with 3 active tombstones (the mask union price);
+    - ``pressure_fold_sec`` + ``probe_post_fold``: a second nightly with
+      ``compact_tombstones_over=3`` (generation count is far below
+      compact_every, so ONLY the pressure trigger can fire) — probe cost
+      must return to the unmasked baseline;
+    - ``merged_purged_rows``: the corpus-copy purge, scoped to the one
+      merged child holding doomed rows (the blast-radius contract: the
+      untouched child is never rewritten)."""
+    import shutil
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lexindex import (
+        bm25_topk_from_index,
+        build_lexical_index,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.nightly import (
+        run_nightly,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    src = os.path.join(path, "lex_index")
+    if not os.path.exists(os.path.join(src, "_MANIFEST.json")):
+        build_lexical_index(docs, src)
+    idx = os.path.join(path, "lex_index_nightlydel")
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(src, idx)
+    aux = os.path.join(path, "nightlydel_aux")
+    shutil.rmtree(aux, ignore_errors=True)
+    inbox = os.path.join(aux, "inbox")
+    os.makedirs(inbox)
+    merged = os.path.join(aux, "merged")
+    deletes = os.path.join(aux, "deletes")
+    # merged corpus in two children; all doomed ids live in child A —
+    # the purge must leave child B untouched
+    docs.filter(F.col("doc_id") % 8 == 0).write.mode("overwrite").parquet(
+        os.path.join(merged, "child=a")
+    )
+    docs.filter(F.col("doc_id") % 8 != 0).write.mode("overwrite").parquet(
+        os.path.join(merged, "child=b")
+    )
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 2400 == i * 800).select(
+            "doc_id"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(deletes, f"take={i}")
+        )
+
+    def _probe():
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            bm25_topk_from_index(
+                spark, idx, ["join", "filter", "vector"], k=10
+            ).write.format("noop").mode("overwrite").save()
+            e = round(time.perf_counter() - start, 2)
+            best = e if best is None else min(best, e)
+        return best
+
+    pre = _probe()
+    b_mtime = os.path.getmtime(os.path.join(merged, "child=b"))
+    start = time.perf_counter()
+    r = run_nightly(
+        spark, inbox, lex_index_path=idx, merged_dir=merged,
+        deletes_dir=deletes,
+    )
+    stage_sec = round(time.perf_counter() - start, 2)
+    assert len(r["applied_deletes"]) == 3, r
+    assert os.path.getmtime(os.path.join(merged, "child=b")) == b_mtime, (
+        "purge rewrote a child with no doomed rows"
+    )
+    masked = _probe()
+    start = time.perf_counter()
+    r2 = run_nightly(
+        spark, inbox, lex_index_path=idx, merged_dir=merged,
+        deletes_dir=deletes, compact_every=1000, compact_tombstones_over=3,
+    )
+    fold_sec = round(time.perf_counter() - start, 2)
+    assert r2["compacted"]["lex"] is not None, r2
+    post_fold = _probe()
+    n_del = sum(
+        spark.read.parquet(os.path.join(deletes, f"take={i}")).count()
+        for i in range(3)
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(aux, ignore_errors=True)
+    return {
+        "sec": stage_sec,
+        "out_rows": n_del,
+        "probe_pre_delete_sec": pre,
+        "probe_masked_3tombs_sec": masked,
+        "pressure_fold_sec": fold_sec,
+        "probe_post_fold_sec": post_fold,
+        "merged_purged_rows": r["purged_merged_docs"],
+    }
+
+
 def _stress_hybrid_batch(spark: SparkSession, path: str, n: int) -> dict:
     """Batch hybrid retrieval wall vs BATCH SIZE at each corpus scale
     (round-12 verdict task 7), plus the served-vs-scan overlap@10 row
@@ -1027,6 +1196,8 @@ SIDE_OPS = {
     "bpe_deep_apply": _stress_bpe_deep_apply,
     "hybrid_batch": _stress_hybrid_batch,
     "index_delete": _stress_index_delete,
+    "phrase_query": _stress_phrase_query,
+    "nightly_delete": _stress_nightly_delete,
 }
 
 
