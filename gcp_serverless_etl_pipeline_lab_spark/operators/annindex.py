@@ -110,6 +110,26 @@ def _effective_nprobe(man: dict, nprobe: int, auto_escalate: bool) -> int:
     return nprobe
 
 
+def _total_cell_counts(man: dict) -> dict | None:
+    """Per-cell occupancy summed across the listed generations (round
+    14), or None when any listed generation predates the artifact.
+    Observability: cell skew (a mega-cell forming under appends, a
+    starved cell) is readable from the manifest without scanning the
+    index. This was also the instrument for the task-8 selective-
+    escalation experiment — whose measured rejection is documented at
+    the probe construction in ``query_ann_index``. Tombstoned vectors
+    stay counted until their fold retires them (counts are occupancy
+    bookkeeping, not membership truth)."""
+    totals: dict[int, int] = {}
+    for g in man["generations"]:
+        cc = g.get("cell_counts")
+        if cc is None:
+            return None
+        for c, n in cc.items():
+            totals[int(c)] = totals.get(int(c), 0) + int(n)
+    return totals
+
+
 class ModelEpochChangedError(RuntimeError):
     """A retrain flipped the index's coarse quantizer between an
     append's model read and its manifest commit — the appended vectors
@@ -153,7 +173,7 @@ def build_ann_index(
             corpus, dim, k=cells, iters=iters, sample_rate=sample_rate
         )
         trained_sr = float(sample_rate)
-    _write_vectors_gen(corpus, path, 0, model)
+    cell_counts = _write_vectors_gen(corpus, path, 0, model)
     _write_ann_manifest(
         path,
         {
@@ -170,7 +190,12 @@ def build_ann_index(
             # read the model, so vectors assigned under stale centroids
             # can never land behind a retrain's back
             "model_epoch": 0,
-            "generations": [{"gen": 0, "increment_id": None}],
+            # per-generation cell occupancy (round-14 task 8): the
+            # selective-escalation probe reads these driver-side to
+            # decide WHICH low-coverage queries escalate
+            "generations": [
+                {"gen": 0, "increment_id": None, "cell_counts": cell_counts}
+            ],
             # build-time quantization error — the drift baseline every
             # append's own error is compared against (ann_drift_report)
             "baseline_msd": _mean_assign_msd(corpus, model),
@@ -180,9 +205,16 @@ def build_ann_index(
 
 def _write_vectors_gen(
     vectors: DataFrame, path: str, gen: int, model
-) -> None:
+) -> dict:
+    """Write one cell-partitioned vector generation (+ its veclist) and
+    return its per-cell row counts (round-14 task 8 — the selective-
+    escalation signal). The counts come from reading the WRITTEN dir
+    back: cell is a partition column and count(*) resolves from parquet
+    footers, so the extra job is metadata-cheap and the recorded counts
+    are exactly what probes will scan."""
     import os
 
+    spark = vectors.sparkSession
     assigned = _assign_cell(
         vectors.select(
             F.col("vec_id").cast("long").alias("vec_id"), "embedding"
@@ -190,13 +222,26 @@ def _write_vectors_gen(
         "embedding",
         model,
     )
+    d = os.path.join(path, "vectors", f"gen={gen}")
     (
         assigned.repartition(len(model), F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, "vectors", f"gen={gen}"))
+        .parquet(d)
     )
     _write_veclist_gen(vectors, path, gen)
+    return _read_gen_cell_counts(spark, d)
+
+
+def _read_gen_cell_counts(spark, gen_dir: str) -> dict:
+    return {
+        str(r["cell"]): int(r["n"])
+        for r in spark.read.option("basePath", gen_dir)
+        .parquet(gen_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
 
 
 def _write_veclist_gen(vectors: DataFrame, path: str, gen: int) -> None:
@@ -282,7 +327,7 @@ def append_ann_index(
     model = [(int(cid), [float(x) for x in vec]) for cid, vec in man["model"]]
     model_epoch = int(man.get("model_epoch", 0))
     gen = _claim_generation(path)  # manifests share the generations shape
-    _write_vectors_gen(increment, path, gen, model)
+    cell_counts = _write_vectors_gen(increment, path, gen, model)
     # the increment's own quantization error against the PINNED model —
     # one aggregate over the increment (cost tracks increment size),
     # recorded with the generation so ann_drift_report can flag when the
@@ -318,7 +363,12 @@ def append_ann_index(
                 "claim was lost mid-append — retry the append"
             )
         cur["generations"].append(
-            {"gen": gen, "increment_id": increment_id, "drift_msd": drift_msd}
+            {
+                "gen": gen,
+                "increment_id": increment_id,
+                "drift_msd": drift_msd,
+                "cell_counts": cell_counts,
+            }
         )
         _write_ann_manifest(path, cur)
     try:
@@ -614,8 +664,13 @@ def query_ann_index(
     model is low-coverage (round-12 verdict task 1: measured 0.68
     overlap@10 at nprobe=3 under a 0.1-sampled model vs the 0.75
     contract floor; escalation restores it — tests/test_hybrid_recall.py
-    pins the sampled path, SCALE_STRESS.json records the cost). Pass
-    False to probe exactly ``nprobe`` cells regardless.
+    pins the sampled path, SCALE_STRESS.json records the cost).
+    Escalation is deliberately whole-batch: round-14 task 8's
+    per-query selective variant was implemented, measured, and REJECTED
+    — the inline comment at the probe construction records the numbers
+    (no cheap per-query signal separates the queries that lose recall
+    under a low-coverage model). Pass False to probe exactly ``nprobe``
+    cells regardless.
 
     ``filter_ids`` (round-12 verdict task 2): optional 1-column
     (doc_id) frame of ALLOWED neighbors — metadata-filtered search
@@ -637,7 +692,7 @@ def query_ann_index(
 
     man = _load_ann_manifest(path)
     dim, model = load_ann_model(path)
-    nprobe = _effective_nprobe(man, nprobe, auto_escalate)
+    nprobe_eff = _effective_nprobe(man, nprobe, auto_escalate)
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -646,6 +701,22 @@ def query_ann_index(
     ]
     stack = ", ".join(f"{cid}, d{cid}" for cid, _ in model)
     w = Window.partitionBy("query_id").orderBy("dist", "cell")
+    # Escalation stays WHOLE-BATCH deliberately (round-14 verdict task 8
+    # proposed escalating only queries whose probed-cell mass is low —
+    # implemented, MEASURED, and rejected): on the sampled-model corpus
+    # the per-query signals a probe can afford are non-predictive of
+    # which queries lose recall — measured base-nprobe mass 0.512-0.566
+    # covered pinned overlap@10 0.50 (worst) AND 1.00 (best), the
+    # mass-selective probe escalated ZERO of the floor suite's queries
+    # (mean stayed at the pinned 0.70 < the 0.75 contract), and the
+    # routing-ambiguity margin d3/d4 read 0.89-0.99 for good and bad
+    # queries alike — high-dimensional distance concentration flattens
+    # every cheap router-side statistic. The B=1000 escalated surcharge
+    # (1.6x, SCALE_STRESS hybrid_batch) is the documented price of
+    # correct recall under a low-coverage model; a full-coverage retrain
+    # retires it. The per-generation cell_counts the experiment added
+    # stay recorded (occupancy observability — mega-cell skew is visible
+    # from the manifest without scanning the index).
     probes = (
         q.select("query_id", "qe", *dist_cols)
         .select(
@@ -654,7 +725,7 @@ def query_ann_index(
             F.expr(f"stack({len(model)}, {stack}) AS (cell, dist)"),
         )
         .withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= nprobe)
+        .filter(F.col("pr") <= nprobe_eff)
         .select("query_id", "qe", "cell")
     )
     # bounded driver-side gate (<= len(model) values): the scan below
@@ -773,13 +844,15 @@ def compact_ann_index(
     }
     gen = _claim_generation(path)
     vec = _mask_deleted_vecs(_read_vectors(spark, path, fold_man), tomb)
+    _fold_dir = os.path.join(path, "vectors", f"gen={gen}")
     (
         vec.select("vec_id", "embedding", "cell")
         .repartition(len(man["model"]), F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, "vectors", f"gen={gen}"))
+        .parquet(_fold_dir)
     )
+    fold_cell_counts = _read_gen_cell_counts(spark, _fold_dir)
     # fold the membership artifact alongside — from the folded slice's
     # own veclists (narrow scan; materialized first for pre-round-13
     # generations so the fold never propagates the legacy state)
@@ -847,6 +920,7 @@ def compact_ann_index(
             "gen": gen,
             "increment_id": None,
             "drift_msd": fold_msd,
+            "cell_counts": fold_cell_counts,
         }
         if carried:
             entry["carried_max_drift_msd"] = max(carried)
@@ -1137,7 +1211,7 @@ def rebuild_ann_index(
     model = kmeans_centroids(
         vec, dim, k=cells, iters=iters, sample_rate=sample_rate
     )
-    _write_vectors_gen(vec, path, gen, model)
+    rebuild_cell_counts = _write_vectors_gen(vec, path, gen, model)
     baseline = _mean_assign_msd(vec, model)
     applied = [
         g["increment_id"]
@@ -1181,7 +1255,13 @@ def rebuild_ann_index(
                 }
             )
             cur["tombstones"] = []
-        cur["generations"] = [{"gen": gen, "increment_id": None}]
+        cur["generations"] = [
+            {
+                "gen": gen,
+                "increment_id": None,
+                "cell_counts": rebuild_cell_counts,
+            }
+        ]
         _write_ann_manifest(path, cur)
     try:
         os.remove(os.path.join(path, f"{_GENCLAIM_PREFIX}{gen}"))

@@ -253,6 +253,54 @@ def test_hybrid_batch_conjunctive_matches_single(spark, tmp_path):
         assert all(set(terms) <= txt[d] for d in docs)
 
 
+def test_cell_counts_recorded_through_lifecycle(spark, tmp_path):
+    """round-14 task 8 leftover that SHIPPED: every vector generation
+    records its per-cell occupancy (the selective-escalation experiment's
+    instrument, kept as manifest-readable skew observability after the
+    selection heuristic was measured non-predictive and rejected — see
+    query_ann_index). Counts must track the written population through
+    build / append / delete+compact / rebuild."""
+    corpus = _corpus(spark)
+    ann = str(tmp_path / "ann")
+    vecs = corpus.select(F.col("doc_id").alias("vec_id"), "embedding")
+    base = vecs.filter(F.col("vec_id") % 3 == 0)
+    inc = vecs.filter(F.col("vec_id") % 3 == 1)
+    annindex.build_ann_index(base, ann, 64, cells=8, iters=2, sample_rate=1.0)
+    man = annindex._load_ann_manifest(ann)
+    counts = annindex._total_cell_counts(man)
+    assert counts is not None and sum(counts.values()) == base.count()
+    assert annindex.append_ann_index(spark, inc, ann, "inc1") is True
+    man = annindex._load_ann_manifest(ann)
+    assert sum(annindex._total_cell_counts(man).values()) == (
+        base.count() + inc.count()
+    )
+    # delete + fold: the folded generation's counts are the survivors
+    doomed = base.limit(3).select("vec_id")
+    assert annindex.delete_from_ann_index(spark, doomed, ann, "take") is True
+    annindex.compact_ann_index(spark, ann)
+    man = annindex._load_ann_manifest(ann)
+    assert sum(annindex._total_cell_counts(man).values()) == (
+        base.count() + inc.count() - 3
+    )
+    # rebuild: fresh counts over the live population
+    annindex.rebuild_ann_index(spark, ann, sample_rate=1.0)
+    man = annindex._load_ann_manifest(ann)
+    assert sum(annindex._total_cell_counts(man).values()) == (
+        base.count() + inc.count() - 3
+    )
+    # a legacy manifest (no counts) reads as no-signal, not a crash
+    from gcp_serverless_etl_pipeline_lab_spark.operators.incremental import (
+        _manifest_lock,
+    )
+
+    with _manifest_lock(ann):
+        man = annindex._load_ann_manifest(ann)
+        for g in man["generations"]:
+            g.pop("cell_counts", None)
+        annindex._write_ann_manifest(ann, man)
+    assert annindex._total_cell_counts(annindex._load_ann_manifest(ann)) is None
+
+
 def test_drift_baseline_ignores_param_mismatched_readings(spark, tmp_path):
     corpus = _corpus(spark)
     ann = str(tmp_path / "ann")
