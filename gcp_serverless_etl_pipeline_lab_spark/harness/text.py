@@ -1424,10 +1424,19 @@ def a0l_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatch. Term-bucket pruning is pinned in
     tests/test_plans_round14.py; the delete interaction in
     tests/test_phrase.py."""
+    from ..operators.lexindex import phrase_topk_from_index
+
+    idx = _phrase_index(spark, sf_dir)
+    return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
+
+
+def _phrase_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once positional lexical index (even half built with
+    positions=True, odd half appended — the append maintains the
+    positional artifact), shared by the phrase queries."""
     from ..operators.lexindex import (
         append_lexical_index,
         build_lexical_index,
-        phrase_topk_from_index,
     )
     from .dedup import _ensure_cached_index
 
@@ -1444,10 +1453,77 @@ def a0l_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             increment_id="odd-half",
         )
 
-    idx = _ensure_cached_index(
+    return _ensure_cached_index(
         sf_dir, "lexpos", _build, table="documents.parquet"
     )
-    return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
+
+
+@register(
+    "a0l_phrase_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM toks
+      WHERE u.term <> ''
+    ),
+    slots(slot, term) AS (
+      VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))}
+    ),
+    phrased AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT tp.doc_id, tp.pos - s.slot AS start
+        FROM tp JOIN slots s USING (term)
+        GROUP BY tp.doc_id, tp.pos - s.slot
+        HAVING COUNT(DISTINCT s.slot) = {len(_PHRASE)}
+      )
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tp
+      WHERE term IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, term
+    ),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+         JOIN phrased USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def a0l_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search — BM25 relevance ranked AMONG documents
+    containing an exact phrase (round 14): `phrase_matching_docs`
+    composes as `filter_ids` into the standard indexed BM25 probe, so
+    "docs containing "window join", ranked by join/filter/vector
+    relevance" is two bucket-pruned probes of the same positional index
+    and one semi-join — no scan, no new operator. Statistics semantics
+    follow the filter contract: df/N/avgdl stay INDEX-level (the phrase
+    narrows candidates, not the corpus's term rarity), which the oracle
+    mirrors by joining the phrase set only into the final aggregation."""
+    from ..operators.lexindex import (
+        bm25_topk_from_index,
+        phrase_matching_docs,
+    )
+
+    idx = _phrase_index(spark, sf_dir)
+    allowed = phrase_matching_docs(spark, idx, list(_PHRASE)).select("doc_id")
+    return bm25_topk_from_index(
+        spark, idx, list(_BM25_TERMS), k=10, filter_ids=allowed
+    )
 
 
 # ---------------------------------------------------------------------------

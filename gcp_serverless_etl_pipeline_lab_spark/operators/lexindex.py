@@ -973,10 +973,31 @@ def phrase_topk_from_index(
     Returns (doc_id, n_hits) — top ``k`` by (n_hits desc, doc_id);
     oracled by a0l_phrase_topk against an independent DuckDB
     tokenization."""
+    return (
+        phrase_matching_docs(spark, path, phrase)
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_matching_docs(
+    spark,
+    path: str,
+    phrase: str | list[str],
+) -> DataFrame:
+    """ALL documents containing ``phrase`` as adjacent tokens, with
+    occurrence counts — (doc_id, n_hits), unranked and unlimited. The
+    probe body behind ``phrase_topk_from_index`` (same bucket pruning,
+    vote aggregate, tombstone masking), exposed separately because the
+    matching set COMPOSES: pass it as ``filter_ids`` to
+    ``bm25_topk_from_index`` / the hybrid spellings for quoted-phrase
+    search ("rank by relevance among docs containing this exact
+    phrase" — oracled by a0l_phrase_bm25), or to the ANN probe for
+    phrase-constrained vector search."""
     terms = phrase.split(" ") if isinstance(phrase, str) else list(phrase)
     terms = [t for t in terms if t != ""]
     if not terms:
-        raise ValueError("phrase_topk_from_index needs a non-empty phrase")
+        raise ValueError("phrase_matching_docs needs a non-empty phrase")
     man = _load_lex_manifest(path)
     if not man.get("positions"):
         raise ValueError(
@@ -1008,12 +1029,7 @@ def phrase_topk_from_index(
         .agg(F.countDistinct("slot").alias("_ns"))
         .filter(F.col("_ns") == len(terms))
     )
-    return (
-        occ.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .orderBy(F.col("n_hits").desc(), F.col("doc_id"))
-        .limit(k)
-    )
+    return occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
 def hybrid_topk_rrf_from_index(

@@ -163,13 +163,16 @@ def run_nightly(
     increment_id in every index's tombstone ledger. Applied AFTER the
     night's appends (a doc both appended and deleted tonight ends up
     forgotten), per increment in crash-stable order **ANN → lexical →
-    text → merged corpus** — the REVERSE of the append order, so the
-    serving invariant (ANN ⊆ lex) holds at every crash point; the
-    merged purge last means the text leg can still resolve legacy
-    content hashes from the corpus copy before it is scrubbed. Each
-    index leg is replay-idempotent via its manifest ledger, the merged
-    purge by construction; ``deletes_dir/_applied.json`` (written only
-    after all legs) lets replays skip settled increments.
+    text** — the REVERSE of the append order, so the serving invariant
+    (ANN ⊆ lex) holds at every crash point — then ONE merged-corpus
+    purge for the whole night's increments (after every text leg, so
+    legacy content hashes can still resolve from the corpus copy before
+    it is scrubbed; batched because the purge probes every merged
+    child, a cost worth paying once per night rather than once per
+    increment). Each index leg is replay-idempotent via its manifest
+    ledger, the purge by construction; ``deletes_dir/_applied.json``
+    (written only after the purge) lets replays skip settled
+    increments.
 
     Maintenance: each configured index folds on its own ``compact_every``
     threshold (tiered by ``max_generations_to_fold``) OR when its active
@@ -346,14 +349,15 @@ def run_nightly(
     # cannot rank, preserving the serving invariant ANN ⊆ lex at every
     # point; the rule at annindex.delete_from_ann_index's docstring),
     # then the text near-dup index (so a forgotten doc stops suppressing
-    # re-ingest), then the merged corpus copy (right-to-be-forgotten
-    # reaches every artifact, not just the serving indexes). Each index
-    # leg is replay-idempotent via its own manifest ledger (a committed
+    # re-ingest); the merged corpus copies are purged ONCE for the whole
+    # night's increments after the loop (right-to-be-forgotten reaches
+    # every artifact, not just the serving indexes). Each index leg is
+    # replay-idempotent via its own manifest ledger (a committed
     # increment_id is a no-op); the merged purge is idempotent by
     # construction (anti-join again removes nothing) and additionally
     # skipped via a tiny applied-ledger in ``deletes_dir/_applied.json``
-    # written ONLY after every leg landed — a crash anywhere earlier
-    # replays all legs, each a committed no-op.
+    # written ONLY after every leg and the purge landed — a crash
+    # anywhere earlier replays all legs, each a committed no-op.
     applied_deletes: list[str] = []
     skipped_deletes: list[str] = []
     purged_merged = 0
@@ -373,6 +377,7 @@ def run_nightly(
             )
             if not name.startswith((".", "_"))
         )
+        pending_ids = None
         for name in dchildren:
             if name in ledger:
                 skipped_deletes.append(name)
@@ -405,7 +410,7 @@ def run_nightly(
                 except ValueError:
                     # pre-round-14 generations need the text to resolve
                     # the content hash — the merged corpus still has it
-                    # (the purge below runs AFTER this leg)
+                    # (the purge below runs AFTER every text leg)
                     if merged_dir is None:
                         raise
                     docs = _read_merged(spark, merged_dir, id_col, text_col)
@@ -417,15 +422,28 @@ def run_nightly(
                         text_index_path,
                         increment_id=name,
                     )
+            pending_ids = (
+                ids if pending_ids is None else pending_ids.unionByName(ids)
+            )
+            applied_deletes.append(name)
+        if applied_deletes:
+            # ONE corpus purge for the whole night's delete increments —
+            # per-child probe cost is paid once per night instead of once
+            # per increment (the purge is idempotent, so batching only
+            # widens the crash-replay window, never its semantics: the
+            # ledger is written AFTER the purge, and a replay re-runs
+            # every index leg as a committed no-op then re-purges
+            # nothing)
             if merged_dir is not None:
-                purged_merged += _purge_merged(spark, merged_dir, ids, id_col)
-            ledger.add(name)
+                purged_merged += _purge_merged(
+                    spark, merged_dir, pending_ids.distinct(), id_col
+                )
+            ledger |= set(applied_deletes)
             tmp = ledger_path + ".tmp"
             os.makedirs(deletes_dir, exist_ok=True)
             with open(tmp, "w") as fh:
                 json.dump(sorted(ledger), fh)
             os.replace(tmp, ledger_path)
-            applied_deletes.append(name)
 
     compacted: dict = {"lex": None, "ann": None, "text": None}
     rebuild = None
