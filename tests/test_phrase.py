@@ -102,6 +102,48 @@ def test_phrase_requires_positions(spark, tmp_path):
         lexindex.phrase_topk_from_index(spark, idx, PHRASE)
 
 
+def test_phrase_maintained_through_nightly(spark, tmp_path):
+    """A positional index fed by the unified nightly loop keeps serving
+    phrases: the nightly append honors the manifest's positions flag, so
+    docs ingested through run_nightly are phrase-searchable (and a
+    nightly-ingested DELETE stops their phrases matching)."""
+    import os
+
+    from gcp_serverless_etl_pipeline_lab_spark.streaming.nightly import (
+        run_nightly,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "lex")
+    inbox = str(tmp_path / "inbox")
+    deletes = str(tmp_path / "deletes")
+    lexindex.build_lexical_index(
+        docs.filter(F.col("doc_id") % 2 == 0), idx, positions=True
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(inbox, "epoch=1"))
+    r = run_nightly(spark, inbox, lex_index_path=idx)
+    assert r["appended_lex"] == ["epoch=1"]
+    got = _rows(lexindex.phrase_topk_from_index(spark, idx, PHRASE, k=10))
+    want = _rows(_scan_phrase(spark, docs, PHRASE, k=10))
+    assert got == want and got
+    # a nightly delete removes the doc's phrases too
+    victim = [got[0][0]]
+    spark.createDataFrame([(v,) for v in victim], "doc_id bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(deletes, "take=1"))
+    r2 = run_nightly(spark, inbox, lex_index_path=idx, deletes_dir=deletes)
+    assert r2["applied_deletes"] == ["take=1"]
+    got2 = _rows(lexindex.phrase_topk_from_index(spark, idx, PHRASE, k=10))
+    want2 = _rows(
+        _scan_phrase(
+            spark, docs.filter(~F.col("doc_id").isin(victim)), PHRASE, k=10
+        )
+    )
+    assert got2 == want2 and victim[0] not in {d for d, _ in got2}
+
+
 def test_phrase_respects_deletes_and_fold(spark, tmp_path):
     docs = _docs(spark)
     idx = str(tmp_path / "lex")
