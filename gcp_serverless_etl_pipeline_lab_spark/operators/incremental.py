@@ -332,6 +332,17 @@ def _write_manifest(path: str, man: dict) -> None:
 _GENCLAIM_PREFIX = ".genclaim-"
 
 
+class LegacyHashResolutionError(ValueError):
+    """An id-only delete hit documents whose index generations predate
+    per-row-id hash rows (pre-round-14): the content hash to tombstone
+    can only come from the document text, so the caller must re-issue
+    the delete with a (doc_id, text) frame. A DEDICATED type (round-15
+    advice) so the nightly delete stage's corpus-resolution retry
+    triggers ONLY for this condition — not for unrelated ValueErrors
+    (flat-layout/config errors), which previously cost a full merged-
+    corpus read before re-raising."""
+
+
 def _claim_generation(path: str) -> int:
     """Reserve the next generation number with an exclusive-create marker
     (the warehouse's version-claim discipline, sinks._claim_version):
@@ -897,17 +908,29 @@ def delete_from_index(
         .join(member, "doc_id", "left_semi")
         .distinct()
     )
-    rows = member.join(stored_k, "doc_id", "left")
+    # tombstone the UNION of every resolved hash for a member (round-15
+    # advice): a doc present in BOTH a pre-round-14 generation (NULL
+    # doc_id hash row, resolvable only via the caller's text) and a v3
+    # generation with DIFFERENT text must stop matching under both
+    # hashes — a single coalesced value would leave the legacy content
+    # hash live and suppress legitimate re-ingest of the old content
+    # forever. Masking is per (doc_id, k) row, so extra hash rows cost
+    # one tombstone row each and nothing else.
+    resolved = stored_k
     if has_text:
-        rows = rows.join(want, "doc_id", "left").select(
-            "doc_id", F.coalesce("k", "k_text").alias("k")
+        text_k = (
+            member.join(want, "doc_id", "left")
+            .filter(F.col("k_text").isNotNull())
+            .select("doc_id", F.col("k_text").alias("k"))
         )
+        resolved = resolved.unionByName(text_k).distinct()
+    rows = member.join(resolved, "doc_id", "left")
     tomb_rows = rows.localCheckpoint(eager=True)
     n_member = tomb_rows.select("doc_id").distinct().count()
     if n_member == 0:
         return False
     if tomb_rows.filter(F.col("k").isNull()).limit(1).count():
-        raise ValueError(
+        raise LegacyHashResolutionError(
             f"index at {path} holds pre-round-14 generations whose hash "
             "rows carry no doc_id; pass (doc_id, text) to "
             "delete_from_index so the content hash can be tombstoned"
