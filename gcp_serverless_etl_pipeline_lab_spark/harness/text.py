@@ -1526,6 +1526,256 @@ def a0l_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _a0m_hybrid_phrase_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    return f"""
+    WITH {_BM25_LEG_DUCK},
+    ptoks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    ptp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM ptoks
+      WHERE u.term <> ''
+    ),
+    pslots(slot, term) AS (
+      VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))}
+    ),
+    phrased AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT ptp.doc_id, ptp.pos - s.slot AS start
+        FROM ptp JOIN pslots s USING (term)
+        GROUP BY ptp.doc_id, ptp.pos - s.slot
+        HAVING COUNT(DISTINCT s.slot) = {len(_PHRASE)}
+      )
+    ),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+           JOIN phrased USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {_HYBRID_DEPTH}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+      FROM bm
+    ),
+    {_ivf_model_duck()},
+    hq AS (SELECT e AS qe FROM c WHERE vec_id = {_HYBRID_QUERY_ID}),
+    qp AS (
+      SELECT cell FROM (
+        SELECT i.cell,
+               row_number() OVER (ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM hq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT fa.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell
+           JOIN phrased ph ON fa.vec_id = ph.doc_id
+           CROSS JOIN hq q
+      WHERE fa.vec_id <> {_HYBRID_QUERY_ID}
+    ),
+    vecr AS (
+      SELECT doc_id, ann_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS ann_rank
+        FROM vs) WHERE ann_rank <= {_HYBRID_DEPTH}
+    )
+    SELECT doc_id,
+           CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+           CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+           ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                 + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+               AS rrf_score
+    FROM lex FULL OUTER JOIN vecr USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register("a0m_hybrid_phrase", _a0m_hybrid_phrase_oracle())
+def a0m_hybrid_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-CONSTRAINED hybrid serving (round-15 verdict task 1): the
+    composition a user runs first once quoted search works — "among
+    documents containing the exact phrase "window join", fuse BM25
+    relevance with vector similarity". The ``phrase`` kwarg on
+    ``hybrid_topk_rrf_from_index`` adds ONE extra bucket-pruned
+    positional probe whose matching set is ANDed into both legs as
+    ``filter_ids`` BEFORE their depth ranking, so the fused top-10
+    fills from phrase-matching docs; RRF arithmetic and index-level
+    BM25 statistics are unchanged. The oracle re-tokenizes the corpus
+    independently for the phrase set, mirrors IVF routing exactly, and
+    joins the set into BOTH legs — ranks AND scores hash-match."""
+    from ..operators.lexindex import hybrid_topk_rrf_from_index
+    from .similarity import _IVF_NPROBE
+
+    lex = _phrase_index(spark, sf_dir)
+    _, ann = _hybrid_indexes(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _HYBRID_QUERY_ID)
+    out = hybrid_topk_rrf_from_index(
+        spark,
+        lex,
+        ann,
+        list(_BM25_TERMS),
+        q,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        nprobe=_IVF_NPROBE,
+        rrf_k=_HYBRID_RRF_K,
+        phrase=list(_PHRASE),
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    )
+
+
+# batch of quoted searches for a0m_phrase_batch — includes a
+# repeated-word phrase so the slot-vote exactness is oracle-visible
+_BATCH_PHRASES: dict[int, tuple[str, ...]] = {
+    0: ("window", "join"),
+    1: ("the", "filter"),
+    2: ("join", "join"),
+}
+
+
+def _a0m_phrase_batch_oracle() -> str:
+    slot_rows = ", ".join(
+        f"({qid}, {i}, '{t}')"
+        for qid, ts in sorted(_BATCH_PHRASES.items())
+        for i, t in enumerate(ts)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM toks
+      WHERE u.term <> ''
+    ),
+    slots(query_id, slot, term) AS (VALUES {slot_rows}),
+    qn AS (
+      SELECT query_id, COUNT(DISTINCT slot) AS nq FROM slots GROUP BY query_id
+    ),
+    votes AS (
+      SELECT s.query_id, tp.doc_id, s.slot, tp.pos - s.slot AS start
+      FROM tp JOIN slots s USING (term)
+    ),
+    occ AS (
+      SELECT v.query_id, v.doc_id, v.start
+      FROM votes v JOIN qn USING (query_id)
+      GROUP BY v.query_id, v.doc_id, v.start, qn.nq
+      HAVING COUNT(DISTINCT v.slot) = qn.nq
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM occ GROUP BY query_id, doc_id
+    ORDER BY query_id, doc_id
+    """
+
+
+@register("a0m_phrase_batch", _a0m_phrase_batch_oracle())
+def a0m_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B phrases in ONE positional-index pass (round-15 verdict task 5,
+    operators/lexindex.phrase_matching_docs_batch): the positions
+    artifact is scanned once, pruned to the UNION of the batch's term
+    buckets, and every phrase's slot frame rides a single broadcast
+    join — the batch twin of the a0h/a0j batch-hybrid discipline. The
+    batch includes a REPEATED-word phrase ("join join"): its two slots
+    must be satisfied at distinct offsets of the same start, which the
+    independent DuckDB tokenization verifies exactly. One-scan plan
+    shape pinned in tests/test_plans_round15.py; batch==single parity
+    in tests/test_phrase.py."""
+    from ..operators.lexindex import phrase_matching_docs_batch
+
+    idx = _phrase_index(spark, sf_dir)
+    phrases = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in sorted(_BATCH_PHRASES.items())],
+        "query_id bigint, phrase string",
+    )
+    return phrase_matching_docs_batch(spark, idx, phrases).orderBy(
+        "query_id", "doc_id"
+    )
+
+
+@register(
+    "a0m_phrase_backfill",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM toks
+      WHERE u.term <> ''
+    ),
+    slots(slot, term) AS (
+      VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))}
+    ),
+    votes AS (
+      SELECT tp.doc_id, s.slot, tp.pos - s.slot AS start
+      FROM tp JOIN slots s USING (term)
+    ),
+    occ AS (
+      SELECT doc_id, start FROM votes GROUP BY doc_id, start
+      HAVING COUNT(DISTINCT slot) = {len(_PHRASE)}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM occ GROUP BY doc_id
+    ORDER BY n_hits DESC, doc_id LIMIT 10
+    """,
+)
+def a0m_phrase_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place positions backfill (round-15 verdict task 3,
+    operators/lexindex.add_positions_to_index): the index here is built
+    WITHOUT positions (two generations: even half built, odd half
+    appended — neither writes a positions artifact), then upgraded
+    in-place from the corpus text; the phrase probe then runs on the
+    backfilled artifacts. The oracle is the SAME independent DuckDB
+    tokenization as a0l_phrase_topk — a backfilled index must answer
+    phrase queries byte-identically to a positions=True rebuild, which
+    is exactly what hash-matching both queries against one oracle
+    proves. Crash/fence tests in tests/test_phrase_backfill.py."""
+    from ..operators.lexindex import (
+        add_positions_to_index,
+        append_lexical_index,
+        build_lexical_index,
+        phrase_topk_from_index,
+    )
+    from .dedup import _ensure_cached_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(stage: str) -> None:
+        build_lexical_index(docs.filter(F.col("doc_id") % 2 == 0), stage)
+        append_lexical_index(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 1),
+            stage,
+            increment_id="odd-half",
+        )
+        add_positions_to_index(spark, stage, docs)
+
+    idx = _ensure_cached_index(
+        sf_dir, "lexposbf", _build, table="documents.parquet"
+    )
+    return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------

@@ -1002,8 +1002,8 @@ def phrase_matching_docs(
     if not man.get("positions"):
         raise ValueError(
             f"lexical index at {path} was built without positions=True; "
-            "rebuild (or re-append into a positional index) to serve "
-            "phrase queries"
+            "run add_positions_to_index (in-place backfill) or rebuild "
+            "to serve phrase queries"
         )
     nb = int(man.get("term_buckets", TERM_BUCKETS))
     slots = spark.createDataFrame(
@@ -1032,6 +1032,167 @@ def phrase_matching_docs(
     return occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def add_positions_to_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[int]:
+    """In-place positions BACKFILL for an existing non-positional index
+    (round-15 verdict task 3): a 100 TB index you'd rather not rebuild
+    can start serving phrase queries by deriving a ``positions/gen=N``
+    artifact for every committed generation from the corpus text —
+    the same upgrade discipline as ``_materialize_missing_doclists``
+    (the doclist v2→v3 precedent): write every per-generation artifact
+    first, then flip ``positions: true`` in the manifest under the lock
+    as the ONE commit point. A crash anywhere earlier leaves the flag
+    off (probes unaffected — orphan dirs invisible) and a re-run
+    overwrites the orphans idempotently; a concurrent append landing
+    mid-backfill is fenced loudly (its generation would have no
+    positions artifact, silently breaking phrase recall forever).
+
+    ``corpus`` is a (doc_id, text) frame that must cover every LIVE
+    indexed doc (tombstone-masked membership from the doclist) — the
+    merged-corpus dir maintained by ``run_nightly`` is exactly this
+    frame; missing docs raise rather than leave silent phrase-recall
+    holes. Deleted docs need no backfill (probes mask them; a purged
+    corpus cannot provide them). Cost: ONE corpus pass (the
+    doclist-tagged join is checkpointed and re-sliced per generation)
+    plus one positions write per generation — increment-sized for the
+    nightly generations, base-sized once for gen 0; measured as the
+    ``positions_backfill`` SCALE_STRESS row. Positions semantics are
+    byte-identical to the build path (same ``_positions_of``), so a
+    backfilled index answers phrase probes exactly as a
+    positions=True rebuild — oracled by a0m_phrase_backfill.
+
+    Returns the generation numbers backfilled ([] if the index already
+    serves positions)."""
+    man = _load_lex_manifest(path)
+    if man.get("positions"):
+        return []
+    _materialize_missing_doclists(spark, path)
+    man = _load_lex_manifest(path)
+    dl = _read_doclist(spark, path, man)
+    if dl is None:
+        raise ValueError(f"lexical index at {path} has no readable doclist")
+    live = _mask_deleted(dl, _active_tombstones(spark, path, man)).select(
+        "doc_id", "_gen"
+    )
+    docs = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
+    missing = live.join(docs.select("doc_id"), "doc_id", "left_anti").count()
+    if missing:
+        raise ValueError(
+            f"corpus is missing {missing} live indexed docs; positions "
+            "backfill refuses to create silent phrase-recall holes — "
+            "pass a corpus covering every live doc (e.g. the merged dir)"
+        )
+    tagged = live.join(docs, "doc_id").localCheckpoint(eager=True)
+    try:
+        gens = [int(g["gen"]) for g in man["generations"]]
+        for gen in gens:
+            _write_positions_gen(
+                _positions_of(
+                    tagged.filter(F.col("_gen") == gen), "doc_id", "text"
+                ),
+                path,
+                gen,
+            )
+        with _manifest_lock(path):
+            cur = _load_lex_manifest(path)
+            if {g["gen"] for g in cur["generations"]} != set(gens):
+                raise RuntimeError(
+                    f"concurrent append landed during positions backfill "
+                    f"of {path}; re-run add_positions_to_index"
+                )
+            cur["positions"] = True
+            _write_lex_manifest(path, cur)
+        return gens
+    finally:
+        from .bpetrain import _checkpointed_rdd_id, _unpersist_rdd_ids
+
+        rid = _checkpointed_rdd_id(tagged)
+        if rid is not None:
+            _unpersist_rdd_ids(spark.sparkContext, {rid})
+
+
+def phrase_matching_docs_batch(
+    spark,
+    path: str,
+    phrases: DataFrame,
+) -> DataFrame:
+    """B phrases in ONE positional-index pass (round-15 verdict task 5)
+    — ``phrases`` is a (query_id, phrase) frame; returns (query_id,
+    doc_id, n_hits), each query's exact-phrase matching set, unranked.
+
+    Plan shape mirrors ``hybrid_topk_rrf_batch``'s lexical leg: the
+    positions artifact is read ONCE, pruned to the UNION of the batch's
+    term buckets (one driver-side collect of the batch's distinct
+    words — bounded by the batch's own vocabulary, the same gate class
+    as the batch BM25 bucket list), and the per-query slot frames ride
+    a single broadcast join — per-phrase cost tracks that phrase's
+    matched positions, and the scan cost is paid once for the batch
+    instead of once per phrase. Slot numbering compacts empty tokens
+    exactly as the single-phrase spelling (``phrase_matching_docs``), so
+    batch==single parity is exact — pinned in tests/test_phrase.py."""
+    man = _load_lex_manifest(path)
+    if not man.get("positions"):
+        raise ValueError(
+            f"lexical index at {path} was built without positions=True; "
+            "rebuild, re-append, or run add_positions_to_index to serve "
+            "phrase queries"
+        )
+    nb = int(man.get("term_buckets", TERM_BUCKETS))
+    raw = (
+        phrases.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.posexplode(F.split(F.col("phrase"), " ", -1)).alias("p0", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("query_id").orderBy("p0")
+    slots = raw.select(
+        "query_id", (F.row_number().over(w) - 1).alias("slot"), "term"
+    )
+    qn = slots.groupBy("query_id").agg(F.countDistinct("slot").alias("_qn"))
+    tbs = [
+        r["tb"]
+        for r in slots.select(_tb("term").alias("tb")).distinct().collect()
+    ]
+    if not tbs:
+        raise ValueError("phrase_matching_docs_batch needs non-empty phrases")
+    terms = [r["term"] for r in slots.select("term").distinct().collect()]
+    pos = _read_positions(spark, path, man)
+    if len(tbs) < nb:
+        pos = pos.filter(F.col("tb").isin(tbs))
+    pos = pos.filter(F.col("term").isin(terms))
+    pos = _mask_deleted(pos, _active_tombstones(spark, path, man))
+    votes = (
+        pos.join(F.broadcast(slots), "term")
+        .select("query_id", "doc_id", "slot", F.explode("positions").alias("p"))
+        .select(
+            "query_id", "doc_id", "slot",
+            (F.col("p") - F.col("slot")).alias("start"),
+        )
+    )
+    occ = (
+        votes.groupBy("query_id", "doc_id", "start")
+        .agg(F.countDistinct("slot").alias("_ns"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_ns") == F.col("_qn"))
+    )
+    return occ.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
 def hybrid_topk_rrf_from_index(
     spark,
     lex_path: str,
@@ -1045,6 +1206,7 @@ def hybrid_topk_rrf_from_index(
     filter_ids: DataFrame | None = None,
     auto_escalate: bool = True,
     match_all_terms: bool = False,
+    phrase: str | list[str] | None = None,
 ) -> DataFrame:
     """``retrieval.hybrid_topk_rrf`` in its SERVING shape (round-11
     verdict task 1): the BM25 leg probes the persisted lexical index
@@ -1092,10 +1254,30 @@ def hybrid_topk_rrf_from_index(
     unchanged, so the fused top-k backfills from vector neighbors when
     few docs satisfy the conjunction (oracled by a0l_hybrid_conjunctive).
 
+    ``phrase`` (round-15 verdict task 1 — quoted-phrase + vector
+    ranking, the composition users run first once quoted search works):
+    constrains BOTH legs to documents containing the exact phrase
+    (``lex_path`` must be a positional index). The matching set comes
+    from one extra bucket-pruned probe (``phrase_matching_docs``) and is
+    ANDed into ``filter_ids``, so it applies INSIDE each leg before its
+    depth ranking — the fused top-k fills to ``k`` from phrase-matching
+    docs and the RRF arithmetic is unchanged (oracled by
+    a0m_hybrid_phrase; bucket/cell pruning under the phrase semi-join is
+    plan-pinned in tests/test_plans_round15.py). BM25 df/N/avgdl stay
+    INDEX-level, exactly the ``filter_ids`` statistics contract.
+
     Returns (doc_id, bm25_rank, ann_rank, rrf_score) — top ``k`` by
     (rrf_score desc, doc_id); absent-leg ranks are NULL."""
     from .annindex import query_ann_index
 
+    if phrase is not None:
+        pm = phrase_matching_docs(spark, lex_path, phrase).select("doc_id")
+        if filter_ids is not None:
+            allowed = filter_ids.select(
+                F.col(filter_ids.columns[0]).cast("long").alias("doc_id")
+            )
+            pm = pm.join(allowed, "doc_id", "left_semi")
+        filter_ids = pm
     w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     lex = (
         bm25_topk_from_index(
@@ -1142,6 +1324,7 @@ def hybrid_topk_rrf_batch(
     filter_pairs: DataFrame | None = None,
     auto_escalate: bool = True,
     match_all_terms: bool = False,
+    query_phrases: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-of-queries hybrid retrieval (round-11 verdict task 7) — the
     serving shape: a QUERIES DataFrame in, per-query fused top-k out,
@@ -1177,10 +1360,48 @@ def hybrid_topk_rrf_batch(
     with per-query). ``auto_escalate`` forwards to the ANN probe's
     low-coverage escalation.
 
+    ``query_phrases`` (round-15 verdict tasks 1+5): a (query_id, phrase)
+    frame — a batch of QUOTED searches. Every query in the batch must
+    appear (a partially-phrased batch is ambiguous about intent and is
+    rejected loudly); the matching sets come from ONE batch positional
+    probe (``phrase_matching_docs_batch`` — positions scanned once for
+    the whole batch) and are ANDed into ``filter_pairs``, so each
+    query's both legs rank only its phrase-matching docs and the fused
+    top-k fills from them. Batch==single parity is exact (pinned in
+    tests/test_phrase.py); per-query RRF arithmetic unchanged.
+
     Returns (query_id, doc_id, bm25_rank, ann_rank, rrf_score) — top
     ``k`` per query by (rrf_score desc, doc_id); absent-leg ranks NULL."""
     from .annindex import query_ann_index
 
+    if query_phrases is not None:
+        n_q = query_terms.select("query_id").distinct().count()
+        n_p = query_phrases.select("query_id").distinct().count()
+        covered = (
+            query_terms.select("query_id")
+            .distinct()
+            .join(query_phrases.select("query_id").distinct(), "query_id", "left_semi")
+            .count()
+        )
+        if covered < n_q or n_p != covered:
+            raise ValueError(
+                "query_phrases must carry exactly one phrase per batch "
+                f"query ({n_q} queries, {n_p} phrases, {covered} covered)"
+            )
+        pm = phrase_matching_docs_batch(spark, lex_path, query_phrases).select(
+            "query_id", "doc_id"
+        )
+        if filter_pairs is not None:
+            qc, dc = filter_pairs.columns[:2]
+            pm = pm.join(
+                filter_pairs.select(
+                    F.col(qc).cast("long").alias("query_id"),
+                    F.col(dc).cast("long").alias("doc_id"),
+                ),
+                ["query_id", "doc_id"],
+                "left_semi",
+            )
+        filter_pairs = pm
     man = _load_lex_manifest(lex_path)
     n_docs, sum_dl = _live_stats(man)
     if n_docs == 0:

@@ -168,3 +168,117 @@ def test_phrase_respects_deletes_and_fold(spark, tmp_path):
     folded = spark.read.parquet(os.path.join(idx, "positions", f"gen={gen}"))
     left = {r["doc_id"] for r in folded.select("doc_id").distinct().collect()}
     assert not left & {r["doc_id"] for r in doomed.collect()}
+
+
+def test_phrase_batch_equals_single(spark, tmp_path):
+    """Round-15 verdict task 5: B phrases in one positional pass must
+    answer exactly as B single-phrase probes — including a repeated-word
+    phrase, whose slots must each be satisfied at their own offset."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "lex")
+    lexindex.build_lexical_index(
+        docs.filter(F.col("doc_id") % 2 == 0), idx, positions=True
+    )
+    assert lexindex.append_lexical_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx, "odd"
+    ) is True
+    phrases = [(0, "window join"), (1, "the filter"), (2, "join join")]
+    pf = spark.createDataFrame(phrases, "query_id bigint, phrase string")
+    batch = {
+        (r["query_id"], r["doc_id"], r["n_hits"])
+        for r in lexindex.phrase_matching_docs_batch(spark, idx, pf).collect()
+    }
+    single = set()
+    for qid, ph in phrases:
+        for r in lexindex.phrase_matching_docs(spark, idx, ph).collect():
+            single.add((qid, r["doc_id"], r["n_hits"]))
+    assert batch == single and batch
+
+
+def test_phrase_batch_respects_deletes(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "lex")
+    lexindex.build_lexical_index(docs, idx, positions=True)
+    match_ids = sorted(
+        r["doc_id"]
+        for r in lexindex.phrase_matching_docs(spark, idx, PHRASE).collect()
+    )
+    assert match_ids
+    vid = match_ids[0]
+    ids = spark.createDataFrame([(vid,)], "doc_id bigint")
+    assert lexindex.delete_from_lexical_index(spark, ids, idx, "take") is True
+    pf = spark.createDataFrame(
+        [(0, " ".join(PHRASE))], "query_id bigint, phrase string"
+    )
+    got = {
+        r["doc_id"]
+        for r in lexindex.phrase_matching_docs_batch(spark, idx, pf).collect()
+    }
+    assert vid not in got and got == set(match_ids) - {vid}
+
+
+def test_hybrid_phrase_batch_equals_single(spark, tmp_path):
+    """Phrase-constrained hybrid serving (round-15 verdict task 1):
+    batch spelling == per-query single spelling, and the single
+    spelling == manual composition through filter_ids."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators import annindex
+
+    docs = _docs(spark)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lex = str(tmp_path / "lex")
+    ann = str(tmp_path / "ann")
+    lexindex.build_lexical_index(docs, lex, positions=True)
+    annindex.build_ann_index(
+        emb, ann, 64, cells=8, iters=2, sample_rate=1.0
+    )
+    queries = {3: ["filter", "vector"], 7: ["join", "filter", "vector"]}
+    phrase = " ".join(PHRASE)
+    # single == manual composition
+    q7 = emb.filter(F.col("vec_id") == 7)
+    got = _rows(
+        lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, queries[7], q7, k=10, phrase=phrase
+        )
+    )
+    allowed = lexindex.phrase_matching_docs(spark, lex, phrase).select("doc_id")
+    want = _rows(
+        lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, queries[7], q7, k=10, filter_ids=allowed
+        )
+    )
+    assert got == want and got
+    # batch == per-query single
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id bigint, term string",
+    )
+    qv = emb.filter(F.col("vec_id").isin(list(queries)))
+    qp = spark.createDataFrame(
+        [(qid, phrase) for qid in queries], "query_id bigint, phrase string"
+    )
+    brows = {
+        tuple(r)
+        for r in lexindex.hybrid_topk_rrf_batch(
+            spark, lex, ann, qt, qv, k=10, query_phrases=qp
+        ).collect()
+    }
+    srows = set()
+    for qid, terms in queries.items():
+        qq = emb.filter(F.col("vec_id") == qid)
+        for r in lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, terms, qq, k=10, phrase=phrase
+        ).collect():
+            srows.add((qid,) + tuple(r))
+    assert brows == srows and brows
+    # a partially-phrased batch is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="query_phrases"):
+        lexindex.hybrid_topk_rrf_batch(
+            spark, lex, ann, qt, qv, k=10,
+            query_phrases=spark.createDataFrame(
+                [(3, phrase)], "query_id bigint, phrase string"
+            ),
+        ).count()
