@@ -1776,6 +1776,62 @@ def a0m_phrase_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
 
 
+# the takedown-audit probe ids — one even (base-built) and one odd
+# (append-path) doc so both index halves are audited
+_AUDIT_IDS = (11, 28)
+
+
+@register(
+    "a0m_takedown_audit",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS nt
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      )
+      WHERE term <> '' AND doc_id IN {_AUDIT_IDS}
+      GROUP BY doc_id
+    ),
+    d AS (SELECT doc_id FROM documents WHERE doc_id IN {_AUDIT_IDS}),
+    e AS (SELECT vec_id AS doc_id FROM embeddings WHERE vec_id IN {_AUDIT_IDS})
+    SELECT artifact, doc_id, n_rows FROM (
+      SELECT 'lex:postings' AS artifact, doc_id, nt AS n_rows FROM t
+      UNION ALL SELECT 'lex:positions', doc_id, nt FROM t
+      UNION ALL SELECT 'lex:doclist', doc_id, CAST(1 AS BIGINT) FROM d
+      UNION ALL SELECT 'ann:vectors', doc_id, CAST(1 AS BIGINT) FROM e
+      UNION ALL SELECT 'ann:veclist', doc_id, CAST(1 AS BIGINT) FROM e
+    )
+    ORDER BY artifact, doc_id
+    """,
+)
+def a0m_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``verify_forgotten`` (round-15 verdict task 4,
+    operators/takedown.py) — the right-to-be-forgotten audit as a
+    user-facing operator: given doc_ids, one delete-sized semi-join per
+    artifact family reports every row still held for them. Here the
+    audit runs over LIVE docs against the shared read-only index caches
+    (no takedown), so the expected report is full presence — which the
+    oracle derives INDEPENDENTLY from the source tables (postings and
+    positions rows per doc = its distinct non-empty terms; doclist /
+    vectors / veclist = one row each). If any family's reader, mask
+    wiring, or row accounting drifted, counts would hash-mismatch. The
+    post-takedown semantics (served-empty, physical-until-fold, legacy
+    content hashes, partial-takedown naming) are pinned in
+    tests/test_takedown_verify.py; ``run_nightly(verify_deletes=True)``
+    runs this audit on each night's takedowns and fails loudly on
+    residue."""
+    from ..operators.takedown import verify_forgotten
+
+    lex = _phrase_index(spark, sf_dir)
+    _, ann = _hybrid_indexes(spark, sf_dir)
+    ids = spark.createDataFrame(
+        [(i,) for i in _AUDIT_IDS], "doc_id bigint"
+    )
+    return verify_forgotten(
+        spark, ids, lex_index_path=lex, ann_index_path=ann
+    ).orderBy("artifact", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary building + OOV coverage
 # ---------------------------------------------------------------------------

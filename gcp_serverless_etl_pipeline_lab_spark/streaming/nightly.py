@@ -275,6 +275,7 @@ def run_nightly(
     telemetry_queries: int | None = None,
     deletes_dir: str | None = None,
     compact_tombstones_over: int | None = None,
+    verify_deletes: bool = False,
 ) -> dict:
     """One iteration of the unified nightly maintenance across every
     configured index. Pickup contract: every immediate child of
@@ -328,10 +329,18 @@ def run_nightly(
     adjacent pair of per-increment commits; tests/test_nightly_deletes.py
     does the same between every adjacent pair of per-delete legs.
 
+    ``verify_deletes`` (round-15 verdict task 4): after the night's
+    takedowns land, run the ``verify_forgotten`` served-scope audit over
+    the night's own ids across every configured artifact family and
+    FAIL the night loudly on any residue row — the per-night compliance
+    proof, at the cost of one delete-sized semi-join per family.
+
     Returns {"appended_lex": [...], "appended_ann": [...],
     "appended_text": [...], "skipped": [...], "new_docs": n,
     "duplicate_docs": n, "applied_deletes": [...], "skipped_deletes":
-    [...], "purged_merged_docs": n, "compacted": {"lex": gen|None,
+    [...], "purged_merged_docs": n, "purge_children_read": n,
+    "purge_children_skipped": n, "forgotten_residue": 0|None,
+    "compacted": {"lex": gen|None,
     "ann": gen|None, "text": gen|None}, "ann_docs_missing_from_lex": 0,
     "rebuild_recommended": bool|None, "max_drift_ratio": float|None,
     "vacuumed": [relpaths]}."""
@@ -509,6 +518,7 @@ def run_nightly(
     purged_merged = 0
     purge_children_read = 0
     purge_children_skipped = 0
+    forgotten_residue = None
     if deletes_dir is not None:
         import json
 
@@ -605,6 +615,34 @@ def run_nightly(
             with open(tmp, "w") as fh:
                 json.dump(sorted(ledger), fh)
             os.replace(tmp, ledger_path)
+        if verify_deletes and applied_deletes:
+            # per-night takedown audit (round-15 verdict task 4): the
+            # served-scope residue report over tonight's ids must be
+            # empty — any row is a serving bug worth failing the night
+            # over, so it raises rather than logs
+            from ..operators.takedown import verify_forgotten
+
+            residue = verify_forgotten(
+                spark,
+                pending_ids.distinct(),
+                lex_index_path=lex_index_path,
+                ann_index_path=ann_index_path,
+                text_index_path=text_index_path,
+                merged_dir=merged_dir,
+                scope="served",
+                id_col=id_col,
+                text_col=text_col,
+            )
+            rows = residue.limit(20).collect()
+            forgotten_residue = len(rows)
+            if rows:
+                raise RuntimeError(
+                    "takedown verification failed: residue rows "
+                    + ", ".join(
+                        f"{r['artifact']}:{r['doc_id']}x{r['n_rows']}"
+                        for r in rows
+                    )
+                )
 
     compacted: dict = {"lex": None, "ann": None, "text": None}
     rebuild = None
@@ -785,6 +823,7 @@ def run_nightly(
         "purged_merged_docs": purged_merged,
         "purge_children_read": purge_children_read,
         "purge_children_skipped": purge_children_skipped,
+        "forgotten_residue": forgotten_residue,
         "compacted": compacted,
         "ann_docs_missing_from_lex": missing,
         "rebuild_recommended": rebuild,
