@@ -1188,6 +1188,117 @@ def _stress_hybrid_batch(spark: SparkSession, path: str, n: int) -> dict:
     return entry
 
 
+def _stress_purge_blast(spark: SparkSession, path: str, n: int) -> dict:
+    """Merged-corpus purge READ cost vs blast radius (round-15 verdict
+    task 2): the corpus sits in MANY fixed-size children (one per 6250
+    contiguous doc_ids — the nightly-increment accumulation pattern;
+    ~9 at x1, ~90 at x10) and every doomed id lives in child 0. Measured
+    per scale:
+
+    - ``cold_stats_backfill_sec`` / ``cold_children_read``: the FIRST
+      delete night on a legacy dir (no `_child_stats.json`) — reads
+      every child once, backfilling stats; this is the one-time price a
+      pre-round-15 dir pays, and it grows with corpus size.
+    - ``sec`` / ``warm_children_read``: the SECOND delete night (stats
+      warm) — must read exactly the one overlapping child, so the
+      wall-clock is FLAT across scales (the child is fixed-size) while
+      ``warm_children_skipped`` grows with the corpus. That flatness is
+      the task's contract: purge reads track the delete's blast radius,
+      not corpus size or child count."""
+    import shutil
+
+    from gcp_serverless_etl_pipeline_lab_spark.streaming import (
+        nightly as nightly_mod,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    aux = os.path.join(path, "purge_blast_aux")
+    shutil.rmtree(aux, ignore_errors=True)
+    merged = os.path.join(aux, "merged")
+    w = 6250
+    (
+        docs.withColumn("child", F.floor(F.col("doc_id") / w))
+        .write.mode("overwrite")
+        .partitionBy("child")
+        .parquet(merged)
+    )
+    for leftover in ("_SUCCESS",):
+        try:
+            os.remove(os.path.join(merged, leftover))
+        except OSError:
+            pass
+    ids1 = docs.filter(
+        (F.col("doc_id") < w) & (F.col("doc_id") % 37 == 0)
+    ).select("doc_id")
+    ids2 = docs.filter(
+        (F.col("doc_id") < w) & (F.col("doc_id") % 41 == 3)
+    ).select("doc_id")
+    t0 = time.perf_counter()
+    r1 = nightly_mod._purge_merged(spark, merged, ids1, "doc_id")
+    cold = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    r2 = nightly_mod._purge_merged(spark, merged, ids2, "doc_id")
+    warm = round(time.perf_counter() - t0, 2)
+    assert r2["children_read"] == 1, r2
+    shutil.rmtree(aux, ignore_errors=True)
+    return {
+        "sec": warm,
+        "out_rows": r2["purged"],
+        "children": r2["children"],
+        "cold_stats_backfill_sec": cold,
+        "cold_children_read": r1["children_read"],
+        "cold_purged_rows": r1["purged"],
+        "warm_children_read": r2["children_read"],
+        "warm_children_skipped": r2["children_skipped"],
+    }
+
+
+def _stress_positions_backfill(spark: SparkSession, path: str, n: int) -> dict:
+    """In-place positions backfill cost (round-15 verdict task 3): copy
+    the shared non-positional lex index, run ``add_positions_to_index``
+    from the corpus, then serve a phrase probe from the upgraded
+    artifacts. The backfill is a one-time upgrade whose cost is ONE
+    corpus pass plus the positions write — expected LINEAR in corpus
+    size (``sec``/doc flat across scales is the honest contract; an
+    upgrade cheaper than linear would have to skip text). The phrase
+    probe afterwards must stay bucket-pruned-flat like the
+    ``phrase_query`` row."""
+    import shutil
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lexindex import (
+        add_positions_to_index,
+        build_lexical_index,
+        phrase_topk_from_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    src = os.path.join(path, "lex_index")
+    if not os.path.exists(os.path.join(src, "_MANIFEST.json")):
+        build_lexical_index(docs, src)
+    idx = os.path.join(path, "lex_index_posbf")
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(src, idx)
+    t0 = time.perf_counter()
+    gens = add_positions_to_index(spark, idx, docs)
+    sec = round(time.perf_counter() - t0, 2)
+    probe = None
+    out_rows = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out_rows = phrase_topk_from_index(
+            spark, idx, ["common", "boilerplate"], k=10
+        ).count()
+        e = round(time.perf_counter() - t0, 2)
+        probe = e if probe is None else min(probe, e)
+    shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "sec": sec,
+        "out_rows": out_rows,
+        "gens_backfilled": len(gens),
+        "phrase_probe_after_backfill_sec": probe,
+    }
+
+
 SIDE_OPS = {
     "index_append": _stress_index_append,
     "bpe_train": _stress_bpe_train,
@@ -1198,6 +1309,8 @@ SIDE_OPS = {
     "index_delete": _stress_index_delete,
     "phrase_query": _stress_phrase_query,
     "nightly_delete": _stress_nightly_delete,
+    "purge_blast_radius": _stress_purge_blast,
+    "positions_backfill": _stress_positions_backfill,
 }
 
 
