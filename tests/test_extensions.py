@@ -385,3 +385,88 @@ def test_temperature_mixture_arbitrary_dyadic_t_proportions(spark):
     assert abs(got["web"] - 2828) < 150, got
     # kept ratio web/code ≈ (4000/1000)^0.75 = 2.83 (the p ∝ n^T law)
     assert abs(got["web"] / got["code"] - 4**0.75) < 0.3
+
+
+def test_exact_rational_threshold_integer_and_duckdb(spark):
+    """Non-dyadic rational temperatures (round 15, closes the carried
+    exactness item): the 1e-6-grid threshold for rate = (n_min/n)^(p/q)
+    is computed by a pure-INTEGER inequality — verified against an
+    exact Fraction reference over random (counts, p, q), against DuckDB
+    replaying the same inequality in HUGEINT, and end-to-end through
+    mix_corpus_temperature with the tuple spelling."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.mixing import (
+        MIX_MOD,
+        _exact_rational_threshold,
+        exact_rational_threshold_sql,
+        mix_corpus_temperature,
+        temperature_mixture_rates,
+    )
+
+    def ref(n_min, n, p, q):
+        target = Fraction(2 * MIX_MOD) ** q * Fraction(n_min, n) ** p
+        lo, hi = 0, MIX_MOD
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if Fraction(2 * mid - 1) ** q <= target:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    rng = random.Random(15)
+    con = duckdb.connect()
+    for _ in range(200):
+        q = rng.randint(1, 5)
+        p = rng.randint(1, q)
+        n_min = rng.randint(1, 10**6)
+        n = rng.randint(n_min, 10**7)
+        t = _exact_rational_threshold(n_min, n, p, q)
+        assert t == ref(n_min, n, p, q), (n_min, n, p, q)
+        # the SQL spelling is bounded by HUGEINT (int128); the Python
+        # path is unbounded bigint. Cross-check DuckDB only where the
+        # products fit — the documented domain (small p/q, the shape
+        # real mixtures use; the a0m oracle runs p=2, q=3).
+        if (2 * MIX_MOD + 1) ** q * n**p < 2**127:
+            (duck,) = con.sql(
+                "SELECT "
+                + exact_rational_threshold_sql(str(n), str(n_min), p, q)
+            ).fetchone()
+            assert t == duck, (n_min, n, p, q, t, duck)
+    # the smallest source keeps everything; tuple spelling validates
+    counts = {"web": 40_000, "code": 10_000, "books": 2_500}
+    rates = temperature_mixture_rates(counts, (1, 3))
+    assert rates["books"] == 1.0
+    # rate_code = (2500/10000)^(2/3) = 0.25^(2/3) ~ 0.39685
+    assert abs(rates["code"] - 0.25 ** (2 / 3)) < 2e-6
+    with pytest.raises(ValueError, match="tuple temperature"):
+        temperature_mixture_rates(counts, (0, 3))
+    with pytest.raises(ValueError, match="tuple temperature"):
+        temperature_mixture_rates(counts, (4, 3))
+    # T = num/den == 1 keeps natural proportions (rate 1.0 everywhere)
+    assert set(temperature_mixture_rates(counts, (3, 3)).values()) == {1.0}
+    # end-to-end: deterministic membership, expected kept ∝ n^(1/3)
+    rows = [(i, "web" if i % 5 != 0 else "code") for i in range(5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mix_corpus_temperature(docs, (1, 3))
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got["code"] == 1000
+    # web keeps (1000/4000)^(2/3) of 4000 ~ 1587 ± binomial noise
+    assert abs(got["web"] - 1587) < 150, got
+    again = {
+        r["source"]: r["n"]
+        for r in mix_corpus_temperature(docs, (1, 3))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == got
