@@ -1776,6 +1776,61 @@ def a0m_phrase_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
 
 
+_PROX_WINDOW = 8
+
+
+@register(
+    "a0m_proximity_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM toks
+      WHERE u.term IN {str(tuple(_BM25_TERMS))}
+    ),
+    anchors AS (
+      SELECT a.doc_id, a.pos
+      FROM tp a JOIN tp b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos AND a.pos + {_PROX_WINDOW - 1}
+      GROUP BY a.doc_id, a.pos
+      HAVING COUNT(DISTINCT b.term) = {len(set(_BM25_TERMS))}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM anchors GROUP BY doc_id
+    ORDER BY n_hits DESC, doc_id LIMIT 10
+    """,
+)
+def a0m_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search from the positional index (round 15,
+    operators/lexindex.proximity_matching_docs): documents containing
+    ALL of join/filter/vector within an 8-token span — the order-free
+    capability between AND semantics and exact phrase ("join near
+    filter"). The probe reads only the terms' term-bucket partitions
+    and verifies the window with ONE range-frame aggregate over the
+    matched positions (collect_set(term) over [p, p+7] per doc) — no
+    per-term self-joins, no corpus window; cost tracks matched
+    positions × window width. The oracle re-tokenizes independently in
+    DuckDB and verifies via an explicit positions self-join — two
+    different adjacency algorithms agreeing on counts AND ranks. The
+    matching set composes as filter_ids into BM25/hybrid exactly like
+    the phrase set (a0l_phrase_bm25's contract)."""
+    from ..operators.lexindex import proximity_matching_docs
+
+    idx = _phrase_index(spark, sf_dir)
+    return (
+        proximity_matching_docs(
+            spark, idx, list(_BM25_TERMS), window=_PROX_WINDOW
+        )
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 # the takedown-audit probe ids — one even (base-built) and one odd
 # (append-path) doc so both index halves are audited
 _AUDIT_IDS = (11, 28)

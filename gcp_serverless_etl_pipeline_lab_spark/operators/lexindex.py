@@ -1032,6 +1032,64 @@ def phrase_matching_docs(
     return occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def proximity_matching_docs(
+    spark,
+    path: str,
+    terms: list[str],
+    window: int = 8,
+) -> DataFrame:
+    """Documents containing ALL of ``terms`` within a ``window``-token
+    span (round 15 — the positional-index capability between AND
+    semantics and exact phrase: "join near filter", order-free).
+    Returns (doc_id, n_hits), n_hits = the number of matched positions
+    whose forward window [p, p+window-1] covers every distinct term —
+    unranked and unlimited, because the matching set COMPOSES exactly
+    like ``phrase_matching_docs``: pass it as ``filter_ids`` to the
+    BM25/hybrid probes for proximity-constrained relevance ranking.
+
+    Plan shape: the same build-once-serve-many contract as the phrase
+    probe — only the query terms' term-bucket partitions are read
+    (static pruning from a driver-side bucket list), candidates are the
+    matched positions rows only, and the window check is ONE range-frame
+    window aggregate over those rows (collect_set(term) over
+    [p, p+window-1] per doc) — no self-join of per-term position
+    streams, no corpus-sized window. Per-query cost tracks the terms'
+    matched positions × window width. Deleted docs are masked
+    generation-scoped like every probe. Oracled by a0m_proximity_topk
+    against an independent DuckDB tokenization + positions self-join."""
+    terms = [t for t in terms if t != ""]
+    if not terms:
+        raise ValueError("proximity_matching_docs needs non-empty terms")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    n_terms = len(set(terms))
+    man = _load_lex_manifest(path)
+    if not man.get("positions"):
+        raise ValueError(
+            f"lexical index at {path} was built without positions=True; "
+            "run add_positions_to_index (in-place backfill) or rebuild "
+            "to serve proximity queries"
+        )
+    nb = int(man.get("term_buckets", TERM_BUCKETS))
+    tq = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    tbs = [r["tb"] for r in tq.select(_tb("term").alias("tb")).distinct().collect()]
+    pos = _read_positions(spark, path, man)
+    if len(tbs) < nb:
+        pos = pos.filter(F.col("tb").isin(tbs))
+    pos = pos.filter(F.col("term").isin(list(set(terms))))
+    pos = _mask_deleted(pos, _active_tombstones(spark, path, man))
+    occ = pos.select("doc_id", "term", F.explode("positions").alias("p"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rangeBetween(0, window - 1)
+    )
+    hits = occ.withColumn(
+        "_nt", F.size(F.collect_set("term").over(w))
+    ).filter(F.col("_nt") == n_terms)
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
 def add_positions_to_index(
     spark,
     path: str,

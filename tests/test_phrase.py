@@ -282,3 +282,78 @@ def test_hybrid_phrase_batch_equals_single(spark, tmp_path):
                 [(3, phrase)], "query_id bigint, phrase string"
             ),
         ).count()
+
+
+def test_proximity_matching_semantics_and_deletes(spark, tmp_path):
+    """Proximity search (round 15): all terms within a token window,
+    order-free; window=1 degenerates to single-position (impossible for
+    2 distinct terms); deleted docs are masked; requires positions."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a x x b"),          # a..b span 4
+            (2, "b a"),              # span 2, order-free
+            (3, "a x x x x x x x b"),  # span 9 — outside window 4 and 8
+            (4, "a b x a x x b"),    # two qualifying anchors at w=4
+            (5, "a a a"),            # never (no b)
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "lex")
+    lexindex.build_lexical_index(docs, idx, positions=True)
+    got4 = {
+        (r["doc_id"], r["n_hits"])
+        for r in lexindex.proximity_matching_docs(
+            spark, idx, ["a", "b"], window=4
+        ).collect()
+    }
+    # doc 1: anchor at pos0 (a, window [0,3] holds b@3) = 1 hit
+    # doc 2: anchor at b@0 covers a@1 = 1 hit (order-free)
+    # doc 4: tokens a0 b1 a3 b6 — anchors: a0 [0,3] has b1; b1 [1,4] has
+    # a3; a3 [3,6] has b6 = 3 hits
+    assert got4 == {(1, 1), (2, 1), (4, 3)}
+    got1 = lexindex.proximity_matching_docs(spark, idx, ["a", "b"], window=1)
+    assert got1.count() == 0
+    # phrase-consistency: a window-2 proximity hit for adjacent pairs
+    got2 = {
+        r["doc_id"]
+        for r in lexindex.proximity_matching_docs(
+            spark, idx, ["a", "b"], window=2
+        ).collect()
+    }
+    assert got2 == {2, 4}
+    # deletes mask
+    assert lexindex.delete_from_lexical_index(
+        spark, spark.createDataFrame([(4,)], "doc_id bigint"), idx, "take"
+    ) is True
+    got4b = {
+        r["doc_id"]
+        for r in lexindex.proximity_matching_docs(
+            spark, idx, ["a", "b"], window=4
+        ).collect()
+    }
+    assert got4b == {1, 2}
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        lexindex.proximity_matching_docs(spark, idx, ["a", "b"], window=0)
+    plain = str(tmp_path / "plain")
+    lexindex.build_lexical_index(docs, plain)
+    with pytest.raises(ValueError, match="positions=True"):
+        lexindex.proximity_matching_docs(spark, plain, ["a", "b"]).count()
+
+
+def test_proximity_composes_as_filter_ids(spark, tmp_path):
+    """The proximity set composes into indexed BM25 exactly like the
+    phrase set — proximity-constrained relevance ranking."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "lex")
+    lexindex.build_lexical_index(docs, idx, positions=True)
+    terms = ["join", "filter", "vector"]
+    prox = lexindex.proximity_matching_docs(spark, idx, terms, window=8)
+    allowed = {r["doc_id"] for r in prox.collect()}
+    assert allowed
+    out = lexindex.bm25_topk_from_index(
+        spark, idx, terms, k=10, filter_ids=prox.select("doc_id")
+    )
+    got = [tuple(r) for r in out.collect()]
+    assert got and all(doc in allowed for doc, _, _ in got)

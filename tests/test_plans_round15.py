@@ -92,3 +92,17 @@ def test_batch_phrase_probe_keeps_bucket_pruning(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*tb#", plan), (
         "batch phrase probe lost the term-bucket partition filter"
     )
+
+
+def test_proximity_probe_keeps_term_bucket_pruning(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "lex")
+    lexindex.build_lexical_index(docs, idx, positions=True)
+    df = lexindex.proximity_matching_docs(spark, idx, TERMS, window=8)
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*tb#", plan), (
+        "proximity probe lost the term-bucket partition filter"
+    )
+    assert "PushedFilters: [In(term" in plan
+    # positions only — the postings' tf column must not be scanned
+    assert "tf#" not in plan
