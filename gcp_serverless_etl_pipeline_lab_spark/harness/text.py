@@ -1776,6 +1776,53 @@ def a0m_phrase_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
 
 
+def _index_stats_oracle() -> str:
+    from .similarity import _IVF_K
+
+    return f"""
+    WITH lex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+      FROM documents
+    ),
+    e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+    SELECT n_docs, sum_dl,
+           ROUND(CAST(sum_dl AS DOUBLE) / n_docs, 4) AS avgdl,
+           CAST(2 AS INT) AS lex_generations,
+           CAST(1 AS INT) AS lex_positions,
+           n_vectors,
+           CAST(64 AS INT) AS dim,
+           CAST({_IVF_K} AS INT) AS cells
+    FROM lex, e
+    """
+
+
+@register("a0m_index_stats", _index_stats_oracle())
+def a0m_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index observability (round 15): ``lexical_index_stats`` +
+    ``ann_index_stats`` — the one-row manifest reports an operator polls
+    (live doc/vector counts, avgdl, generation/tombstone/positions
+    lifecycle state) — joined over the shared serving caches. The
+    oracle RECOUNTS the corpus from the source tables, which makes this
+    a genuine parity check on the incremental accounting chain: n_docs
+    and sum_dl in the manifest are maintained through build + append
+    (+ deletes' recorded removals), never recounted, so any drift in
+    that bookkeeping (a double-counted append, a miscounted delete)
+    hash-mismatches here."""
+    from ..operators.annindex import ann_index_stats
+    from ..operators.lexindex import lexical_index_stats
+
+    lex = _phrase_index(spark, sf_dir)
+    _, ann = _hybrid_indexes(spark, sf_dir)
+    ls = lexical_index_stats(spark, lex).select(
+        "n_docs", "sum_dl", "avgdl",
+        F.col("n_generations").alias("lex_generations"),
+        F.col("positions").cast("int").alias("lex_positions"),
+    )
+    an = ann_index_stats(spark, ann).select("n_vectors", "dim", "cells")
+    return ls.crossJoin(an)
+
+
 _PROX_WINDOW = 8
 
 

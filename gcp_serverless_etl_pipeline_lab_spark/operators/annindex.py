@@ -1157,6 +1157,43 @@ def ann_drift_report(path: str, ratio_threshold: float = DRIFT_REBUILD_RATIO) ->
     }
 
 
+def ann_index_stats(spark, path: str) -> "DataFrame":
+    """One-row observability report for an ANN index (round 15, the
+    lexical twin of ``lexical_index_stats``): listed vector count (from
+    the per-generation ``cell_counts`` manifests when every generation
+    carries them — the round-14 instrument — else one masked veclist
+    count), model shape, and the lifecycle counters (generations,
+    tombstones, model_epoch). Manifest-only in the common case; oracling
+    the vector count against a fresh recount of the source embeddings
+    (a0m_index_stats) parity-checks the append accounting."""
+    man = _load_ann_manifest(path)
+    gens = man["generations"]
+    if gens and all(g.get("cell_counts") for g in gens):
+        nv = sum(
+            sum(int(c) for c in g["cell_counts"].values()) for g in gens
+        )
+    else:
+        vl = _read_veclist(spark, path, man)
+        if vl is None:
+            _materialize_missing_veclists(spark, path)
+            vl = _read_veclist(spark, path, man)
+        vl = _mask_deleted_vecs(vl, _active_vec_tombstones(spark, path, man))
+        nv = vl.count()
+    row = (
+        int(nv),
+        int(man["dim"]),
+        len(man["model"]),
+        len(gens),
+        len(man.get("tombstones", [])),
+        int(man.get("model_epoch", 0)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors bigint, dim int, cells int, n_generations int, "
+        "n_tombstones int, model_epoch int",
+    )
+
+
 def rebuild_ann_index(
     spark,
     path: str,

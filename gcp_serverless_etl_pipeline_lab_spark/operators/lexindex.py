@@ -1032,6 +1032,39 @@ def phrase_matching_docs(
     return occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def lexical_index_stats(spark, path: str) -> DataFrame:
+    """One-row observability report for a lexical index (round 15): the
+    LIVE statistics every probe prices with (``_live_stats`` — manifest
+    per-generation sums minus tombstone-recorded removals, maintained
+    incrementally through appends, deletes, and folds) plus the
+    lifecycle counters an operator watches (generations → fold pressure,
+    tombstones → mask pressure, positions → phrase capability). Pure
+    manifest read — no artifact scan, safe to poll. Because n_docs /
+    sum_dl are maintained incrementally rather than recounted, oracling
+    them against a fresh recount of the source corpus
+    (a0m_index_stats) is a real parity check on the whole
+    append/delete/fold accounting chain."""
+    import math
+
+    man = _load_lex_manifest(path)
+    n, s = _live_stats(man)
+    row = (
+        int(n),
+        int(s),
+        # half-up at 1e-4, matching F.round/DuckDB ROUND (Python's
+        # built-in round is banker's and would diverge on exact ties)
+        math.floor(float(s) / float(n) * 1e4 + 0.5) / 1e4 if n else None,
+        len(man["generations"]),
+        len(man.get("tombstones", [])),
+        bool(man.get("positions")),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_docs bigint, sum_dl bigint, avgdl double, n_generations int, "
+        "n_tombstones int, positions boolean",
+    )
+
+
 def proximity_matching_docs(
     spark,
     path: str,

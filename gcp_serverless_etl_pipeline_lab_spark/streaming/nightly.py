@@ -46,14 +46,26 @@ def _merged_children(merged_dir: str) -> list[str]:
     )
 
 
-def _read_merged(spark, merged_dir: str, id_col: str, text_col: str):
+def _read_merged(
+    spark, merged_dir: str, id_col: str, text_col: str, want_stats=None
+):
     """(doc_id, text) union of the merged-corpus children, or None when
     the dir is empty — the text-resolution fallback for deleting docs
-    whose index generations predate per-row ids (round 14)."""
+    whose index generations predate per-row ids (round 14).
+    ``want_stats`` (round 15): optional id stats of the docs the caller
+    actually needs (`_id_stats_of` of the delete frame) — children whose
+    recorded stats provably cannot hold any wanted doc are left out of
+    the union, so the legacy-hash resolution reads blast-radius bytes
+    like the purge does instead of the whole corpus."""
     import os
 
+    stats = _load_child_stats(merged_dir) if want_stats is not None else {}
     out = None
     for name in _merged_children(merged_dir):
+        if want_stats is not None and _stats_disjoint(
+            stats.get(name), want_stats
+        ):
+            continue
         part = spark.read.parquet(os.path.join(merged_dir, name)).select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
@@ -574,7 +586,10 @@ def run_nightly(
                     # (the purge below runs AFTER every text leg)
                     if merged_dir is None:
                         raise
-                    docs = _read_merged(spark, merged_dir, id_col, text_col)
+                    docs = _read_merged(
+                        spark, merged_dir, id_col, text_col,
+                        want_stats=_id_stats_of(ids, "doc_id"),
+                    )
                     if docs is None:
                         raise
                     delete_from_index(

@@ -337,3 +337,76 @@ def test_nightly_delete_config_error_propagates_without_corpus_read(
             deletes_dir=deletes,
         )
     assert reads["n"] == 0
+
+
+# ---------------------------------------------------------------- observability
+
+
+def test_index_stats_track_lifecycle(spark, tmp_path):
+    """lexical_index_stats / ann_index_stats (round 15): the manifest
+    report must track the append -> delete -> fold chain exactly —
+    n_docs/sum_dl are live membership (delete-adjusted), the ANN count
+    is listed occupancy (tombstones retire at fold, as documented)."""
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators import (
+        annindex,
+        lexindex,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "lex")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    lexindex.build_lexical_index(even, idx, positions=True)
+    st = lexindex.lexical_index_stats(spark, idx).collect()[0]
+    n_even = even.count()
+    assert st["n_docs"] == n_even and st["n_generations"] == 1
+    assert st["positions"] is True and st["n_tombstones"] == 0
+    lexindex.append_lexical_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx, "odd"
+    )
+    st = lexindex.lexical_index_stats(spark, idx).collect()[0]
+    n_all = docs.count()
+    assert st["n_docs"] == n_all and st["n_generations"] == 2
+    doomed = docs.limit(3).select("doc_id")
+    assert lexindex.delete_from_lexical_index(spark, doomed, idx, "t") is True
+    st = lexindex.lexical_index_stats(spark, idx).collect()[0]
+    assert st["n_docs"] == n_all - 3 and st["n_tombstones"] == 1
+    lexindex.compact_lexical_index(spark, idx)
+    st = lexindex.lexical_index_stats(spark, idx).collect()[0]
+    assert st["n_docs"] == n_all - 3
+    assert st["n_generations"] == 1 and st["n_tombstones"] == 0
+    # ANN twin: occupancy semantics
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    aidx = str(tmp_path / "ann")
+    annindex.build_ann_index(emb, aidx, 64, cells=8, iters=2, sample_rate=1.0)
+    ast = annindex.ann_index_stats(spark, aidx).collect()[0]
+    n_vec = emb.count()
+    assert ast["n_vectors"] == n_vec and ast["dim"] == 64 and ast["cells"] == 8
+    vics = emb.limit(2).select(F.col("vec_id"))
+    assert annindex.delete_from_ann_index(spark, vics, aidx, "t") is True
+    ast = annindex.ann_index_stats(spark, aidx).collect()[0]
+    # occupancy until fold (documented), tombstone visible immediately
+    assert ast["n_vectors"] == n_vec and ast["n_tombstones"] == 1
+    annindex.compact_ann_index(spark, aidx)
+    ast = annindex.ann_index_stats(spark, aidx).collect()[0]
+    assert ast["n_vectors"] == n_vec - 2 and ast["n_tombstones"] == 0
+
+
+def test_read_merged_prunes_with_stats(spark, tmp_path):
+    merged = str(tmp_path / "merged")
+    _write_child(spark, merged, "night=1", [(i, f"t{i}") for i in range(5)])
+    _write_child(
+        spark, merged, "night=2", [(i, f"t{i}") for i in range(100, 105)]
+    )
+    want = nightly_mod._id_stats_of(_ids_df(spark, [2, 3]), "doc_id")
+    pruned = nightly_mod._read_merged(
+        spark, merged, "doc_id", "text", want_stats=want
+    )
+    got = {r["doc_id"] for r in pruned.collect()}
+    assert got == {0, 1, 2, 3, 4}  # only child night=1 in the union
+    full = nightly_mod._read_merged(spark, merged, "doc_id", "text")
+    assert full.count() == 10
