@@ -1776,6 +1776,119 @@ def a0m_phrase_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_topk_from_index(spark, idx, list(_PHRASE), k=10)
 
 
+_PROX_WINDOW = 8
+
+
+def _a0m_hybrid_proximity_oracle() -> str:
+    from .similarity import _IVF_NPROBE, _ivf_dist_duck
+
+    return f"""
+    WITH {_BM25_LEG_DUCK},
+    ptoks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    ptp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM ptoks
+      WHERE u.term IN {str(tuple(_BM25_TERMS))}
+    ),
+    proxd AS (
+      SELECT DISTINCT a.doc_id
+      FROM ptp a JOIN ptp b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos AND a.pos + {_PROX_WINDOW - 1}
+      GROUP BY a.doc_id, a.pos
+      HAVING COUNT(DISTINCT b.term) = {len(set(_BM25_TERMS))}
+    ),
+    bm AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+           JOIN proxd USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {_HYBRID_DEPTH}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+      FROM bm
+    ),
+    {_ivf_model_duck()},
+    hq AS (SELECT e AS qe FROM c WHERE vec_id = {_HYBRID_QUERY_ID}),
+    qp AS (
+      SELECT cell FROM (
+        SELECT i.cell,
+               row_number() OVER (ORDER BY {_ivf_dist_duck('q.qe', 'i.ce')}, i.cell) AS rn
+        FROM hq q CROSS JOIN cent2 i) WHERE rn <= {_IVF_NPROBE}
+    ),
+    vs AS (
+      SELECT fa.vec_id AS doc_id,
+             list_sum(list_transform(range(1, 65), i -> q.qe[i] * fa.e[i])) AS s
+      FROM fa JOIN qp ON fa.cell = qp.cell
+           JOIN proxd ph ON fa.vec_id = ph.doc_id
+           CROSS JOIN hq q
+      WHERE fa.vec_id <> {_HYBRID_QUERY_ID}
+    ),
+    vecr AS (
+      SELECT doc_id, ann_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS ann_rank
+        FROM vs) WHERE ann_rank <= {_HYBRID_DEPTH}
+    )
+    SELECT doc_id,
+           CAST(COALESCE(bm25_rank, -1) AS INT) AS bm25_rank,
+           CAST(COALESCE(ann_rank, -1) AS INT) AS ann_rank,
+           ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + bm25_rank), 0)
+                 + COALESCE(1.0 / ({_HYBRID_RRF_K} + ann_rank), 0), 6)
+               AS rrf_score
+    FROM lex FULL OUTER JOIN vecr USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register("a0m_hybrid_proximity", _a0m_hybrid_proximity_oracle())
+def a0m_hybrid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-CONSTRAINED hybrid serving (round 15): "among documents
+    where join/filter/vector co-occur within 8 tokens, fuse BM25
+    relevance with vector similarity" — the ``near_terms`` kwarg on
+    ``hybrid_topk_rrf_from_index``, the order-free sibling of the
+    ``phrase`` kwarg with identical composition mechanics (one extra
+    bucket-pruned positional probe ANDed into both legs before depth
+    ranking; RRF and index-level statistics unchanged). The oracle
+    derives the proximity set via an independent DuckDB tokenization +
+    positions self-join and mirrors IVF routing exactly — ranks AND
+    scores hash-match."""
+    from ..operators.lexindex import hybrid_topk_rrf_from_index
+    from .similarity import _IVF_NPROBE
+
+    lex = _phrase_index(spark, sf_dir)
+    _, ann = _hybrid_indexes(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _HYBRID_QUERY_ID)
+    out = hybrid_topk_rrf_from_index(
+        spark,
+        lex,
+        ann,
+        list(_BM25_TERMS),
+        q,
+        k=10,
+        depth=_HYBRID_DEPTH,
+        nprobe=_IVF_NPROBE,
+        rrf_k=_HYBRID_RRF_K,
+        near_terms=list(_BM25_TERMS),
+        near_window=_PROX_WINDOW,
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank").cast("int"), F.lit(-1)).alias("bm25_rank"),
+        F.coalesce(F.col("ann_rank").cast("int"), F.lit(-1)).alias("ann_rank"),
+        "rrf_score",
+    )
+
+
 def _index_stats_oracle() -> str:
     from .similarity import _IVF_K
 
@@ -1821,9 +1934,6 @@ def a0m_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     an = ann_index_stats(spark, ann).select("n_vectors", "dim", "cells")
     return ls.crossJoin(an)
-
-
-_PROX_WINDOW = 8
 
 
 @register(

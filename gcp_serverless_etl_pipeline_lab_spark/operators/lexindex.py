@@ -1298,6 +1298,8 @@ def hybrid_topk_rrf_from_index(
     auto_escalate: bool = True,
     match_all_terms: bool = False,
     phrase: str | list[str] | None = None,
+    near_terms: list[str] | None = None,
+    near_window: int = 8,
 ) -> DataFrame:
     """``retrieval.hybrid_topk_rrf`` in its SERVING shape (round-11
     verdict task 1): the BM25 leg probes the persisted lexical index
@@ -1357,12 +1359,36 @@ def hybrid_topk_rrf_from_index(
     plan-pinned in tests/test_plans_round15.py). BM25 df/N/avgdl stay
     INDEX-level, exactly the ``filter_ids`` statistics contract.
 
+    ``near_terms``/``near_window`` (round 15): the proximity twin —
+    both legs constrained to docs containing all of ``near_terms``
+    within a ``near_window``-token span (``proximity_matching_docs``),
+    same composition mechanics as ``phrase`` (the two AND together when
+    both are given). Oracled by a0m_hybrid_proximity.
+
     Returns (doc_id, bm25_rank, ann_rank, rrf_score) — top ``k`` by
     (rrf_score desc, doc_id); absent-leg ranks are NULL."""
     from .annindex import query_ann_index
 
-    if phrase is not None:
-        pm = phrase_matching_docs(spark, lex_path, phrase).select("doc_id")
+    # positional constraints (round 15) — each is one extra bucket-
+    # pruned probe whose matching set ANDs into filter_ids, applied
+    # inside both legs before depth ranking; they compose with each
+    # other and with a caller-supplied filter_ids ("quoted phrase AND
+    # these terms near each other AND tenant slice")
+    for constraint in (
+        (lambda: phrase_matching_docs(spark, lex_path, phrase))
+        if phrase is not None
+        else None,
+        (
+            lambda: proximity_matching_docs(
+                spark, lex_path, near_terms, window=near_window
+            )
+        )
+        if near_terms is not None
+        else None,
+    ):
+        if constraint is None:
+            continue
+        pm = constraint().select("doc_id")
         if filter_ids is not None:
             allowed = filter_ids.select(
                 F.col(filter_ids.columns[0]).cast("long").alias("doc_id")

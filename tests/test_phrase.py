@@ -357,3 +357,51 @@ def test_proximity_composes_as_filter_ids(spark, tmp_path):
     )
     got = [tuple(r) for r in out.collect()]
     assert got and all(doc in allowed for doc, _, _ in got)
+
+
+def test_hybrid_proximity_equals_composition_and_ands_with_phrase(
+    spark, tmp_path
+):
+    """near_terms on the hybrid == manual proximity-set composition; a
+    phrase and a proximity constraint AND together."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators import annindex
+
+    docs = _docs(spark)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lex = str(tmp_path / "lex")
+    ann = str(tmp_path / "ann")
+    lexindex.build_lexical_index(docs, lex, positions=True)
+    annindex.build_ann_index(emb, ann, 64, cells=8, iters=2, sample_rate=1.0)
+    terms = ["join", "filter", "vector"]
+    q7 = emb.filter(F.col("vec_id") == 7)
+    got = _rows(
+        lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, terms, q7, k=10, near_terms=terms, near_window=8
+        )
+    )
+    allowed = lexindex.proximity_matching_docs(
+        spark, lex, terms, window=8
+    ).select("doc_id")
+    want = _rows(
+        lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, terms, q7, k=10, filter_ids=allowed
+        )
+    )
+    assert got == want and got
+    # phrase AND proximity: both constraints applied
+    both = _rows(
+        lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, terms, q7, k=10,
+            phrase=PHRASE, near_terms=terms, near_window=8,
+        )
+    )
+    pm = lexindex.phrase_matching_docs(spark, lex, PHRASE).select("doc_id")
+    manual = _rows(
+        lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, terms, q7, k=10,
+            filter_ids=pm.join(allowed, "doc_id", "left_semi"),
+        )
+    )
+    assert both == manual
