@@ -1889,6 +1889,79 @@ def a0m_hybrid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# batch proximity queries — different term sets per query, one shared
+# window; query 1's pair is common enough that window containment does
+# real filtering
+_BATCH_NEAR: dict[int, tuple[str, ...]] = {
+    0: ("join", "filter", "vector"),
+    1: ("window", "join"),
+}
+
+
+def _a0m_proximity_batch_oracle() -> str:
+    qt_rows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(_BATCH_NEAR.items())
+        for t in ts
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (t, i) -> {{'term': t, 'pos': i}})) AS u
+      FROM documents
+    ),
+    tp AS (
+      SELECT doc_id, u.term AS term, u.pos AS pos FROM toks
+      WHERE u.term <> ''
+    ),
+    qt(query_id, term) AS (VALUES {qt_rows}),
+    qn AS (
+      SELECT query_id, COUNT(DISTINCT term) AS nq FROM qt GROUP BY query_id
+    ),
+    m AS (
+      SELECT qt.query_id, tp.doc_id, tp.term, tp.pos
+      FROM tp JOIN qt USING (term)
+    ),
+    anchors AS (
+      SELECT a.query_id, a.doc_id, a.pos
+      FROM m a JOIN m b
+        ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos AND a.pos + {_PROX_WINDOW - 1}
+      JOIN qn ON qn.query_id = a.query_id
+      GROUP BY a.query_id, a.doc_id, a.pos, qn.nq
+      HAVING COUNT(DISTINCT b.term) = qn.nq
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM anchors GROUP BY query_id, doc_id
+    ORDER BY query_id, doc_id
+    """
+
+
+@register("a0m_proximity_batch", _a0m_proximity_batch_oracle())
+def a0m_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B proximity queries in one positional pass (round 15,
+    operators/lexindex.proximity_matching_docs_batch): positions
+    scanned once for the batch, window verified by one range-frame
+    aggregate partitioned by (query_id, doc_id). The oracle re-derives
+    every query's matching set via an independent DuckDB tokenization +
+    positions self-join. Batch==single parity pinned in
+    tests/test_phrase.py; composes into the batch hybrid via
+    ``query_near_terms`` (full-coverage contract, same as
+    ``query_phrases``)."""
+    from ..operators.lexindex import proximity_matching_docs_batch
+
+    idx = _phrase_index(spark, sf_dir)
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BATCH_NEAR.items()) for t in ts],
+        "query_id bigint, term string",
+    )
+    return proximity_matching_docs_batch(
+        spark, idx, qt, window=_PROX_WINDOW
+    ).orderBy("query_id", "doc_id")
+
+
 def _index_stats_oracle() -> str:
     from .similarity import _IVF_K
 

@@ -1123,6 +1123,71 @@ def proximity_matching_docs(
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def proximity_matching_docs_batch(
+    spark,
+    path: str,
+    query_terms: DataFrame,
+    window: int = 8,
+) -> DataFrame:
+    """B proximity queries in ONE positional-index pass (round 15 — the
+    proximity twin of ``phrase_matching_docs_batch``): ``query_terms``
+    is a (query_id, term) frame; returns (query_id, doc_id, n_hits),
+    each query's within-``window`` matching set. The positions artifact
+    is read once, pruned to the union of the batch's term buckets; the
+    window check is one range-frame aggregate PARTITIONED BY
+    (query_id, doc_id) over the matched positions, so per-query cost
+    tracks that query's matched positions × window width and the scan
+    is paid once for the batch. Batch==single parity pinned in
+    tests/test_phrase.py."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    man = _load_lex_manifest(path)
+    if not man.get("positions"):
+        raise ValueError(
+            f"lexical index at {path} was built without positions=True; "
+            "run add_positions_to_index (in-place backfill) or rebuild "
+            "to serve proximity queries"
+        )
+    nb = int(man.get("term_buckets", TERM_BUCKETS))
+    qt = (
+        query_terms.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    qn = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("_qn"))
+    tbs = [
+        r["tb"] for r in qt.select(_tb("term").alias("tb")).distinct().collect()
+    ]
+    if not tbs:
+        raise ValueError("proximity_matching_docs_batch needs non-empty terms")
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    pos = _read_positions(spark, path, man)
+    if len(tbs) < nb:
+        pos = pos.filter(F.col("tb").isin(tbs))
+    pos = pos.filter(F.col("term").isin(terms))
+    pos = _mask_deleted(pos, _active_tombstones(spark, path, man))
+    occ = (
+        pos.join(F.broadcast(qt), "term")
+        .select("query_id", "doc_id", "term", F.explode("positions").alias("p"))
+    )
+    w = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("p")
+        .rangeBetween(0, window - 1)
+    )
+    hits = (
+        occ.withColumn("_nt", F.size(F.collect_set("term").over(w)))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_nt") == F.col("_qn"))
+    )
+    return hits.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
 def add_positions_to_index(
     spark,
     path: str,
@@ -1442,6 +1507,8 @@ def hybrid_topk_rrf_batch(
     auto_escalate: bool = True,
     match_all_terms: bool = False,
     query_phrases: DataFrame | None = None,
+    query_near_terms: DataFrame | None = None,
+    near_window: int = 8,
 ) -> DataFrame:
     """Batch-of-queries hybrid retrieval (round-11 verdict task 7) — the
     serving shape: a QUERIES DataFrame in, per-query fused top-k out,
@@ -1486,6 +1553,10 @@ def hybrid_topk_rrf_batch(
     query's both legs rank only its phrase-matching docs and the fused
     top-k fills from them. Batch==single parity is exact (pinned in
     tests/test_phrase.py); per-query RRF arithmetic unchanged.
+    ``query_near_terms``/``near_window``: the proximity twin — one
+    (query_id, term) frame, one batch positional probe
+    (``proximity_matching_docs_batch``), same full-coverage contract;
+    ANDs with ``query_phrases`` when both are given.
 
     Returns (query_id, doc_id, bm25_rank, ann_rank, rrf_score) — top
     ``k`` per query by (rrf_score desc, doc_id); absent-leg ranks NULL."""
@@ -1519,6 +1590,41 @@ def hybrid_topk_rrf_batch(
                 "left_semi",
             )
         filter_pairs = pm
+    if query_near_terms is not None:
+        # the proximity twin of query_phrases (round 15): same
+        # full-coverage contract, same one-batch-probe composition into
+        # filter_pairs (ANDs with a phrase batch when both are given)
+        n_q = query_terms.select("query_id").distinct().count()
+        covered = (
+            query_terms.select("query_id")
+            .distinct()
+            .join(
+                query_near_terms.select("query_id").distinct(),
+                "query_id",
+                "left_semi",
+            )
+            .count()
+        )
+        n_p = query_near_terms.select("query_id").distinct().count()
+        if covered < n_q or n_p != covered:
+            raise ValueError(
+                "query_near_terms must carry terms for every batch "
+                f"query ({n_q} queries, {n_p} constrained, {covered} covered)"
+            )
+        nm = proximity_matching_docs_batch(
+            spark, lex_path, query_near_terms, window=near_window
+        ).select("query_id", "doc_id")
+        if filter_pairs is not None:
+            qc, dc = filter_pairs.columns[:2]
+            nm = nm.join(
+                filter_pairs.select(
+                    F.col(qc).cast("long").alias("query_id"),
+                    F.col(dc).cast("long").alias("doc_id"),
+                ),
+                ["query_id", "doc_id"],
+                "left_semi",
+            )
+        filter_pairs = nm
     man = _load_lex_manifest(lex_path)
     n_docs, sum_dl = _live_stats(man)
     if n_docs == 0:

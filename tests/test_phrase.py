@@ -405,3 +405,67 @@ def test_hybrid_proximity_equals_composition_and_ands_with_phrase(
         )
     )
     assert both == manual
+
+
+def test_proximity_batch_equals_single_and_hybrid_near_batch(spark, tmp_path):
+    """Batch proximity == per-query single; query_near_terms through the
+    batch hybrid == per-query near_terms singles; partial coverage
+    rejected."""
+    from gcp_serverless_etl_pipeline_lab_spark.operators import annindex
+
+    docs = _docs(spark)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lex = str(tmp_path / "lex")
+    ann = str(tmp_path / "ann")
+    lexindex.build_lexical_index(docs, lex, positions=True)
+    annindex.build_ann_index(emb, ann, 64, cells=8, iters=2, sample_rate=1.0)
+    near = {3: ["filter", "vector"], 7: ["join", "filter", "vector"]}
+    qt_near = spark.createDataFrame(
+        [(qid, t) for qid, ts in near.items() for t in ts],
+        "query_id bigint, term string",
+    )
+    batch = {
+        tuple(r)
+        for r in lexindex.proximity_matching_docs_batch(
+            spark, lex, qt_near, window=6
+        ).collect()
+    }
+    single = set()
+    for qid, ts in near.items():
+        for r in lexindex.proximity_matching_docs(
+            spark, lex, ts, window=6
+        ).collect():
+            single.add((qid, r["doc_id"], r["n_hits"]))
+    assert batch == single and batch
+    # hybrid batch with query_near_terms == per-query single with near_terms
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in near.items() for t in ts],
+        "query_id bigint, term string",
+    )
+    qv = emb.filter(F.col("vec_id").isin(list(near)))
+    brows = {
+        tuple(r)
+        for r in lexindex.hybrid_topk_rrf_batch(
+            spark, lex, ann, qt, qv, k=10,
+            query_near_terms=qt_near, near_window=6,
+        ).collect()
+    }
+    srows = set()
+    for qid, ts in near.items():
+        qq = emb.filter(F.col("vec_id") == qid)
+        for r in lexindex.hybrid_topk_rrf_from_index(
+            spark, lex, ann, ts, qq, k=10, near_terms=ts, near_window=6
+        ).collect():
+            srows.add((qid,) + tuple(r))
+    assert brows == srows and brows
+    import pytest
+
+    with pytest.raises(ValueError, match="query_near_terms"):
+        lexindex.hybrid_topk_rrf_batch(
+            spark, lex, ann, qt, qv, k=10,
+            query_near_terms=spark.createDataFrame(
+                [(3, "filter")], "query_id bigint, term string"
+            ),
+        ).count()
