@@ -903,10 +903,32 @@ def _stress_phrase_query(spark: SparkSession, path: str, n: int) -> dict:
 
     flat = _probe(["window", "join"])  # replica-0 phrase, occurrences flat
     hot = _probe(["boilerplate", "footer"])  # occurrences ~ linear in N
+
+    # proximity probe (round 15): same two-sided design — replica-0
+    # terms' matched positions stay flat as the corpus grows, so the
+    # window aggregate must stay flat; cost tracks matched positions ×
+    # window width, never corpus size
+    def _probe_near(terms, w):
+        from gcp_serverless_etl_pipeline_lab_spark.operators.lexindex import (
+            proximity_matching_docs,
+        )
+
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            proximity_matching_docs(
+                spark, idx, terms, window=w
+            ).write.format("noop").mode("overwrite").save()
+            e = round(time.perf_counter() - start, 2)
+            best = e if best is None else min(best, e)
+        return best
+
+    near_flat = _probe_near(["window", "join", "filter"], 8)
     entry = {
         "sec": flat,
         "out_rows": 10,
         "hot_phrase_probe_sec": hot,
+        "proximity_probe_sec": near_flat,
         "positions_bytes": _du("positions"),
         "postings_bytes": _du("postings"),
     }
