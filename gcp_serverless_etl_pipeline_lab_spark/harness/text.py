@@ -2006,7 +2006,7 @@ def a0m_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("positions").cast("int").alias("lex_positions"),
     )
     an = ann_index_stats(spark, ann).select("n_vectors", "dim", "cells")
-    return ls.crossJoin(an)
+    return ls.crossJoin(F.broadcast(an))
 
 
 @register(

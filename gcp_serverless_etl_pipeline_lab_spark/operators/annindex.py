@@ -1179,18 +1179,15 @@ def ann_index_stats(spark, path: str) -> "DataFrame":
             vl = _read_veclist(spark, path, man)
         vl = _mask_deleted_vecs(vl, _active_vec_tombstones(spark, path, man))
         nv = vl.count()
-    row = (
-        int(nv),
-        int(man["dim"]),
-        len(man["model"]),
-        len(gens),
-        len(man.get("tombstones", [])),
-        int(man.get("model_epoch", 0)),
-    )
-    return spark.createDataFrame(
-        [row],
-        "n_vectors bigint, dim int, cells int, n_generations int, "
-        "n_tombstones int, model_epoch int",
+    # literal projection over range(1) — see lexical_index_stats: a
+    # 1-row createDataFrame is Python-RDD-backed and join-hostile
+    return spark.range(1).select(
+        F.lit(int(nv)).cast("bigint").alias("n_vectors"),
+        F.lit(int(man["dim"])).cast("int").alias("dim"),
+        F.lit(len(man["model"])).cast("int").alias("cells"),
+        F.lit(len(gens)).cast("int").alias("n_generations"),
+        F.lit(len(man.get("tombstones", []))).cast("int").alias("n_tombstones"),
+        F.lit(int(man.get("model_epoch", 0))).cast("int").alias("model_epoch"),
     )
 
 

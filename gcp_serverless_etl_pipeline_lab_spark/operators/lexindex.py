@@ -1048,20 +1048,23 @@ def lexical_index_stats(spark, path: str) -> DataFrame:
 
     man = _load_lex_manifest(path)
     n, s = _live_stats(man)
-    row = (
-        int(n),
-        int(s),
+    avgdl = (
         # half-up at 1e-4, matching F.round/DuckDB ROUND (Python's
         # built-in round is banker's and would diverge on exact ties)
-        math.floor(float(s) / float(n) * 1e4 + 0.5) / 1e4 if n else None,
-        len(man["generations"]),
-        len(man.get("tombstones", [])),
-        bool(man.get("positions")),
+        math.floor(float(s) / float(n) * 1e4 + 0.5) / 1e4 if n else None
     )
-    return spark.createDataFrame(
-        [row],
-        "n_docs bigint, sum_dl bigint, avgdl double, n_generations int, "
-        "n_tombstones int, positions boolean",
+    # literal projection over range(1), NOT createDataFrame: a 1-row
+    # createDataFrame is a Python-RDD-backed plan whose every scan pays
+    # a Python-worker round trip, and joins of two such frames fan into
+    # empty-task storms (measured 9-15 s for a 1x1 join); this stays a
+    # single JVM-side codegen'd task
+    return spark.range(1).select(
+        F.lit(int(n)).cast("bigint").alias("n_docs"),
+        F.lit(int(s)).cast("bigint").alias("sum_dl"),
+        F.lit(avgdl).cast("double").alias("avgdl"),
+        F.lit(len(man["generations"])).cast("int").alias("n_generations"),
+        F.lit(len(man.get("tombstones", []))).cast("int").alias("n_tombstones"),
+        F.lit(bool(man.get("positions"))).alias("positions"),
     )
 
 
