@@ -336,10 +336,17 @@ def etl_roundtrip_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh_dir = os.path.join(base, "warehouse")
         dl_dir = os.path.join(base, "dead_letter")
         lines = _etl_lines(spark, sf_dir)
+        # Round-15 optimization (guide §2.4): the file is ONE text file, so
+        # a global orderBy buys nothing over sorting inside the single
+        # output partition — but it costs a RangePartitioner SAMPLING job
+        # that re-runs the whole line synthesis, plus a range exchange.
+        # repartition(1) + sortWithinPartitions writes the byte-identical
+        # file (total order over the one partition) with the synthesis run
+        # once and no sampling pass.
         (
-            lines.orderBy(LINE_ID_COL, LINE_COL)
+            lines.repartition(1)
+            .sortWithinPartitions(LINE_ID_COL, LINE_COL)
             .select(LINE_COL)
-            .coalesce(1)
             .write.mode("overwrite")
             .text(csv_dir)
         )

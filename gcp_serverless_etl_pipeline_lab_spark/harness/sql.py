@@ -68,9 +68,18 @@ def _sales_view(spark: SparkSession, sf_dir: str) -> None:
 
     from ..sources.text_csv import LINE_COL, LINE_ID_COL
 
+    # Round-15 optimization (guide §2.4, share one exchange): DISTINCT on
+    # (line_id, value) and the per-key row_number window both cluster by
+    # line_id. One explicit hash repartition on line_id satisfies BOTH —
+    # HashPartitioning(line_id) satisfies ClusteredDistribution(line_id,
+    # value) for the aggregate and the window's own requirement — so the
+    # plan runs distinct + window in a single post-shuffle stage instead
+    # of shuffling the full line set twice (3 exchanges → 2 for the view
+    # subtree; plan pinned in plans/r15/a0c_sql_*_after.txt).
     w = Window.partitionBy(LINE_ID_COL).orderBy(LINE_COL)
     lines = (
         _etl_lines(spark, sf_dir)
+        .repartition(LINE_ID_COL)
         .dropDuplicates()
         .select(
             (F.col(LINE_ID_COL) * 8 + F.row_number().over(w) - 1).alias(

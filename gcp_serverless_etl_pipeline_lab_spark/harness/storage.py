@@ -299,10 +299,22 @@ def a0d_epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="epoch_wh_")
     try:
-        for k in range(4):
-            ev.filter(F.col("event_id") % 4 == k).write.mode(
-                "overwrite"
-            ).parquet(f"{base}/epoch={k}")
+        # Round-15 optimization (guide §1.2 / §6): the four epoch dirs
+        # used to be four separate filter+write jobs — four scans of the
+        # events table, 32 tiny files per epoch. One partitionBy("epoch")
+        # write produces the identical epoch=K layout in a single scan,
+        # and the repartition by epoch yields a handful of files per dir,
+        # which the compaction step then lists and reads far faster. The
+        # arrival STORY is unchanged: epoch 3 is deleted and re-lands
+        # after the compaction, epoch 1 is crash-replayed, exactly as
+        # before.
+        (
+            ev.withColumn("epoch", F.col("event_id") % 4)
+            .repartition(4, F.col("epoch"))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(base)
+        )
         shutil.rmtree(f"{base}/epoch=3")
         compact_epochs(spark, base, target_bytes=1 << 20)
         # post-compaction micro-batch + crash-replay of an absorbed epoch

@@ -2802,7 +2802,7 @@ def a0g_bpe_stored_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.bpetrain import (
         save_bpe_model,
-        tokenize_with_stored_model,
+        tokenize_counts_with_stored_model,
         train_bpe_merges,
     )
 
@@ -2833,7 +2833,15 @@ def a0g_bpe_stored_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             d, n_merges=_BPE_ROUNDS, min_pair_count=_BPE_MIN_PAIR
         )
         save_bpe_model(merges, model_path, meta=meta_want)
-    toks = tokenize_with_stored_model(d, model_path)
+    # Round-15 optimization (guide §1.2): this query consumes only the
+    # per-doc token COUNT, so the per-occurrence greedy fold of
+    # tokenize_with_stored_model (occurrences × merges interpreted-HOF
+    # work, its token arrays thrown away) is replaced by the counts-only
+    # serving path — fold the distinct-word table once, broadcast-join
+    # counts to occurrences. Result-identical (a word tokenizes
+    # identically everywhere; parity pinned in tests/test_bpe_train.py);
+    # measured 9.6 s → (see OPTIMIZATION_r15.md) at sf0.1.
+    toks = tokenize_counts_with_stored_model(d, model_path)
     return (
         toks.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
         .orderBy(F.col("n_tokens").desc(), "doc_id")

@@ -309,6 +309,46 @@ def load_bpe_model(path: str) -> list[tuple[str, str, int]]:
     return [(a, b, int(w)) for a, b, w in blob["merges"]]
 
 
+def tokenize_counts_with_stored_model(
+    corpus: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-row BPE token COUNTS from a stored model — the counts-only
+    serving twin of ``tokenize_with_stored_model`` (round-15
+    optimization, guide §1.2: don't compute what you throw away). A word
+    tokenizes identically wherever it occurs, so the DISTINCT-word table
+    is folded once (V × merges interpreted-HOF work instead of
+    occurrences × merges) and per-word token counts broadcast-join back
+    to the exploded occurrences; each row's count is the sum over its
+    words. Rows whose text has no non-empty word have no occurrence rows
+    and drop out — the same inner-join semantics the count consumers
+    (and their oracles) already use. Output: (``id_col``,
+    ``n_tokens`` bigint). Callers that need the token STREAM itself keep
+    ``tokenize_with_stored_model``."""
+    merges = load_bpe_model(path)
+    spark = corpus.sparkSession
+    # explicit width: AQE would coalesce the byte-small distinct-word
+    # shuffle to ~1 partition, serializing the CPU-bound fold (same
+    # rationale as _apply_bpe_join_back)
+    words = (
+        corpus.select(
+            F.explode(F.split(F.col(text_col), " ", -1)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("word", F.expr(_CHARS).alias("syms"))
+    )
+    counts = apply_merges_to_word_table(words, merges).select(
+        "word", F.size("syms").alias("_n_tok")
+    )
+    occ = corpus.select(
+        id_col, F.explode(F.split(F.col(text_col), " ", -1)).alias("word")
+    ).filter(F.col("word") != "")
+    return occ.join(F.broadcast(counts), "word").groupBy(id_col).agg(
+        F.sum("_n_tok").cast("bigint").alias("n_tokens")
+    )
+
+
 def tokenize_with_stored_model(
     corpus: DataFrame, path: str, text_col: str = "text"
 ) -> DataFrame:

@@ -21,14 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams_sql
+from .dedup import _with_shingles
 
 
 def _grams(docs: DataFrame, n: int) -> DataFrame:
-    toked = docs.select(
-        "doc_id", F.expr("split(text, ' ', -1)").alias("t")
-    ).select("doc_id", F.expr(word_ngrams_sql("t", n)).alias("sh"))
-    return toked.select("doc_id", F.explode("sh").alias("g"))
+    # Round-15 optimization (guide §4-adjacent HOF trap): shingle through
+    # dedup._with_shingles, whose exchange barrier stops CollapseProject
+    # from inlining split(text) into the n-gram lambda — inlined, the
+    # split re-evaluates on EVERY lambda iteration (the dedup module
+    # measured that blowup at ~60 core-seconds at sf0.1). The previous
+    # spelling here had no barrier and paid it on both the train and the
+    # eval side.
+    return _with_shingles(docs, n).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
 
 
 def contamination_report(
@@ -50,9 +56,11 @@ def contamination_report(
     sf0.1 wall-clock is unchanged by this ordering (map-side shingle
     generation dominates there); the win is shuffle BYTES, which is the
     binding constraint on a real cluster, where the match rate is tiny."""
-    eval_grams = evalset.select(
-        F.expr("split(text, ' ', -1)").alias("t")
-    ).select(F.explode(F.expr(word_ngrams_sql("t", n))).alias("g")).distinct()
+    eval_grams = (
+        _with_shingles(evalset, n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
     hits = _grams(train, n).join(F.broadcast(eval_grams), "g").distinct()
     return (
         hits.groupBy("doc_id")

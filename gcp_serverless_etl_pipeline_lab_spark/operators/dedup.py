@@ -173,33 +173,51 @@ def ngram_jaccard_pairs(
 
     Skew note: a gram at the cap explodes to ≤ max_df ordered-pair rows per
     list element via the chained generators — each output row is built by
-    streaming, never a single max_df²-element array in one row."""
+    streaming, never a single max_df²-element array in one row.
+
+    Round-15 optimization (guide §2.3/§2.4): the full shingle-set size
+    rides the gram stream as one extra int per (doc, gram) row instead of
+    being computed in a second shingle pass and joined back twice. That
+    removes ONE whole corpus tokenize+n-gram projection (the `sizes`
+    branch used to re-evaluate the ngram transform above the shared token
+    exchange) and BOTH post-aggregation size joins (each an exchange of
+    the pair table plus an exchange of the size table) — the union-size
+    denominators now come out of the pair aggregation itself via
+    ``first()``, which is exact because sza/szb are constant per pair
+    group. Plan: 5 exchanges → 3; measured 7.0 s → (see
+    OPTIMIZATION_r15.md) on dedup_ngram_jaccard at sf0.1."""
     sh = _with_shingles(corpus)
-    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
-    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+    grams = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("g")
+    )
     per_gram = grams.groupBy("g").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ds")
+        F.sort_array(F.collect_set(F.struct("doc_id", "sz"))).alias("ds")
     )
     if max_df is not None:
         per_gram = per_gram.filter(F.size("ds") <= max_df)
     # Ordered pairs (ds[i], ds[j]) with i < j: posexplode yields doc_a with
     # its position, the second generator explodes the tail slice — both are
     # streaming generators, so a hot gram never materializes its full
-    # quadratic pair array in a single row.
+    # quadratic pair array in a single row. sort_array orders the structs
+    # by doc_id (unique within a gram), so pair orientation doc_a < doc_b
+    # is preserved exactly as with the bare-id spelling.
     heads = per_gram.filter(F.size("ds") >= 2).select(
-        "ds", F.posexplode("ds").alias("p", "doc_a")
+        "ds", F.posexplode("ds").alias("p", "a")
     )
     pairs = heads.select(
-        "doc_a",
-        F.explode(F.expr("slice(ds, p + 2, size(ds) - p - 1)")).alias("doc_b"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.sz").alias("sza"),
+        F.explode(F.expr("slice(ds, p + 2, size(ds) - p - 1)")).alias("b"),
+    ).select(
+        "doc_a", "sza", F.col("b.doc_id").alias("doc_b"), F.col("b.sz").alias("szb")
     )
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("i"),
+        F.first("sza").alias("sza"),
+        F.first("szb").alias("szb"),
+    )
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")), 4

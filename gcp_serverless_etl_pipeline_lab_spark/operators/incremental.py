@@ -73,14 +73,25 @@ def near_dups_vs_base(
     max_df: int | None = None,
 ) -> DataFrame:
     """(doc_id, base_id, jaccard) for batch docs whose word-3-gram
-    Jaccard vs some base doc clears ``threshold``."""
-    sh_new = _with_shingles(batch)
-    sh_base = _with_shingles(base)
-    g_new = sh_new.select(
-        F.col("doc_id").alias("new_id"), F.explode("shingles").alias("g")
+    Jaccard vs some base doc clears ``threshold``.
+
+    Round-15 optimization (guide §2.3/§2.4, same restructure as
+    dedup.ngram_jaccard_pairs): the full shingle-set sizes ride the two
+    gram streams as one extra int per row instead of re-running the
+    ngram projection per side for a separate size frame and joining both
+    back after the intersection count. Removes one full shingle
+    projection per side and both size joins; the denominators come out
+    of the intersection aggregate via ``first()`` (exact — constant per
+    (new_id, base_id) group)."""
+    g_new = _with_shingles(batch).select(
+        F.col("doc_id").alias("new_id"),
+        F.size("shingles").alias("sz_n"),
+        F.explode("shingles").alias("g"),
     )
-    g_base = sh_base.select(
-        F.col("doc_id").alias("base_id"), F.explode("shingles").alias("g")
+    g_base = _with_shingles(base).select(
+        F.col("doc_id").alias("base_id"),
+        F.size("shingles").alias("sz_b"),
+        F.explode("shingles").alias("g"),
     )
     if max_df is not None:
         g_base = cap_document_frequency(
@@ -89,18 +100,14 @@ def near_dups_vs_base(
     inter = (
         g_new.join(g_base, "g")
         .groupBy("new_id", "base_id")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sz_new = sh_new.select(
-        F.col("doc_id").alias("new_id"), F.size("shingles").alias("sz_n")
-    )
-    sz_base = sh_base.select(
-        F.col("doc_id").alias("base_id"), F.size("shingles").alias("sz_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("sz_n").alias("sz_n"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
     return (
-        inter.join(sz_new, "new_id")
-        .join(sz_base, "base_id")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("i").cast("double")

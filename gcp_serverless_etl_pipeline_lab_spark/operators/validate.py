@@ -119,15 +119,39 @@ def annotate(raw: DataFrame, line_col: str = LINE_COL) -> DataFrame:
     # R6 global dedup: only rows past arity+required-fields claim an id.
     # The window partitions on (eligible, key); ineligible rows key on their
     # own line id so they hash-spread instead of skewing one null bucket.
+    #
+    # Round-15 optimization (guide §2.3, project before the exchange): the
+    # window is the cascade's ONE shuffle, and it used to carry the full
+    # `_parts` split array (the widest column — per-element UnsafeArray
+    # overhead on top of re-shipping every field's bytes a second time)
+    # plus cast/derived columns computed below it. The explicit select
+    # here drops `_parts` (its consumers — the five field extracts and
+    # the arity bit — are already materialized) and the casts/date/regex
+    # columns are now computed ABOVE the window, so they never ride the
+    # exchange either. `~fields_ok` in the cascade's second arm is
+    # spelled `~eligible`: the first arm already caught `~arity_ok`, and
+    # eligible = arity_ok & fields_ok, so they are equivalent there.
     eligible = arity_ok & fields_ok
-    df = df.withColumn("_dedup_eligible", eligible).withColumn(
-        "_dedup_key",
-        F.when(eligible, F.col("_id_raw")).otherwise(F.col(LINE_ID_COL).cast("string")),
+    df = df.select(
+        line_col,
+        LINE_ID_COL,
+        "_id_raw",
+        "_product_raw",
+        "_price_raw",
+        "_quantity_raw",
+        "_date_raw",
+        arity_ok.alias("_arity_ok"),
+        eligible.alias("_dedup_eligible"),
+        F.when(eligible, F.col("_id_raw"))
+        .otherwise(F.col(LINE_ID_COL).cast("string"))
+        .alias("_dedup_key"),
     )
     first_line = F.min(LINE_ID_COL).over(
         Window.partitionBy("_dedup_eligible", "_dedup_key")
     )
-    is_dup = F.col("_dedup_eligible") & (F.col(LINE_ID_COL) > first_line)
+    df = df.withColumn(
+        "_is_dup", F.col("_dedup_eligible") & (F.col(LINE_ID_COL) > first_line)
+    )
 
     # R7 numeric casts (lenient; see module docstring for the int gate).
     price = F.col("_price_raw").cast("double")
@@ -152,13 +176,13 @@ def annotate(raw: DataFrame, line_col: str = LINE_COL) -> DataFrame:
     # Ordered short-circuit: first failing check wins (Catalyst never
     # reorders a when-chain).
     error = (
-        F.when(~arity_ok, ERR_MALFORMED)
-        .when(~fields_ok, ERR_MISSING)
-        .when(is_dup, ERR_DUPLICATE)
+        F.when(~F.col("_arity_ok"), ERR_MALFORMED)
+        .when(~F.col("_dedup_eligible"), ERR_MISSING)
+        .when(F.col("_is_dup"), ERR_DUPLICATE)
         .when(F.col("_price").isNull() | F.col("_quantity").isNull(), ERR_INVALID_PQ)
         .when((F.col("_price") <= 0) | (F.col("_quantity") <= 0), ERR_NON_POSITIVE)
         .when(F.col("_sale_date").isNull(), ERR_INVALID_DATE)
         .when(F.col("_product_clean") == "", ERR_INVALID_PRODUCT)
         .when(~id_ok, ERR_NON_NUMERIC_ID)
     )
-    return df.withColumn(ERROR_COL, error)
+    return df.withColumn(ERROR_COL, error).drop("_is_dup")
