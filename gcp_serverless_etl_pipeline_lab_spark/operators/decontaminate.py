@@ -21,20 +21,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _with_shingles
+from ..functions.text import word_ngrams_sql
 
 
 def _grams(docs: DataFrame, n: int) -> DataFrame:
-    # Round-15 optimization (guide §4-adjacent HOF trap): shingle through
-    # dedup._with_shingles, whose exchange barrier stops CollapseProject
-    # from inlining split(text) into the n-gram lambda — inlined, the
-    # split re-evaluates on EVERY lambda iteration (the dedup module
-    # measured that blowup at ~60 core-seconds at sf0.1). The previous
-    # spelling here had no barrier and paid it on both the train and the
-    # eval side.
-    return _with_shingles(docs, n).select(
-        "doc_id", F.explode("shingles").alias("g")
-    )
+    # Round-15 note: an exchange barrier before the n-gram lambda (the
+    # dedup._with_shingles discipline) was BUILT and MEASURED here and
+    # REJECTED — A/B at sf0.1 showed the barrier-free spelling equal or
+    # faster (8.6 vs 9.6 s first pass, 6.9 s re-run): Spark 4's
+    # CollapseProject cost check already declines to inline the split()
+    # into the lambda in this shape, so the extra repartition only added
+    # two corpus-sized exchanges. Kept barrier-free.
+    toked = docs.select(
+        "doc_id", F.expr("split(text, ' ', -1)").alias("t")
+    ).select("doc_id", F.expr(word_ngrams_sql("t", n)).alias("sh"))
+    return toked.select("doc_id", F.explode("sh").alias("g"))
 
 
 def contamination_report(
@@ -56,11 +57,9 @@ def contamination_report(
     sf0.1 wall-clock is unchanged by this ordering (map-side shingle
     generation dominates there); the win is shuffle BYTES, which is the
     binding constraint on a real cluster, where the match rate is tiny."""
-    eval_grams = (
-        _with_shingles(evalset, n)
-        .select(F.explode("shingles").alias("g"))
-        .distinct()
-    )
+    eval_grams = evalset.select(
+        F.expr("split(text, ' ', -1)").alias("t")
+    ).select(F.explode(F.expr(word_ngrams_sql("t", n))).alias("g")).distinct()
     hits = _grams(train, n).join(F.broadcast(eval_grams), "g").distinct()
     return (
         hits.groupBy("doc_id")

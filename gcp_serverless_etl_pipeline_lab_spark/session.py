@@ -30,6 +30,25 @@ RUNTIME_CONF: dict[str, str] = {
     # Spark 4 rejects TIMESTAMP(NANOS) parquet outright; read as long and
     # convert at the loader (sources.tables truncates ns → µs like DuckDB).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Round-15 optimization (guide §1.2/§7.2; measured, plan-diffed):
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND
+    # isnotnull(arr)` below every explode/posexplode and PushDownPredicates
+    # then drives that filter through exchanges to the scan. Every
+    # generator input in this engine is a COMPUTED array (n-gram shingles,
+    # minhash bands, simhash bigrams, chunk slices...), so the inferred
+    # filter re-materializes the whole array pipeline — with the split()
+    # inlined per element — as a per-row scan filter: the n-gram explode
+    # measured 4.4 s vs 1.1 s at sf0.1 (minhash full query 7.5 → 2.2 s),
+    # re-enabling the rule restored the slowdown. The rule's only benefit
+    # — dropping empty-array rows before a shuffle — saves bytes
+    # proportional to empty-array frequency (~0 here) and costs CPU
+    # proportional to EVERY row, at any scale; on stored-array columns a
+    # scan-level isnotnull is all it could push, and none of our stored
+    # array columns are nullable. Scale-independent, so excluded
+    # everywhere, not just local.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
