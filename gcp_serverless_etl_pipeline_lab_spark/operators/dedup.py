@@ -146,6 +146,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = 10_000,
     ordered: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (the ground-truth baseline
     MinHash approximates). One groupBy(gram) builds the sorted per-gram doc
@@ -185,8 +186,13 @@ def ngram_jaccard_pairs(
     denominators now come out of the pair aggregation itself via
     ``first()``, which is exact because sza/szb are constant per pair
     group. Plan: 5 exchanges → 3; measured 7.0 s → (see
-    OPTIMIZATION_r15.md) on dedup_ngram_jaccard at sf0.1."""
-    sh = _with_shingles(corpus)
+    OPTIMIZATION_r15.md) on dedup_ngram_jaccard at sf0.1.
+
+    ``shingles``: callers composing several shingle consumers over the
+    same corpus (a0d_novelty_survivors: edge detection + novelty scoring)
+    pass one materialized (doc_id, shingles) frame so the corpus is
+    tokenized/n-grammed once for all of them."""
+    sh = shingles if shingles is not None else _with_shingles(corpus)
     grams = sh.select(
         "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("g")
     )
@@ -611,7 +617,9 @@ def embedding_cosine_pairs(
     )
 
 
-def gram_novelty(corpus: DataFrame, n: int = 3) -> DataFrame:
+def gram_novelty(
+    corpus: DataFrame, n: int = 3, shingles: DataFrame | None = None
+) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a doc's distinct
     word n-grams whose FIRST occurrence in corpus order (minimum doc_id
     over the whole corpus) is the doc itself. 1.0 = every gram is new to
@@ -631,8 +639,26 @@ def gram_novelty(corpus: DataFrame, n: int = 3) -> DataFrame:
     a gram shared by 1M docs still reduces to one row) — then the novel
     counts are a tiny aggregate over the one-row-per-gram frame, joined
     back to per-doc sizes on doc_id. No gram-level join-back: novelty
-    never touches the exploded frame twice."""
-    sh = _with_shingles(corpus, n)
+    never touches the exploded frame twice.
+
+    Round-15 optimization: the shingle frame is localCheckpoint-ed before
+    its two consumers. Without the truncation, PushDownPredicates drives
+    the `n_grams > 0` filter through the projection and exchange down to
+    the scan, re-materializing the whole n-gram pipeline (split inlined
+    per element) as a per-row scan filter, and the `first` branch
+    re-evaluates the ngram transform a second time — measured 5.3 s vs
+    1.5 s at sf0.1 for the same results (a second exchange instead of the
+    checkpoint did NOT dedupe the branches: 5.4 s, exchange reuse never
+    fired). The checkpoint is a shingle-frame-sized materialization —
+    the same bound as build_base_index's persist; callers that already
+    hold a materialized (doc_id, shingles) frame pass it via
+    ``shingles`` and skip the extra copy (a0d_novelty_survivors shares
+    one across edge detection and scoring)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _with_shingles(corpus, n).localCheckpoint(eager=True)
+    )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_grams")).filter(
         F.col("n_grams") > 0
     )
