@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60_duck
+from ..functions.local_frames import literal_frame
 from ..functions.text import word_ngrams_duck
 from ..operators import cluster, dedup, similarity
 from ..operators import similarity as _sim
@@ -427,7 +428,7 @@ def a0d_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             classify_batch_vs_index(spark, batch, idx, threshold=0.8)
         )
         rows = agg.collect()
-    return spark.createDataFrame(rows, agg.schema)
+    return literal_frame(spark, agg.schema, rows)
 
 
 def _ensure_cached_index(
@@ -515,7 +516,7 @@ def a0e_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             classify_batch_vs_index(spark, batch, idx, threshold=0.8)
         )
         rows = agg.collect()
-    return spark.createDataFrame(rows, agg.schema)
+    return literal_frame(spark, agg.schema, rows)
 
 
 @register("a0e_index_compact", _INCREMENTAL_ORACLE)
@@ -555,7 +556,7 @@ def a0e_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             classify_batch_vs_index(spark, batch, idx, threshold=0.8)
         )
         rows = agg.collect()
-    return spark.createDataFrame(rows, agg.schema)
+    return literal_frame(spark, agg.schema, rows)
 
 @register(
     "a0d_novelty_survivors",

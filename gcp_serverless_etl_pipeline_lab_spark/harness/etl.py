@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_frames import literal_frame
 from ..operators.transform import split_clean_errors
 from ..operators.validate import annotate
 from ..sources.text_csv import LINE_COL, LINE_ID_COL
@@ -367,7 +368,7 @@ def etl_roundtrip_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         joined = c.crossJoin(e)
         rows = joined.collect()
-        return spark.createDataFrame(rows, joined.schema)
+        return literal_frame(spark, joined.schema, rows)
     finally:
         if result is not None:
             result.unpersist()
@@ -414,7 +415,7 @@ def etl_split_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         joined = _split_fanout_agg(spark, clean, errors)
         rows = joined.collect()
-        return spark.createDataFrame(rows, joined.schema)
+        return literal_frame(spark, joined.schema, rows)
     finally:
         annotated.unpersist()
 
@@ -438,7 +439,7 @@ def etl_split_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         joined = _split_fanout_agg(spark, clean, errors)
         rows = joined.collect()
-        return spark.createDataFrame(rows, joined.schema)
+        return literal_frame(spark, joined.schema, rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60_duck
+from ..functions.local_frames import literal_frame
 from ._registry import _t, register
 
 # ---------------------------------------------------------------------------
@@ -63,9 +64,10 @@ def a0_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql("DROP TABLE IF EXISTS h5_orders_b")
         spark.sql("DROP TABLE IF EXISTS h5_lineitem_b")
-    return spark.createDataFrame(
-        [(r["o_orderpriority"], r["n_items"], r["revenue_cents"]) for r in rows],
+    return literal_frame(
+        spark,
         "o_orderpriority string, n_items bigint, revenue_cents bigint",
+        [(r["o_orderpriority"], r["n_items"], r["revenue_cents"]) for r in rows],
     )
 
 
@@ -133,7 +135,10 @@ def a0_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.unpersist()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
+        "n_clean bigint, n_corrupt bigint, sum_chars bigint, n_langs bigint, "
+        "text_hashsum bigint",
         [
             (
                 row["n_clean"],
@@ -143,8 +148,6 @@ def a0_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row["text_hashsum"],
             )
         ],
-        "n_clean bigint, n_corrupt bigint, sum_chars bigint, n_langs bigint, "
-        "text_hashsum bigint",
     )
 
 # ---------------------------------------------------------------------------
@@ -258,7 +261,7 @@ def compact_execute_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return literal_frame(spark, agg.schema, rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -328,7 +331,7 @@ def a0d_epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_cents"),
         )
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return literal_frame(spark, agg.schema, rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -383,9 +386,10 @@ def a0b_partitioned_prune_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(r["o_orderpriority"], r["n_orders"], r["revenue"]) for r in rows],
+    return literal_frame(
+        spark,
         "o_orderpriority string, n_orders bigint, revenue double",
+        [(r["o_orderpriority"], r["n_orders"], r["revenue"]) for r in rows],
     )
 
 # ---------------------------------------------------------------------------
@@ -433,9 +437,10 @@ def a0b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(row["n_rows"], row["n_priorities"], row["sum_price"], row["max_date"])],
+    return literal_frame(
+        spark,
         "n_rows bigint, n_priorities bigint, sum_price double, max_date timestamp",
+        [(row["n_rows"], row["n_priorities"], row["sum_price"], row["max_date"])],
     )
 
 
@@ -506,7 +511,9 @@ def a0b_csv_rfc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.unpersist()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
+        "n_clean bigint, n_corrupt bigint, sum_chars bigint, tricky_hashsum bigint",
         [
             (
                 row["n_clean"],
@@ -515,7 +522,6 @@ def a0b_csv_rfc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row["tricky_hashsum"],
             )
         ],
-        "n_clean bigint, n_corrupt bigint, sum_chars bigint, tricky_hashsum bigint",
     )
 
 
@@ -593,10 +599,11 @@ def a0_warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("v1_sum_cents") == F.col("s"))
             ).alias("latest_is_v1"),
         ).collect()
-        out = spark.createDataFrame(
-            row,
+        out = literal_frame(
+            spark,
             "v0_rows bigint, v0_sum_cents bigint, v1_rows bigint, "
             "v1_sum_cents bigint, latest_is_v1 boolean",
+            row,
         )
         return out
     finally:

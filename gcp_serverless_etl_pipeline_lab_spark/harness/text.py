@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60_duck, h60_sql
+from ..functions.local_frames import literal_frame
 from ._corpora import _DOC_CORPUS_DUCK, _doc_corpus
 from ._registry import _t, register
 
@@ -602,9 +603,10 @@ def a0h_hybrid_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _IVF_NPROBE
 
     lex, ann = _hybrid_indexes(spark, sf_dir)
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
+    qt = literal_frame(
+        spark,
         "query_id bigint, term string",
+        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
     )
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id").isin(list(_MULTI_QUERIES)))
@@ -929,9 +931,10 @@ def a0j_hybrid_per_query_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _IVF_NPROBE
 
     lex, ann = _hybrid_indexes(spark, sf_dir)
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
+    qt = literal_frame(
+        spark,
         "query_id bigint, term string",
+        [(qid, t) for qid, ts in sorted(_MULTI_QUERIES.items()) for t in ts],
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     qf = (
@@ -1701,9 +1704,10 @@ def a0m_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lexindex import phrase_matching_docs_batch
 
     idx = _phrase_index(spark, sf_dir)
-    phrases = spark.createDataFrame(
-        [(qid, " ".join(ts)) for qid, ts in sorted(_BATCH_PHRASES.items())],
+    phrases = literal_frame(
+        spark,
         "query_id bigint, phrase string",
+        [(qid, " ".join(ts)) for qid, ts in sorted(_BATCH_PHRASES.items())],
     )
     return phrase_matching_docs_batch(spark, idx, phrases).orderBy(
         "query_id", "doc_id"
@@ -1953,9 +1957,10 @@ def a0m_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lexindex import proximity_matching_docs_batch
 
     idx = _phrase_index(spark, sf_dir)
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in sorted(_BATCH_NEAR.items()) for t in ts],
+    qt = literal_frame(
+        spark,
         "query_id bigint, term string",
+        [(qid, t) for qid, ts in sorted(_BATCH_NEAR.items()) for t in ts],
     )
     return proximity_matching_docs_batch(
         spark, idx, qt, window=_PROX_WINDOW
@@ -2109,8 +2114,8 @@ def a0m_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lex = _phrase_index(spark, sf_dir)
     _, ann = _hybrid_indexes(spark, sf_dir)
-    ids = spark.createDataFrame(
-        [(i,) for i in _AUDIT_IDS], "doc_id bigint"
+    ids = literal_frame(
+        spark, "doc_id bigint", [(i,) for i in _AUDIT_IDS]
     )
     return verify_forgotten(
         spark, ids, lex_index_path=lex, ann_index_path=ann
@@ -2655,12 +2660,13 @@ def a0f_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("text")
     merges = train_bpe_merges(d, n_merges=_BPE_ROUNDS, min_pair_count=_BPE_MIN_PAIR)
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
         [
             (i + 1, a, b, w)
             for i, (a, b, w) in enumerate(merges)
         ],
-        "merge_rank int, lhs string, rhs string, pair_count bigint",
     )
 
 

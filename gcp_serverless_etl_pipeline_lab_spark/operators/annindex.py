@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.local_frames import literal_frame
+
 from .similarity import (
     _assign_cell,
     _dot,
@@ -992,7 +994,7 @@ def serving_overlap_probe(
     )
     if not picked:
         return None
-    qdf = spark.createDataFrame(picked, vec.schema)
+    qdf = literal_frame(spark, vec.schema, picked)
     served = query_ann_index(spark, qdf, path, k=k, nprobe=nprobe).select(
         "query_id", "neighbor_id"
     )

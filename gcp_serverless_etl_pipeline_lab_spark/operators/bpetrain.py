@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.local_frames import literal_frame
+
 # split a word into characters (unicode-aware on both engines)
 _CHARS = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
 
@@ -194,7 +196,7 @@ def train_bpe_merges(
             break
         a, b, w = top[0]["a"], top[0]["b"], int(top[0]["w"])
         merges.append((a, b, w))
-        merge_row = spark.createDataFrame([(a, b)], "ma string, mb string")
+        merge_row = literal_frame(spark, "ma string, mb string", [(a, b)])
         if incremental:
             # ONE V-sized pass per round: evaluate the touched predicate
             # and the guarded fold together and checkpoint old+new syms
@@ -423,10 +425,20 @@ def apply_merges_to_word_table(
         single_pass = True
     spark = words.sparkSession
     if single_pass:
-        mframe = spark.createDataFrame(
-            [([(a, b) for a, b, *_ in merges],)],
-            "mt array<struct<a: string, b: string>>",
+        # JVM literal struct-array (functions.local_frames discipline): a
+        # Python-backed 1-row frame would pay a Python-worker round trip
+        # on every broadcast build of the merge table
+        mt = (
+            F.array(
+                *[
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for a, b, *_ in merges
+                ]
+            )
+            if merges
+            else F.expr("CAST(array() AS array<struct<a: string, b: string>>)")
         )
+        mframe = spark.range(1).select(mt.alias("mt"))
         return (
             words.crossJoin(F.broadcast(mframe))
             .withColumn("syms", F.expr(_APPLY_ALL))
@@ -436,7 +448,7 @@ def apply_merges_to_word_table(
     out = words
     live: set[int] = set()
     for i, (a, b, *_) in enumerate(merges):
-        mrow = spark.createDataFrame([(a, b)], "ma string, mb string")
+        mrow = literal_frame(spark, "ma string, mb string", [(a, b)])
         out = (
             out.crossJoin(F.broadcast(mrow))
             .withColumn("syms", F.expr(_APPLY))
@@ -506,7 +518,7 @@ def apply_bpe_merges(
         "_words", F.expr(f"filter(split({text_col}, ' ', -1), w -> w != '')")
     ).withColumn("_syms", F.expr(f"transform(_words, word -> {_CHARS})"))
     for a, b, *_ in merges:
-        mrow = spark.createDataFrame([(a, b)], "ma string, mb string")
+        mrow = literal_frame(spark, "ma string, mb string", [(a, b)])
         out = out.crossJoin(F.broadcast(mrow)).withColumn(
             "_syms",
             F.expr("transform(_syms, syms -> " + _APPLY + ")"),

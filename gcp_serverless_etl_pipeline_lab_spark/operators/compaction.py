@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.local_frames import literal_frame
+
 GROUP_COL = "_compact_group"
 
 
@@ -117,7 +119,7 @@ def _rewrite_planned(
     (regression pinned in tests/test_compaction.py)."""
     n_groups = max(plan.values()) + 1
     map_rows = [(_file_uri(p), b) for p, b in plan.items()]
-    fmap = spark.createDataFrame(map_rows, f"_f string, {GROUP_COL} int")
+    fmap = literal_frame(spark, f"_f string, {GROUP_COL} int", map_rows)
     joined = df.join(F.broadcast(fmap), "_f", "left")
     # Belt-and-braces: compaction must move EVERY row, so an input file
     # the plan somehow doesn't cover is a hard error, never a silent drop.

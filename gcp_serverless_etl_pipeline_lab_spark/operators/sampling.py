@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.local_frames import literal_frame
+
 from ..functions.hashing import h60_sql
 
 DENOM = 10_000  # rate resolution: 0.01%
@@ -41,8 +43,8 @@ def stratified_sample(
     """
     spark = df.sparkSession
     rate_rows = [(s, int(round(r * DENOM))) for s, r in sorted(rates.items())]
-    rates_df = spark.createDataFrame(
-        rate_rows, f"{strata_col} string, _thresh int"
+    rates_df = literal_frame(
+        spark, f"{strata_col} string, _thresh int", rate_rows
     )
     return (
         df.join(F.broadcast(rates_df), strata_col)

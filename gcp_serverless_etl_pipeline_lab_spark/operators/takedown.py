@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.local_frames import literal_frame
+
 _REPORT_SCHEMA = "artifact string, doc_id bigint, n_rows bigint"
 
 
@@ -195,7 +197,7 @@ def verify_forgotten(
             out = part if out is None else out.unionByName(part)
         if out is not None:
             parts.append(_residue(out, "doc_id", want, "merged"))
-    report = spark.createDataFrame([], _REPORT_SCHEMA)
+    report = literal_frame(spark, _REPORT_SCHEMA, [])
     for p in parts:
         report = report.unionByName(p)
     return report.orderBy("artifact", "doc_id")
