@@ -50,6 +50,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _reroot(df: DataFrame, session) -> DataFrame:
+    """Rebind ``df``'s logical plan to another session sharing the same
+    SparkContext (JVM ``Dataset.ofRows``). Lets the CC loop run its many
+    tiny driver-synchronous jobs on a CLONED session with AQE disabled
+    while the caller's session conf stays untouched — round 16, replacing
+    the round-15 toggle of the session-global conf (ADVICE r15: a
+    concurrent query on the shared session silently ran with AQE off
+    mid-loop). Raises if the internal API moved; the caller falls back to
+    the scoped toggle."""
+    jdf = session._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        session._jsparkSession, df._jdf.logicalPlan()
+    )
+    return DataFrame(jdf, session)
+
+
+# One cached clone per caller session (weak keys: dropping the caller
+# drops its clone). A fresh SessionState per connected_components call
+# measured ~+0.7 s on dedup_cluster_resolve — analyzer/optimizer state
+# is rebuilt lazily on the first plan — so the clone is built once and
+# reused; its conf mirror is a snapshot of the caller's at first use
+# (the mirrored keys are engine-pinned constants, set at session build).
+import weakref as _weakref
+
+_LOOP_SESSIONS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _loop_session(caller):
+    """A conf-isolated clone of ``caller`` for the CC loop: shares the
+    SparkContext (and therefore executors and checkpointed blocks),
+    mirrors the runtime conf the loop's plans depend on, and turns AQE
+    off — every loop frame is explicitly ``repartition(p)``-sized, so
+    AQE's per-job re-planning is pure fixed overhead here (measured 5.9 s
+    vs 4.6 s on the harness edge set, round 15)."""
+    cached = _LOOP_SESSIONS.get(caller)
+    if cached is not None:
+        return cached
+    iso = caller.newSession()
+    for k in (
+        "spark.sql.ansi.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.optimizer.excludedRules",
+        "spark.sql.shuffle.partitions",
+    ):
+        try:
+            v = caller.conf.get(k)
+            if v is not None:
+                iso.conf.set(k, v)
+        except Exception:
+            pass  # unset on the caller: the clone's default is fine
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    _LOOP_SESSIONS[caller] = iso
+    return iso
+
+
 def symmetrize_edges(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
     """(a, b) pairs in any orientation -> distinct directed (src, dst) rows
     both ways. Self-loops are dropped (they carry no connectivity)."""
@@ -85,17 +139,24 @@ def connected_components(
     # billion-edge graph at ~2k partitions and a test graph at 1.
     n_pairs = pairs.count()
     p = max(1, min(pairs.rdd.getNumPartitions(), n_pairs // 500_000 + 1))
-    spark = pairs.sparkSession
-    # Round-15 optimization (guide §1.2/§3 "configuration last", measured):
-    # the loop runs many TINY driver-synchronous jobs whose partitioning
-    # is already sized explicitly (repartition(p) everywhere), so AQE has
-    # nothing left to improve and its per-job re-planning is pure fixed
-    # overhead — resolve_clusters on the harness edge set measured 5.9 s
-    # with AQE vs 4.6 s without, byte-identical output. Scoped to the
-    # loop and restored in `finally` (the conf is session-global; this
-    # engine's drivers run queries sequentially, noted in the docstring).
-    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    caller = pairs.sparkSession
+    # Run the loop WITHOUT AQE (round 15, measured: 5.9 s with vs 4.6 s
+    # without on the harness edge set — every frame is explicitly
+    # repartition(p)-sized, so AQE's per-job re-planning buys nothing).
+    # Round 16: the loop now runs on a conf-isolated CLONED session
+    # (_loop_session + _reroot) instead of toggling the caller's
+    # session-global conf — a concurrent query on the caller's session
+    # keeps AQE (ADVICE r15; pinned in tests/test_r16_optimizations.py).
+    # If the internal re-rooting API ever moves, fall back to the scoped
+    # caller-session toggle.
+    old_aqe = None
+    try:
+        spark = _loop_session(caller)
+        pairs = _reroot(pairs, spark)
+    except Exception:
+        spark = caller
+        old_aqe = caller.conf.get("spark.sql.adaptive.enabled", "true")
+        caller.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         edges = (
             symmetrize_edges(pairs, a, b).repartition(p).localCheckpoint(eager=True)
@@ -110,9 +171,13 @@ def connected_components(
         # Convergence via the label-sum invariant instead of a join: labels
         # only ever DECREASE, so sum(lbl) is strictly monotone under any
         # change and "sum unchanged" ⟺ "no label changed" — one aggregate
-        # job per round instead of a self-join + count (round-15; no
-        # overflow: sum ≤ nodes × max doc_id ≪ 2^63).
-        lbl_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        # job per round instead of a self-join + count (round-15). The sum
+        # runs in DECIMAL(38,0) (round 16, ADVICE r15): a bigint sum wraps
+        # silently with ANSI pinned off, so hashed 64-bit doc ids on a
+        # large graph could in principle mask a label change; 38 digits
+        # cannot overflow for any n_nodes × doc_id this engine can hold.
+        _dsum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+        lbl_sum = labels.agg(_dsum).collect()[0][0]
 
         for _ in range(max_iter):
             # Propagate: each node adopts the min label among itself and its
@@ -138,7 +203,7 @@ def connected_components(
                 .repartition(p)
                 .localCheckpoint(eager=True)
             )
-            new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+            new_sum = new_labels.agg(_dsum).collect()[0][0]
             done = new_sum == lbl_sum
             labels, lbl_sum = new_labels, new_sum
             if done:
@@ -148,8 +213,13 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} rounds"
             )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        if old_aqe is not None:
+            caller.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
+    if spark is not caller:
+        # hand the (checkpointed, plan-truncated) label table back on the
+        # CALLER's session so downstream joins/sorts run under its conf
+        labels = _reroot(labels, caller)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

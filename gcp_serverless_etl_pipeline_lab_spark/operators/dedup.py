@@ -653,7 +653,17 @@ def gram_novelty(
     the same bound as build_base_index's persist; callers that already
     hold a materialized (doc_id, shingles) frame pass it via
     ``shingles`` and skip the extra copy (a0d_novelty_survivors shares
-    one across edge detection and scoring)."""
+    one across edge detection and scoring). A shared frame fixes the
+    gram width at ITS build-time n, so combining it with a non-default
+    ``n`` is rejected loudly (ADVICE r15: silently wrong novelty
+    otherwise)."""
+    if shingles is not None and n != 3:
+        raise ValueError(
+            "gram_novelty: a caller-provided `shingles` frame fixes the "
+            f"gram width at its own build-time n; passing n={n} with it "
+            "is contradictory — shingle with that n yourself and pass "
+            "the frame, or drop the n argument"
+        )
     sh = (
         shingles
         if shingles is not None

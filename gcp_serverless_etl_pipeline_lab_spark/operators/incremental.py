@@ -535,15 +535,50 @@ def _mask_deleted_hashes(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
     return df.join(t, cond, "left_anti")
 
 
-def exact_dups_vs_index(spark, batch: DataFrame, path: str) -> DataFrame:
+def _keyed_shingles(batch: DataFrame, n: int) -> DataFrame:
+    """(doc_id, k, shingles) in ONE pass over the batch (round 16, guide
+    §1.2/§2.3): the md5 exact-probe key rides the token barrier next to
+    the shingle array, so ``classify_batch_vs_index`` synthesizes and
+    scans the batch once instead of three times (exact key pass, shingle
+    pass, classification spine). The shingle expression is byte-identical
+    to ``dedup._with_shingles``; ``k`` is byte-identical to the exact
+    probe's ``md5(text)`` — parity pinned in
+    tests/test_r16_optimizations.py."""
+    from .dedup import _barrier
+
+    toks = _barrier(
+        batch.select(
+            "doc_id",
+            F.md5("text").alias("k"),
+            F.expr("split(text, ' ', -1)").alias("t"),
+        )
+    )
+    from ..functions.text import word_ngrams_sql
+
+    return toks.select(
+        "doc_id", "k", F.expr(word_ngrams_sql("t", n)).alias("shingles")
+    )
+
+
+def exact_dups_vs_index(
+    spark, batch: DataFrame, path: str, keyed: DataFrame | None = None
+) -> DataFrame:
     """``exact_dups_vs_base`` against the stored hash column — the base's
     md5s were materialized at build/append time; the probe shuffles only
     the batch and scans one narrow parquet column. Deleted docs (round
     14) are masked out: a taken-down doc must stop matching future
     ingests as "already seen", or its takedown silently suppresses the
-    legitimate re-ingest forever."""
+    legitimate re-ingest forever.
+
+    ``keyed`` (round 16): optional pre-computed (doc_id, k=md5(text))
+    frame — ``classify_batch_vs_index`` passes a slice of its persisted
+    one-pass batch frame so the batch is not re-synthesized here."""
     man = _load_manifest(path)
-    b = batch.select("doc_id", F.md5("text").alias("k"))
+    b = (
+        keyed.select("doc_id", "k")
+        if keyed is not None
+        else batch.select("doc_id", F.md5("text").alias("k"))
+    )
     base_k = _mask_deleted_hashes(
         _read_artifact(spark, path, "hashes", man, _HASHES_SCHEMA),
         _active_text_tombstones(spark, path, man),
@@ -556,6 +591,7 @@ def near_dups_vs_index(
     batch: DataFrame,
     path: str,
     threshold: float = 0.8,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """``near_dups_vs_base`` against the stored postings: the batch is
     shingled fresh; the base side is READ, never recomputed, and only the
@@ -566,25 +602,34 @@ def near_dups_vs_index(
     gram that CROSSED the cap in a later generation still has its older
     postings on disk — the ledger excludes them), so results match
     ``near_dups_vs_base(batch, merged_base, threshold, max_df)`` for the
-    build's ``max_df`` exactly, however many appends have landed."""
+    build's ``max_df`` exactly, however many appends have landed.
+
+    ``shingled`` (round 16): optional pre-computed (doc_id, shingles)
+    frame — ``classify_batch_vs_index`` passes a slice of its persisted
+    one-pass batch frame (md5 + shingles in one synthesis); the caller
+    then owns persistence and lifetime."""
     man = _load_manifest(path)
     nb = int(man["gram_buckets"])
-    # The batch-shingle frame has three consumers — the eager bucket-gate
-    # collect below, the intersection join, and the union-size
-    # denominator — so persist it; the collect materializes the cache, so
-    # the join and sizes reuse it instead of re-tokenizing the batch
-    # (measured 2x on the sf0.1 probe). Lifetime: registered with the
-    # active probe_cache_scope() when one is open (the nightly stream
-    # wraps each micro-batch probe, so per-epoch caches are released);
-    # without a scope the cache lives until session eviction — bounded
-    # for a one-shot probe, but long-lived drivers running many probes
-    # should use the scope.
-    from pyspark.storagelevel import StorageLevel
+    if shingled is not None:
+        sh_new = shingled.select("doc_id", "shingles")
+    else:
+        # The batch-shingle frame has three consumers — the eager bucket-
+        # gate collect below, the intersection join, and the union-size
+        # denominator — so persist it; the collect materializes the
+        # cache, so the join and sizes reuse it instead of re-tokenizing
+        # the batch (measured 2x on the sf0.1 probe). Lifetime:
+        # registered with the active probe_cache_scope() when one is
+        # open (the nightly stream wraps each micro-batch probe, so
+        # per-epoch caches are released); without a scope the cache
+        # lives until session eviction — bounded for a one-shot probe,
+        # but long-lived drivers running many probes should use the
+        # scope.
+        from pyspark.storagelevel import StorageLevel
 
-    sh_new = _with_shingles(batch, int(man["ngram"])).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _register_probe_cache(sh_new)
+        sh_new = _with_shingles(batch, int(man["ngram"])).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _register_probe_cache(sh_new)
     g_new = sh_new.select(
         F.col("doc_id").alias("new_id"), F.explode("shingles").alias("g")
     )
@@ -1327,16 +1372,34 @@ def classify_batch_vs_index(
     """``classify_batch`` probing the persisted index instead of
     re-shingling the base — identical output for the index's build-time
     ``max_df`` (parity pinned in tests/test_incremental_index.py and the
-    ``a0d_incremental_index`` oracle query)."""
-    exact = exact_dups_vs_index(spark, batch, path).withColumn("_e", F.lit(1))
+    ``a0d_incremental_index`` oracle query).
+
+    Round 16 (guide §1.2/§2.3): ONE persisted batch pass — (doc_id,
+    md5, shingles) via ``_keyed_shingles`` — feeds the exact probe, the
+    near probe, and the classification spine; previously each of the
+    three re-synthesized/re-scanned the batch. Registered with the
+    active ``probe_cache_scope`` like the probe-side caches it
+    replaces."""
+    from pyspark.storagelevel import StorageLevel
+
+    man = _load_manifest(path)
+    bk = _keyed_shingles(batch, int(man["ngram"])).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _register_probe_cache(bk)
+    exact = exact_dups_vs_index(
+        spark, batch, path, keyed=bk.select("doc_id", "k")
+    ).withColumn("_e", F.lit(1))
     near = (
-        near_dups_vs_index(spark, batch, path, threshold)
+        near_dups_vs_index(
+            spark, batch, path, threshold, shingled=bk.select("doc_id", "shingles")
+        )
         .select("doc_id")
         .distinct()
         .withColumn("_n", F.lit(1))
     )
     return (
-        batch.select("doc_id")
+        bk.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(
