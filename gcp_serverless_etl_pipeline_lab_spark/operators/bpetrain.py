@@ -353,31 +353,14 @@ def tokenize_counts_with_stored_model(
     # upper-bounds the vocabulary's, so hint only when the whole source
     # is comfortably broadcastable; otherwise let AQE pick the strategy
     # from the aggregate's real size.
-    src_bytes = _source_bytes(corpus)
+    from ..functions.scan_meta import source_bytes
+
+    src_bytes = source_bytes(corpus)
     if src_bytes is not None and src_bytes < 256 << 20:
         counts = F.broadcast(counts)
     return occ.join(counts, "word").groupBy(id_col).agg(
         F.sum("_n_tok").cast("bigint").alias("n_tokens")
     )
-
-
-def _source_bytes(df: DataFrame) -> int | None:
-    """Total bytes of ``df``'s input files (scan metadata, no job), or
-    None when the frame has no file source."""
-    try:
-        files = df.inputFiles()
-        if not files:
-            return None
-        import os
-        from urllib.parse import unquote, urlparse
-
-        total = 0
-        for f in files:
-            p = unquote(urlparse(f).path) if "://" in f else f
-            total += os.path.getsize(p)
-        return total
-    except Exception:
-        return None
 
 
 def tokenize_with_stored_model(

@@ -285,7 +285,7 @@ def dsir_importance_micro(
     text_col: str = "text",
     id_col: str = "doc_id",
     hot_threshold: int = 1000,
-    stage: bool = True,
+    stage: bool | None = None,
 ) -> DataFrame:
     """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" — public method): per
@@ -312,17 +312,29 @@ def dsir_importance_micro(
     2. Head counts / vocabulary derived from the c12 aggregate
        (``_lm_stats``), so each bigram frame feeds exactly ONE corpus-
        wide aggregation.
-    3. ``stage=True`` (default) persists the two SMALL c12 count tables
-       (not the full bigram frame) — every hot-key set, derived stat,
-       and join side reads the compact aggregate instead of re-running
+    3. ``stage=True`` persists the two SMALL c12 count tables (not the
+       full bigram frame) — every hot-key set, derived stat, and join
+       side reads the compact aggregate instead of re-running
        tokenize→explode→groupBy per consumer. At 100 TB write these
        aggregates to parquet instead; persist is the single-job spelling
-       of the same staging.
+       of the same staging. ``stage=None`` (default, round 16) decides
+       from the corpus's scan metadata: below 256 MB of source the
+       re-derivations are cheaper than materializing the cache
+       (same-session A/B at sf0.1: 4.2 s staged vs 3.7 s unstaged,
+       hash-identical), above it the recompute cost grows with the
+       corpus while the persist stays aggregate-sized — so big inputs
+       stage, small ones don't, with no local-vs-cluster constant baked
+       in.
 
     Net: the corpus text is tokenized twice (raw-stats build + fact
     pass), the target text once — independent of how many stats consume
     them. Plan pinned in tests/test_plans_round6.py; x10 stress 18.7 s →
     ~8 s, hash-identical."""
+    if stage is None:
+        from ..functions.scan_meta import source_bytes
+
+        src = source_bytes(docs)
+        stage = src is None or src >= 256 << 20
     bg = _doc_bigrams(docs, text_col, id_col)
     tgt_bg = _doc_bigrams(target_docs, text_col, id_col)
     tc12, tc1, tvocab = _lm_stats(tgt_bg)
