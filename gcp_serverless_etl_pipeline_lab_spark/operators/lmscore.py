@@ -318,13 +318,13 @@ def dsir_importance_micro(
        tokenize→explode→groupBy per consumer. At 100 TB write these
        aggregates to parquet instead; persist is the single-job spelling
        of the same staging. ``stage=None`` (default, round 16) decides
-       from the corpus's scan metadata: below 256 MB of source the
-       re-derivations are cheaper than materializing the cache
-       (same-session A/B at sf0.1: 4.2 s staged vs 3.7 s unstaged,
-       hash-identical), above it the recompute cost grows with the
-       corpus while the persist stays aggregate-sized — so big inputs
-       stage, small ones don't, with no local-vs-cluster constant baked
-       in.
+       from the corpus's scan metadata; the crossover was MEASURED from
+       both sides — at 0.7 MB of source (x1 stress / sf0.1) unstaged
+       wins (4.59 vs 5.29 s x1; 4.29 vs 4.45 s mean at sf0.1,
+       hash-identical), at 7.7 MB (x10 stress) staged wins (7.53 vs
+       11.17 s) because the re-derivations grow with the corpus while
+       the persist stays aggregate-sized — so the gate sits inside the
+       bracket at 4 MB and every larger input stages.
 
     Net: the corpus text is tokenized twice (raw-stats build + fact
     pass), the target text once — independent of how many stats consume
@@ -334,7 +334,7 @@ def dsir_importance_micro(
         from ..functions.scan_meta import source_bytes
 
         src = source_bytes(docs)
-        stage = src is None or src >= 256 << 20
+        stage = src is None or src >= 4 << 20
     bg = _doc_bigrams(docs, text_col, id_col)
     tgt_bg = _doc_bigrams(target_docs, text_col, id_col)
     tc12, tc1, tvocab = _lm_stats(tgt_bg)

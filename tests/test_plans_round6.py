@@ -53,16 +53,41 @@ def test_dsir_no_python_no_cartesian(spark):
 
 
 def test_dsir_staged_aggregates_bound_corpus_scans(spark):
-    """Round-8 plan contract for DSIR. The round-6/7 docstring bet that
-    ReuseExchange would collapse the repeated bigram subtrees — it never
-    fires (the consumers aggregate differently, so the exchanges don't
-    canonicalize equal; this test pins that stays true so the comment
-    can't rot silently). The actual levers are fused single-pass scoring
-    + persisted c12 aggregates; what they must buy is a BOUNDED number
-    of distinct document scans — the unstaged two-pass plan had 24."""
+    """Round-8 plan contract for DSIR, updated for the round-16 staging
+    GATE (stage=None persists the c12 aggregates only above the measured
+    source-size crossover — OPTIMIZATION_r16.md). The STAGED spelling
+    must still bound distinct document scans via cached aggregates (the
+    unstaged two-pass plan had 24); the round-6/7 docstring bet that
+    ReuseExchange would collapse the repeated subtrees stays pinned as
+    never firing. The smoke corpus sits BELOW the gate, so the registered
+    query's auto plan must carry no cache at this size."""
     import re
 
-    tree = _plan(spark, "a0_dsir_importance_select")
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lmscore import (
+        dsir_importance_micro,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+    # the gate: below the crossover the registered query recomputes — no
+    # cache in its plan. Checked FIRST: building the staged spelling
+    # below persists the c12 aggregates, and Spark's CacheManager
+    # substitutes cached plans into any LATER identical subtree.
+    auto_tree = _plan(spark, "a0_dsir_importance_select")
+    assert "InMemoryTableScan" not in auto_tree
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    staged = dsir_importance_micro(
+        docs, docs.filter(F.col("lang") == "en"), hot_threshold=1000, stage=True
+    )
+    tree = staged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     # the staged c12 tables appear as cached scans
     assert "InMemoryTableScan" in tree
     # distinct physical scan NODES (the formatted plan repeats a node id
@@ -70,3 +95,5 @@ def test_dsir_staged_aggregates_bound_corpus_scans(spark):
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", tree))
     assert len(scan_ids) <= 6, f"document re-scans crept back: {len(scan_ids)}"
     assert "ReusedExchange" not in tree  # the bet that never fired
+    # release the staged caches so later tests' dsir plans are unpolluted
+    spark.catalog.clearCache()

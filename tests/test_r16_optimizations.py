@@ -136,6 +136,33 @@ def test_classify_vs_index_combined_probe_matches_recompute(spark):
     assert os.path.exists(idx)
 
 
+def test_source_bytes_and_dsir_gate(spark):
+    """scan_meta.source_bytes reads file sizes without a job; the DSIR
+    staging gate's two spellings agree (the gate only picks between
+    them)."""
+    from pyspark.sql import functions as F
+
+    from gcp_serverless_etl_pipeline_lab_spark.functions.scan_meta import (
+        source_bytes,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.operators.lmscore import (
+        dsir_importance_micro,
+    )
+    from gcp_serverless_etl_pipeline_lab_spark.sources.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    sz = source_bytes(docs)
+    assert sz is not None and sz > 0
+    assert source_bytes(literal_frame(spark, "a int", [(1,)])) is None
+    tgt = docs.filter(F.col("lang") == "en")
+    auto = _sorted_rows(dsir_importance_micro(docs, tgt, hot_threshold=1000))
+    staged = _sorted_rows(
+        dsir_importance_micro(docs, tgt, hot_threshold=1000, stage=True)
+    )
+    assert auto == staged
+
+
 def test_cc_loop_leaves_caller_aqe_conf_alone(spark):
     """The CC loop must never flip the CALLER session's AQE conf — a
     concurrent poller of the conf observes 'true' for the loop's whole
